@@ -1,0 +1,213 @@
+"""VPS / SPS / PPS / slice-header RBSP writers (H.265 clause 7.3).
+
+Written from the spec syntax tables; behavioral parity reference:
+x265 source/encoder/entropy.cpp:233-763 (codeVPS/codeSPS/codePPS/
+codeSliceHeader). Only the feature set the encoder currently emits is
+signalled; every field is written explicitly so the stream documents
+its own configuration.
+"""
+
+from __future__ import annotations
+
+from ..common.params import EncoderConfig, I_SLICE, P_SLICE, B_SLICE, level_idc
+from .bitwriter import BitWriter
+
+
+def write_profile_tier_level(w: BitWriter, cfg: EncoderConfig) -> None:
+    """profile_tier_level(1, 0) — clause 7.3.3."""
+    main10 = cfg.bit_depth > 8
+    profile = 2 if main10 else 1
+    w.write(0, 2)                     # general_profile_space
+    w.write_flag(0)                   # general_tier_flag (main tier)
+    w.write(profile, 5)               # general_profile_idc
+    compat = (1 << (31 - 2)) if main10 else ((1 << (31 - 1)) | (1 << (31 - 2)))
+    w.write(compat, 32)               # general_profile_compatibility_flags
+    w.write_flag(1)                   # general_progressive_source_flag
+    w.write_flag(0)                   # general_interlaced_source_flag
+    w.write_flag(0)                   # general_non_packed_constraint_flag
+    w.write_flag(1)                   # general_frame_only_constraint_flag
+    w.write(0, 22)                    # general_reserved_zero_44bits
+    w.write(0, 22)
+    fps = cfg.fps_num / max(cfg.fps_den, 1)
+    w.write(level_idc(cfg.width_padded, cfg.height_padded, fps), 8)
+
+
+def write_vps(cfg: EncoderConfig) -> bytes:
+    """video_parameter_set_rbsp — clause 7.3.2.1."""
+    w = BitWriter()
+    w.write(0, 4)                     # vps_video_parameter_set_id
+    w.write(3, 2)                     # vps_base_layer_internal/available (reserved=3)
+    w.write(0, 6)                     # vps_max_layers_minus1
+    w.write(0, 3)                     # vps_max_sub_layers_minus1
+    w.write_flag(1)                   # vps_temporal_id_nesting_flag
+    w.write(0xFFFF, 16)               # vps_reserved_0xffff_16bits
+    write_profile_tier_level(w, cfg)
+    w.write_flag(1)                   # vps_sub_layer_ordering_info_present_flag
+    w.write_ue(dpb_max_buffering(cfg))   # vps_max_dec_pic_buffering_minus1
+    w.write_ue(num_reorder_pics(cfg))    # vps_max_num_reorder_pics
+    w.write_ue(0)                     # vps_max_latency_increase_plus1
+    w.write(0, 6)                     # vps_max_layer_id
+    w.write_ue(0)                     # vps_num_layer_sets_minus1
+    w.write_flag(1)                   # vps_timing_info_present_flag
+    w.write(cfg.fps_den, 32)          # vps_num_units_in_tick
+    w.write(cfg.fps_num, 32)          # vps_time_scale
+    w.write_flag(0)                   # vps_poc_proportional_to_timing_flag
+    w.write_ue(0)                     # vps_num_hrd_parameters
+    w.write_flag(0)                   # vps_extension_flag
+    w.align_one()
+    return w.get_bytes()
+
+
+def dpb_max_buffering(cfg: EncoderConfig) -> int:
+    # max_dec_pic_buffering_minus1: refs + current
+    return max(cfg.num_refs, 1)
+
+
+def num_reorder_pics(cfg: EncoderConfig) -> int:
+    return 1 if cfg.bframes > 0 else 0
+
+
+def write_sps(cfg: EncoderConfig) -> bytes:
+    """seq_parameter_set_rbsp — clause 7.3.2.2."""
+    w = BitWriter()
+    w.write(0, 4)                     # sps_video_parameter_set_id
+    w.write(0, 3)                     # sps_max_sub_layers_minus1
+    w.write_flag(1)                   # sps_temporal_id_nesting_flag
+    write_profile_tier_level(w, cfg)
+    w.write_ue(0)                     # sps_seq_parameter_set_id
+    w.write_ue(cfg.chroma_format)     # chroma_format_idc
+    w.write_ue(cfg.width_padded)      # pic_width_in_luma_samples
+    w.write_ue(cfg.height_padded)     # pic_height_in_luma_samples
+    crop = cfg.conf_win_right or cfg.conf_win_bottom
+    w.write_flag(1 if crop else 0)    # conformance_window_flag
+    if crop:
+        w.write_ue(0)                 # conf_win_left_offset
+        w.write_ue(cfg.conf_win_right)
+        w.write_ue(0)                 # conf_win_top_offset
+        w.write_ue(cfg.conf_win_bottom)
+    w.write_ue(cfg.bit_depth - 8)     # bit_depth_luma_minus8
+    w.write_ue(cfg.bit_depth - 8)     # bit_depth_chroma_minus8
+    w.write_ue(POC_LSB_BITS - 4)      # log2_max_pic_order_cnt_lsb_minus4
+    w.write_flag(1)                   # sps_sub_layer_ordering_info_present_flag
+    w.write_ue(dpb_max_buffering(cfg))
+    w.write_ue(num_reorder_pics(cfg))
+    w.write_ue(0)                     # sps_max_latency_increase_plus1
+    w.write_ue(cfg.log2_min_cu - 3)   # log2_min_luma_coding_block_size_minus3
+    w.write_ue(cfg.log2_ctu - cfg.log2_min_cu)
+    w.write_ue(0)                     # log2_min_luma_transform_block_size_minus2
+    w.write_ue(min(cfg.log2_ctu, 5) - 2)  # log2_diff_max_min_transform_block_size
+    w.write_ue(0)                     # max_transform_hierarchy_depth_inter
+    w.write_ue(0)                     # max_transform_hierarchy_depth_intra
+    w.write_flag(0)                   # scaling_list_enabled_flag
+    w.write_flag(0)                   # amp_enabled_flag
+    w.write_flag(1 if cfg.sao else 0)  # sample_adaptive_offset_enabled_flag
+    w.write_flag(0)                   # pcm_enabled_flag
+    w.write_ue(0)                     # num_short_term_ref_pic_sets
+    w.write_flag(0)                   # long_term_ref_pics_present_flag
+    w.write_flag(0)                   # sps_temporal_mvp_enabled_flag
+    w.write_flag(0)                   # strong_intra_smoothing_enabled_flag
+    w.write_flag(1)                   # vui_parameters_present_flag
+    _write_vui(w, cfg)
+    w.write_flag(0)                   # sps_extension_present_flag
+    w.align_one()
+    return w.get_bytes()
+
+
+POC_LSB_BITS = 8
+
+
+def _write_vui(w: BitWriter, cfg: EncoderConfig) -> None:
+    """vui_parameters — Annex E.2.1 (timing only)."""
+    w.write_flag(0)                   # aspect_ratio_info_present_flag
+    w.write_flag(0)                   # overscan_info_present_flag
+    w.write_flag(0)                   # video_signal_type_present_flag
+    w.write_flag(0)                   # chroma_loc_info_present_flag
+    w.write_flag(0)                   # neutral_chroma_indication_flag
+    w.write_flag(0)                   # field_seq_flag
+    w.write_flag(0)                   # frame_field_info_present_flag
+    w.write_flag(0)                   # default_display_window_flag
+    w.write_flag(1)                   # vui_timing_info_present_flag
+    w.write(cfg.fps_den, 32)          # vui_num_units_in_tick
+    w.write(cfg.fps_num, 32)          # vui_time_scale
+    w.write_flag(0)                   # vui_poc_proportional_to_timing_flag
+    w.write_flag(0)                   # vui_hrd_parameters_present_flag
+    w.write_flag(0)                   # bitstream_restriction_flag
+
+
+def write_pps(cfg: EncoderConfig) -> bytes:
+    """pic_parameter_set_rbsp — clause 7.3.2.3."""
+    w = BitWriter()
+    w.write_ue(0)                     # pps_pic_parameter_set_id
+    w.write_ue(0)                     # pps_seq_parameter_set_id
+    w.write_flag(0)                   # dependent_slice_segments_enabled_flag
+    w.write_flag(0)                   # output_flag_present_flag
+    w.write(0, 3)                     # num_extra_slice_header_bits
+    w.write_flag(1 if cfg.sign_hiding else 0)  # sign_data_hiding_enabled_flag
+    w.write_flag(0)                   # cabac_init_present_flag
+    w.write_ue(0)                     # num_ref_idx_l0_default_active_minus1
+    w.write_ue(0)                     # num_ref_idx_l1_default_active_minus1
+    w.write_se(cfg.qp - 26)           # init_qp_minus26
+    w.write_flag(0)                   # constrained_intra_pred_flag
+    w.write_flag(0)                   # transform_skip_enabled_flag
+    w.write_flag(0)                   # cu_qp_delta_enabled_flag
+    w.write_se(0)                     # pps_cb_qp_offset
+    w.write_se(0)                     # pps_cr_qp_offset
+    w.write_flag(0)                   # pps_slice_chroma_qp_offsets_present_flag
+    w.write_flag(0)                   # weighted_pred_flag
+    w.write_flag(0)                   # weighted_bipred_flag
+    w.write_flag(0)                   # transquant_bypass_enabled_flag
+    w.write_flag(0)                   # tiles_enabled_flag
+    w.write_flag(1 if cfg.wpp else 0)  # entropy_coding_sync_enabled_flag
+    w.write_flag(1)                   # pps_loop_filter_across_slices_enabled_flag
+    w.write_flag(1)                   # deblocking_filter_control_present_flag
+    w.write_flag(0)                   # deblocking_filter_override_enabled_flag
+    w.write_flag(0 if cfg.deblock else 1)  # pps_deblocking_filter_disabled_flag
+    if cfg.deblock:
+        w.write_se(0)                 # pps_beta_offset_div2
+        w.write_se(0)                 # pps_tc_offset_div2
+    w.write_flag(0)                   # pps_scaling_list_data_present_flag
+    w.write_flag(0)                   # lists_modification_present_flag
+    w.write_ue(0)                     # log2_parallel_merge_level_minus2
+    w.write_flag(0)                   # slice_segment_header_extension_present_flag
+    w.write_flag(0)                   # pps_extension_present_flag
+    w.align_one()
+    return w.get_bytes()
+
+
+def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
+                       idr: bool = True, slice_qp: int | None = None,
+                       num_entry_points: int = 0,
+                       entry_point_offsets: list[int] | None = None) -> BitWriter:
+    """slice_segment_header — clause 7.3.6.1. Returns the open BitWriter so
+    the caller appends CABAC slice data after byte alignment."""
+    if slice_qp is None:
+        slice_qp = cfg.qp
+    w = BitWriter()
+    w.write_flag(1)                   # first_slice_segment_in_pic_flag
+    if idr:
+        w.write_flag(0)               # no_output_of_prior_pics_flag
+    w.write_ue(0)                     # slice_pic_parameter_set_id
+    w.write_ue(slice_type)            # slice_type (2=I, 1=P, 0=B)
+    if not idr:
+        w.write(poc & ((1 << POC_LSB_BITS) - 1), POC_LSB_BITS)
+        w.write_flag(1)               # short_term_ref_pic_set_sps_flag=0 -> inline
+        # st_ref_pic_set(): written by the caller for inter slices (dpb.py)
+        raise NotImplementedError("non-IDR slice headers land with the inter path")
+    if cfg.sao:
+        w.write_flag(1)               # slice_sao_luma_flag
+        w.write_flag(1)               # slice_sao_chroma_flag
+    w.write_se(slice_qp - cfg.qp)     # slice_qp_delta (init_qp = cfg.qp)
+    # deblocking override disabled; loop-filter-across flag only when a
+    # filter is active
+    if cfg.sao or cfg.deblock:
+        w.write_flag(1)               # slice_loop_filter_across_slices_enabled_flag
+    if cfg.wpp:
+        w.write_ue(num_entry_points)  # num_entry_point_offsets
+        if num_entry_points:
+            offsets = entry_point_offsets or []
+            olen = max(o.bit_length() for o in offsets)
+            w.write_ue(olen - 1)      # offset_len_minus1
+            for o in offsets:
+                w.write(o - 1, olen)  # entry_point_offset_minus1
+    w.align_one()                     # byte_alignment()
+    return w

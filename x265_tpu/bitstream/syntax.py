@@ -1,0 +1,384 @@
+"""CTU / CU / TU CABAC syntax encoding (H.265 clauses 7.3.8, 9.3.4).
+
+This is the serial entropy stage of the encoder: it consumes the dense
+per-frame decision arrays produced by the device analysis/reconstruction
+passes (depth map, intra modes, quantized coefficients) and emits the
+slice-data bin stream. Behavioral parity reference: x265
+source/encoder/entropy.cpp:765-2250 (encodeCTU/codeCoeffNxN); all
+context derivations here are written from the spec clauses cited inline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..common.params import EncoderConfig, I_SLICE
+from ..common.tables import (SCAN_DIAG, SCAN_HOR, SCAN_VER, full_scan_table,
+                             cg_scan_order, intra_scan_idx)
+from .cabac import CabacEncoder, ContextSet
+from .ctx_tables import OFF, init_states
+
+# --- binarization tables (clause 9.3.3.1.3: last position grouping) ----------
+
+# group index per coefficient position 0..31
+GROUP_IDX = np.array([0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7,
+                      8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9, 9],
+                     dtype=np.int32)
+MIN_IN_GROUP = np.array([0, 1, 2, 3, 4, 6, 8, 12, 16, 24], dtype=np.int32)
+
+# sig_coeff_flag ctxIdxMap for 4x4 TBs (clause 9.3.4.2.5)
+SIG_CTX_4X4 = np.array([0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8],
+                       dtype=np.int32)
+
+C1FLAG_NUMBER = 8       # max greater1 flags per CG
+C2FLAG_NUMBER = 1       # max greater2 flags per CG
+COEF_REMAIN_BIN_REDUCTION = 3
+
+INTRA_DC = 1
+INTRA_PLANAR = 0
+INTRA_VER = 26
+
+
+@dataclass
+class FrameIntraSyntax:
+    """Dense frame decision arrays in min-CU (8x8) granularity."""
+    depth8: np.ndarray     # (n8y, n8x) uint8: quadtree depth of covering CU
+    mode8: np.ndarray      # (n8y, n8x) uint8: luma intra mode of covering CU
+    coeff_y: np.ndarray    # (H, W) int32, TUs laid out at their position
+    coeff_cb: np.ndarray   # (H/2, W/2) int32
+    coeff_cr: np.ndarray   # (H/2, W/2) int32
+
+
+def derive_mpm(cand_a: int, cand_b: int) -> list[int]:
+    """Most-probable intra modes (clause 8.4.2)."""
+    if cand_a == cand_b:
+        if cand_a < 2:
+            return [INTRA_PLANAR, INTRA_DC, INTRA_VER]
+        return [cand_a, 2 + ((cand_a + 29) % 32), 2 + ((cand_a - 2 + 1) % 32)]
+    mpm = [cand_a, cand_b]
+    if INTRA_PLANAR not in mpm:
+        mpm.append(INTRA_PLANAR)
+    elif INTRA_DC not in mpm:
+        mpm.append(INTRA_DC)
+    else:
+        mpm.append(INTRA_VER)
+    return mpm
+
+
+class SliceSyntaxEncoder:
+    """Encodes one slice's CTUs into a CABAC bin stream."""
+
+    def __init__(self, cfg: EncoderConfig, syn: FrameIntraSyntax,
+                 slice_type: int = I_SLICE, qp: int | None = None) -> None:
+        self.cfg = cfg
+        self.syn = syn
+        self.qp = cfg.qp if qp is None else qp
+        ctx = ContextSet(0)
+        ctx.states = init_states(slice_type, self.qp)
+        self.cab = CabacEncoder(ctx)
+        self.w = cfg.width_padded
+        self.h = cfg.height_padded
+        self.n8x = self.w // 8
+        self.n8y = self.h // 8
+
+    # -- top level -------------------------------------------------------------
+
+    def encode_slice_data(self) -> CabacEncoder:
+        cfg = self.cfg
+        n_ctu = cfg.ctu_rows * cfg.ctu_cols
+        for addr in range(n_ctu):
+            cy, cx = divmod(addr, cfg.ctu_cols)
+            self.encode_ctu(cx * cfg.ctu_size, cy * cfg.ctu_size)
+            self.cab.encode_terminate(1 if addr == n_ctu - 1 else 0)
+        return self.cab
+
+    def encode_ctu(self, x0: int, y0: int) -> None:
+        self._code_cu_tree(x0, y0, self.cfg.log2_ctu)
+
+    # -- coding quadtree (clause 7.3.8.4) ---------------------------------------
+
+    def _depth_at(self, x: int, y: int) -> int:
+        return int(self.syn.depth8[y >> 3, x >> 3])
+
+    def _cu_depth_of(self, log2_size: int) -> int:
+        return self.cfg.log2_ctu - log2_size
+
+    def _code_cu_tree(self, x0: int, y0: int, log2_size: int) -> None:
+        size = 1 << log2_size
+        cfg = self.cfg
+        depth = self._cu_depth_of(log2_size)
+        inside = x0 + size <= self.w and y0 + size <= self.h
+        if inside and log2_size > cfg.log2_min_cu:
+            split = self._depth_at(x0, y0) > depth
+            # ctxInc: neighbours coded with greater depth (9.3.4.2.2)
+            ctx = 0
+            if x0 > 0 and self._depth_at(x0 - 1, y0) > depth:
+                ctx += 1
+            if y0 > 0 and self._depth_at(x0, y0 - 1) > depth:
+                ctx += 1
+            self.cab.encode_bin(OFF["split_cu_flag"] + ctx, int(split))
+        elif log2_size > cfg.log2_min_cu:
+            split = True   # forced split at picture boundary, no flag
+        else:
+            split = False
+        if split:
+            half = size >> 1
+            for sub in range(4):
+                sx = x0 + (sub & 1) * half
+                sy = y0 + (sub >> 1) * half
+                if sx < self.w and sy < self.h:
+                    self._code_cu_tree(sx, sy, log2_size - 1)
+        else:
+            self._code_cu(x0, y0, log2_size)
+
+    # -- coding unit (clause 7.3.8.5, intra only so far) ------------------------
+
+    def _neighbor_mode(self, x: int, y: int, *, above: bool) -> int:
+        """candIntraPredModeA/B (clause 8.4.2)."""
+        if above:
+            if y == 0:
+                return INTRA_DC
+            ny = y - 1
+            if (ny >> self.cfg.log2_ctu) != (y >> self.cfg.log2_ctu):
+                return INTRA_DC   # above CTU row: treated as unavailable
+            return int(self.syn.mode8[ny >> 3, x >> 3])
+        if x == 0:
+            return INTRA_DC
+        return int(self.syn.mode8[y >> 3, (x - 1) >> 3])
+
+    def _code_cu(self, x0: int, y0: int, log2_size: int) -> None:
+        cfg = self.cfg
+        cab = self.cab
+        # I-slice: no cu_skip / pred_mode flags; part_mode only at min size
+        if log2_size == cfg.log2_min_cu:
+            cab.encode_bin(OFF["part_mode"], 1)   # PART_2Nx2N
+        # luma intra mode for the single 2Nx2N PU
+        mode = int(self.syn.mode8[y0 >> 3, x0 >> 3])
+        cand_a = self._neighbor_mode(x0, y0, above=False)
+        cand_b = self._neighbor_mode(x0, y0, above=True)
+        mpm = derive_mpm(cand_a, cand_b)
+        if mode in mpm:
+            cab.encode_bin(OFF["prev_intra_luma_pred_flag"], 1)
+            idx = mpm.index(mode)
+            cab.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                cab.encode_bypass(idx - 1)
+        else:
+            cab.encode_bin(OFF["prev_intra_luma_pred_flag"], 0)
+            rem = mode
+            for m in sorted(mpm, reverse=True):
+                if mode > m:
+                    rem -= 1
+            cab.encode_bypass_bins(rem, 5)
+        # intra_chroma_pred_mode: DM ('0')
+        cab.encode_bin(OFF["intra_chroma_pred_mode"], 0)
+        # transform tree: TU == CU (max_transform_hierarchy_depth_intra = 0)
+        self._code_transform_unit(x0, y0, log2_size, mode)
+
+    # -- transform tree / unit (clauses 7.3.8.8, 7.3.8.10) ----------------------
+
+    def _cbf(self, coeff: np.ndarray, x: int, y: int, size: int) -> int:
+        return int(np.any(coeff[y:y + size, x:x + size]))
+
+    def _code_transform_unit(self, x0: int, y0: int, log2_size: int,
+                             luma_mode: int) -> None:
+        cab = self.cab
+        syn = self.syn
+        size = 1 << log2_size
+        cx, cy, csize = x0 >> 1, y0 >> 1, size >> 1
+        cbf_cb = self._cbf(syn.coeff_cb, cx, cy, csize)
+        cbf_cr = self._cbf(syn.coeff_cr, cx, cy, csize)
+        cbf_y = self._cbf(syn.coeff_y, x0, y0, size)
+        # trafoDepth == 0: chroma cbfs first, ctx = trafoDepth (9.3.4.2.2)
+        cab.encode_bin(OFF["cbf_chroma"], cbf_cb)
+        cab.encode_bin(OFF["cbf_chroma"], cbf_cr)
+        # cbf_luma ctx: trafoDepth == 0 ? 1 : 0
+        cab.encode_bin(OFF["cbf_luma"] + 1, cbf_y)
+        if cbf_y:
+            blk = syn.coeff_y[y0:y0 + size, x0:x0 + size]
+            scan = intra_scan_idx(luma_mode, log2_size, True)
+            self.code_residual(blk, log2_size, 0, scan)
+        if csize >= 4:
+            cscan = intra_scan_idx(luma_mode, log2_size - 1, False)
+            if cbf_cb:
+                self.code_residual(syn.coeff_cb[cy:cy + csize, cx:cx + csize],
+                                   log2_size - 1, 1, cscan)
+            if cbf_cr:
+                self.code_residual(syn.coeff_cr[cy:cy + csize, cx:cx + csize],
+                                   log2_size - 1, 2, cscan)
+
+    # -- residual coding (clause 7.3.8.11) --------------------------------------
+
+    def code_residual(self, blk: np.ndarray, log2_size: int, c_idx: int,
+                      scan_idx: int) -> None:
+        cab = self.cab
+        n = 1 << log2_size
+        flat = blk.reshape(-1)
+        scan = full_scan_table(scan_idx, log2_size)   # raster idx per scan pos
+        levels = flat[scan]                           # coeffs in scan order
+        nz = np.nonzero(levels)[0]
+        last_pos = int(nz[-1])
+        lx, ly = int(scan[last_pos] % n), int(scan[last_pos] // n)
+        if scan_idx == SCAN_VER:
+            lx, ly = ly, lx
+        self._code_last_position(lx, ly, log2_size, c_idx)
+
+        num_cg = 1 << (2 * max(log2_size - 2, 0))
+        last_cg = last_pos >> 4
+        # csbf map in CG raster coords
+        ncg = max(n >> 2, 1)
+        csbf = np.zeros((ncg + 1, ncg + 1), dtype=np.int32)
+        cg_scan = cg_scan_order(scan_idx, log2_size)  # (numCG, 2) (x, y)
+        cg_has = np.zeros(num_cg, dtype=bool)
+        for i in range(last_cg + 1):
+            s, e = i * 16, min(i * 16 + 16, last_pos + 1)
+            cg_has[i] = bool(np.any(levels[s:e]))
+        gtr1_base = OFF["greater1_flag"] + (16 if c_idx else 0)
+        gtr2_base = OFF["greater2_flag"] + (4 if c_idx else 0)
+        sig_base = OFF["sig_coeff_flag"] + (27 if c_idx else 0)
+        csbf_base = OFF["coded_sub_block_flag"] + (2 if c_idx else 0)
+
+        c1 = 1
+        for i in range(last_cg, -1, -1):
+            cg_x, cg_y = int(cg_scan[i, 0]), int(cg_scan[i, 1])
+            infer_sb_dc = 0
+            if i == last_cg or i == 0:
+                coded_sb = 1 if (i == 0 or cg_has[i]) else 1
+                # both inferred 1
+                coded_sb = 1
+            else:
+                coded_sb = int(cg_has[i])
+                ctx = min(csbf[cg_y, cg_x + 1] + csbf[cg_y + 1, cg_x], 1)
+                cab.encode_bin(csbf_base + ctx, coded_sb)
+                infer_sb_dc = 1
+            csbf[cg_y, cg_x] = coded_sb
+            if not coded_sb:
+                continue
+
+            start_n = (last_pos - 1 - i * 16) if i == last_cg else 15
+            sig_pos: list[int] = []      # scan positions with sig==1, desc order
+            if i == last_cg:
+                sig_pos.append(last_pos)
+            prev_csbf = csbf[cg_y, cg_x + 1] + 2 * csbf[cg_y + 1, cg_x]
+            for nn in range(start_n, -1, -1):
+                pos = i * 16 + nn
+                sig = int(levels[pos] != 0)
+                if nn > 0 or not infer_sb_dc:
+                    ctx = self._sig_ctx(scan[pos], nn, n, log2_size, c_idx,
+                                        scan_idx, prev_csbf, cg_x, cg_y)
+                    cab.encode_bin(sig_base + ctx, sig)
+                    if sig:
+                        infer_sb_dc = 0
+                if sig:
+                    sig_pos.append(pos)
+
+            # level coding for this CG
+            ctx_set = (0 if (i == 0 or c_idx) else 2) + (1 if c1 == 0 else 0)
+            c1 = 1
+            abs_levels = [abs(int(levels[p])) for p in sig_pos]
+            signs = [1 if levels[p] < 0 else 0 for p in sig_pos]
+            gtr1_coded = min(len(sig_pos), C1FLAG_NUMBER)
+            first_g2 = -1
+            for j in range(gtr1_coded):
+                g1 = int(abs_levels[j] > 1)
+                cab.encode_bin(gtr1_base + ctx_set * 4 + c1, g1)
+                if g1:
+                    if first_g2 < 0:
+                        first_g2 = j
+                    c1 = 0
+                elif 0 < c1 < 3:
+                    c1 += 1
+            if first_g2 >= 0:
+                cab.encode_bin(gtr2_base + ctx_set,
+                               int(abs_levels[first_g2] > 2))
+            # sign bits (sign-data-hiding handled upstream by quant when on)
+            for s in signs:
+                cab.encode_bypass(s)
+            # remaining levels
+            rice = 0
+            for j, lvl in enumerate(abs_levels):
+                base = 1
+                if j < gtr1_coded:
+                    base = 3 if j == first_g2 else 2
+                if lvl >= base:
+                    self._code_remaining(lvl - base, rice)
+                    if lvl > (3 << rice):
+                        rice = min(rice + 1, 4)
+
+    def _code_last_position(self, lx: int, ly: int, log2_size: int,
+                            c_idx: int) -> None:
+        """last_sig_coeff_{x,y}_{prefix,suffix} (9.3.3.1.3, 9.3.4.2.3)."""
+        cab = self.cab
+        if c_idx == 0:
+            ctx_off = 3 * (log2_size - 2) + ((log2_size - 1) >> 2)
+            ctx_shift = (log2_size + 1) >> 2
+        else:
+            ctx_off, ctx_shift = 15, log2_size - 2
+        gx, gy = int(GROUP_IDX[lx]), int(GROUP_IDX[ly])
+        max_group = int(GROUP_IDX[(1 << log2_size) - 1])
+        for i in range(gx):
+            cab.encode_bin(OFF["last_sig_x"] + ctx_off + (i >> ctx_shift), 1)
+        if gx < max_group:
+            cab.encode_bin(OFF["last_sig_x"] + ctx_off + (gx >> ctx_shift), 0)
+        for i in range(gy):
+            cab.encode_bin(OFF["last_sig_y"] + ctx_off + (i >> ctx_shift), 1)
+        if gy < max_group:
+            cab.encode_bin(OFF["last_sig_y"] + ctx_off + (gy >> ctx_shift), 0)
+        if gx > 3:
+            nbits = (gx >> 1) - 1
+            cab.encode_bypass_bins(lx - int(MIN_IN_GROUP[gx]), nbits)
+        if gy > 3:
+            nbits = (gy >> 1) - 1
+            cab.encode_bypass_bins(ly - int(MIN_IN_GROUP[gy]), nbits)
+
+    @staticmethod
+    def _sig_ctx_raw(xc: int, yc: int, log2_size: int, c_idx: int,
+                     scan_idx: int, prev_csbf: int) -> int:
+        """sigCtx (clause 9.3.4.2.5)."""
+        if log2_size == 2:
+            return int(SIG_CTX_4X4[(yc << 2) + xc])
+        if xc + yc == 0:
+            return 0
+        xp, yp = xc & 3, yc & 3
+        if prev_csbf == 0:
+            s = xp + yp
+            sig = 2 if s == 0 else (1 if s < 3 else 0)
+        elif prev_csbf == 1:
+            sig = 2 if yp == 0 else (1 if yp == 1 else 0)
+        elif prev_csbf == 2:
+            sig = 2 if xp == 0 else (1 if xp == 1 else 0)
+        else:
+            sig = 2
+        if c_idx == 0:
+            if (xc >> 2) + (yc >> 2) > 0:
+                sig += 3
+            sig += (9 if scan_idx == SCAN_DIAG else 15) if log2_size == 3 else 21
+        else:
+            sig += 9 if log2_size == 3 else 12
+        return sig
+
+    def _sig_ctx(self, raster_pos: int, n_in_cg: int, n: int, log2_size: int,
+                 c_idx: int, scan_idx: int, prev_csbf: int,
+                 cg_x: int, cg_y: int) -> int:
+        xc = raster_pos % n
+        yc = raster_pos // n
+        return self._sig_ctx_raw(xc, yc, log2_size, c_idx, scan_idx, prev_csbf)
+
+    def _code_remaining(self, value: int, rice: int) -> None:
+        """coeff_abs_level_remaining binarization (clause 9.3.3.10)."""
+        cab = self.cab
+        if value < (COEF_REMAIN_BIN_REDUCTION << rice):
+            length = value >> rice
+            cab.encode_bypass_bins((1 << (length + 1)) - 2, length + 1)
+            cab.encode_bypass_bins(value & ((1 << rice) - 1), rice)
+        else:
+            length = rice
+            value -= COEF_REMAIN_BIN_REDUCTION << rice
+            while value >= (1 << length):
+                value -= 1 << length
+                length += 1
+            nbits = COEF_REMAIN_BIN_REDUCTION + length + 1 - rice
+            cab.encode_bypass_bins((1 << nbits) - 2, nbits)
+            cab.encode_bypass_bins(value, length)

@@ -1,0 +1,125 @@
+"""Encoder configuration (the x265_param analog).
+
+Reference surface: x265 source/x265.h:753-1935 (x265_param) and
+source/common/param.cpp (defaults/presets/validation). This is a
+deliberately smaller, typed configuration object that grows field-by-
+field as features land; `validate()` mirrors x265_check_params' role.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Slice types (order matches the CABAC init-table rows; see ctx_tables)
+B_SLICE = 0
+P_SLICE = 1
+I_SLICE = 2
+
+CHROMA_420 = 1
+CHROMA_422 = 2
+CHROMA_444 = 3
+
+
+@dataclass
+class EncoderConfig:
+    # source description
+    width: int = 0
+    height: int = 0
+    fps_num: int = 25
+    fps_den: int = 1
+    bit_depth: int = 8
+    chroma_format: int = CHROMA_420
+
+    # coding structure
+    ctu_size: int = 32           # 16/32/64
+    min_cu_size: int = 8
+    keyint: int = 250            # max GOP length (x265 --keyint)
+    bframes: int = 0             # 0 = IPPP; >0 enables B-GOP (later)
+    num_refs: int = 1
+
+    # rate control (CQP only for now; ABR/CRF land with ratecontrol.py)
+    qp: int = 32
+    rc_mode: str = "cqp"
+    bitrate: int = 0             # kbps, for abr
+    crf: float = 28.0
+
+    # in-loop filters
+    deblock: bool = False
+    sao: bool = False
+
+    # tools
+    rdoq: bool = False
+    sign_hiding: bool = False
+    wpp: bool = False
+
+    # analysis
+    intra_smoothing: bool = True  # strong_intra_smoothing off; [1 2 1] on
+
+    def validate(self) -> None:
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("frame size must be positive")
+        if self.ctu_size not in (16, 32, 64):
+            raise ValueError("ctu_size must be 16/32/64")
+        if self.bit_depth not in (8, 10, 12):
+            raise ValueError("bit_depth must be 8/10/12")
+        if self.chroma_format != CHROMA_420:
+            raise NotImplementedError("only 4:2:0 implemented so far")
+        if not 0 <= self.qp <= 51:
+            raise ValueError("qp out of range")
+
+    # --- derived geometry ---------------------------------------------------
+
+    @property
+    def width_padded(self) -> int:
+        m = self.min_cu_size
+        return (self.width + m - 1) // m * m
+
+    @property
+    def height_padded(self) -> int:
+        m = self.min_cu_size
+        return (self.height + m - 1) // m * m
+
+    @property
+    def ctu_cols(self) -> int:
+        return (self.width_padded + self.ctu_size - 1) // self.ctu_size
+
+    @property
+    def ctu_rows(self) -> int:
+        return (self.height_padded + self.ctu_size - 1) // self.ctu_size
+
+    @property
+    def conf_win_right(self) -> int:
+        # conformance window offsets are in chroma units for 4:2:0
+        return (self.width_padded - self.width) // 2
+
+    @property
+    def conf_win_bottom(self) -> int:
+        return (self.height_padded - self.height) // 2
+
+    @property
+    def log2_ctu(self) -> int:
+        return self.ctu_size.bit_length() - 1
+
+    @property
+    def log2_min_cu(self) -> int:
+        return self.min_cu_size.bit_length() - 1
+
+
+def level_idc(width: int, height: int, fps: float) -> int:
+    """Pick the smallest level whose limits fit (H.265 Table A.6, main tier)."""
+    luma_ps = width * height
+    luma_sr = luma_ps * fps
+    # (level*30, MaxLumaPs, MaxLumaSr)
+    table = [
+        (30, 36864, 552960), (60, 122880, 3686400), (63, 245760, 7372800),
+        (90, 552960, 16588800), (93, 983040, 33177600),
+        (120, 2228224, 66846720), (123, 2228224, 133693440),
+        (150, 8912896, 267386880), (153, 8912896, 534773760),
+        (156, 8912896, 1069547520), (180, 35651584, 1069547520),
+        (183, 35651584, 2139095040), (186, 35651584, 4278190080),
+    ]
+    for idc, max_ps, max_sr in table:
+        if luma_ps <= max_ps and luma_sr <= max_sr:
+            return idc
+    return 186

@@ -1,0 +1,509 @@
+"""Validation HEVC decoder (intra subset), written from the H.265 spec.
+
+Role: the project has no external reference decoder, so this module is
+the conformance oracle — it parses the Annex-B stream the encoder emits
+(headers + CABAC slice data), reconstructs frames with the numpy spec
+oracles (intra_np / transforms), and tests assert the result is
+bit-exact against the encoder's own reconstruction. Analog of x265's
+practice of decoding golden bitstreams (source/test/regression-tests.txt:3-6).
+
+Supports what the encoder emits today: Main/Main10 all-intra, 4:2:0,
+one slice, CTU 16/32, TU == CU, no SAO/deblock/WPP. Grows with the
+encoder; unsupported syntax raises instead of mis-decoding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.bitwriter import BitReader
+from ..bitstream.cabac import CabacDecoder, ContextSet
+from ..bitstream.ctx_tables import OFF, init_states
+from ..bitstream.nal import split_annexb, NalUnitType
+from ..bitstream.syntax import (GROUP_IDX, MIN_IN_GROUP, SIG_CTX_4X4,
+                                COEF_REMAIN_BIN_REDUCTION, derive_mpm,
+                                INTRA_DC)
+from ..common.params import I_SLICE
+from ..common.tables import (SCAN_VER, full_scan_table, cg_scan_order,
+                             intra_scan_idx, chroma_qp)
+from ..ops.intra_np import canonical_refs, filter_refs, intra_pred_np
+from ..ops.transforms import idct_np, dequant_np
+
+
+@dataclass
+class SpsInfo:
+    width: int = 0
+    height: int = 0
+    bit_depth: int = 8
+    log2_ctu: int = 5
+    log2_min_cu: int = 3
+    conf_right: int = 0
+    conf_bottom: int = 0
+    sao: bool = False
+    poc_lsb_bits: int = 8
+
+
+@dataclass
+class PpsInfo:
+    init_qp: int = 26
+    sign_hiding: bool = False
+    wpp: bool = False
+    deblock_disabled: bool = True
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+
+
+@dataclass
+class DecodedFrame:
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+    qp: int
+    # parsed decision maps, for white-box assertions in tests
+    depth8: np.ndarray | None = None
+    mode8: np.ndarray | None = None
+
+
+def parse_sps(rbsp: bytes) -> SpsInfo:
+    r = BitReader(rbsp)
+    s = SpsInfo()
+    r.read(4)                      # sps_video_parameter_set_id
+    max_sub = r.read(3)            # sps_max_sub_layers_minus1
+    r.read_flag()                  # temporal_id_nesting
+    _parse_ptl(r, max_sub)
+    r.read_ue()                    # sps id
+    chroma = r.read_ue()
+    assert chroma == 1, "only 4:2:0"
+    s.width = r.read_ue()
+    s.height = r.read_ue()
+    if r.read_flag():              # conformance window
+        r.read_ue()
+        s.conf_right = r.read_ue()
+        r.read_ue()
+        s.conf_bottom = r.read_ue()
+    s.bit_depth = r.read_ue() + 8
+    r.read_ue()                    # chroma bit depth
+    s.poc_lsb_bits = r.read_ue() + 4
+    sub_info = r.read_flag()
+    for _ in range((max_sub + 1) if sub_info else 1):
+        r.read_ue(); r.read_ue(); r.read_ue()
+    s.log2_min_cu = r.read_ue() + 3
+    s.log2_ctu = s.log2_min_cu + r.read_ue()
+    min_tb = r.read_ue() + 2
+    r.read_ue()                    # max-min tb diff
+    assert min_tb == 2
+    r.read_ue(); r.read_ue()       # transform hierarchy depths
+    assert not r.read_flag(), "scaling lists unsupported"
+    r.read_flag()                  # amp
+    s.sao = bool(r.read_flag())
+    assert not r.read_flag(), "pcm unsupported"
+    nrps = r.read_ue()
+    assert nrps == 0, "sps-level RPS unsupported"
+    assert not r.read_flag()       # long-term ref pics
+    r.read_flag()                  # temporal mvp
+    assert not r.read_flag(), "strong intra smoothing unsupported"
+    return s
+
+
+def _parse_ptl(r: BitReader, max_sub: int) -> None:
+    r.read(2); r.read_flag(); r.read(5)
+    r.read(32)
+    r.read(4)                      # progressive/interlaced/non-packed/frame-only
+    r.read(22); r.read(22)         # reserved 44
+    r.read(8)                      # level idc
+    assert max_sub == 0
+
+
+def parse_pps(rbsp: bytes) -> PpsInfo:
+    r = BitReader(rbsp)
+    p = PpsInfo()
+    r.read_ue(); r.read_ue()
+    assert not r.read_flag()       # dependent slices
+    r.read_flag()                  # output_flag_present
+    r.read(3)
+    p.sign_hiding = bool(r.read_flag())
+    assert not r.read_flag()       # cabac_init_present
+    r.read_ue(); r.read_ue()       # default ref counts
+    p.init_qp = 26 + r.read_se()
+    assert not r.read_flag()       # constrained intra
+    assert not r.read_flag()       # transform skip
+    assert not r.read_flag()       # cu_qp_delta
+    p.cb_qp_offset = r.read_se()
+    p.cr_qp_offset = r.read_se()
+    r.read_flag()                  # slice chroma qp offsets present
+    r.read_flag(); r.read_flag()   # weighted pred/bipred
+    assert not r.read_flag()       # transquant bypass
+    assert not r.read_flag()       # tiles
+    p.wpp = bool(r.read_flag())
+    r.read_flag()                  # loop filter across slices
+    if r.read_flag():              # deblocking control present
+        assert not r.read_flag()   # override enabled
+        p.deblock_disabled = bool(r.read_flag())
+        if not p.deblock_disabled:
+            r.read_se(); r.read_se()
+    return p
+
+
+def decode_annexb(stream: bytes) -> list[DecodedFrame]:
+    sps: SpsInfo | None = None
+    pps: PpsInfo | None = None
+    frames: list[DecodedFrame] = []
+    for nal_type, rbsp in split_annexb(stream):
+        if nal_type == NalUnitType.SPS:
+            sps = parse_sps(rbsp)
+        elif nal_type == NalUnitType.PPS:
+            pps = parse_pps(rbsp)
+        elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
+                          NalUnitType.CRA_NUT):
+            assert sps is not None and pps is not None
+            frames.append(_decode_slice(rbsp, sps, pps, idr=True))
+        elif nal_type in (NalUnitType.VPS, NalUnitType.AUD,
+                          NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
+            continue
+    return frames
+
+
+def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
+                  idr: bool) -> DecodedFrame:
+    r = BitReader(rbsp)
+    assert r.read_flag() == 1      # first_slice_segment_in_pic_flag
+    if idr:
+        r.read_flag()              # no_output_of_prior_pics
+    r.read_ue()                    # pps id
+    slice_type = r.read_ue()
+    assert slice_type == 2, "only I slices decodable so far"
+    if sps.sao:
+        raise NotImplementedError("sao decode lands with sao encode")
+    qp = pps.init_qp + r.read_se()
+    r.byte_align()                 # byte_alignment() before slice data
+    data = rbsp[r.bit_position // 8:]
+    return SliceDecoder(sps, pps, qp, data).decode()
+
+
+class SliceDecoder:
+    """CABAC slice-data parser + spec reconstruction (intra)."""
+
+    def __init__(self, sps: SpsInfo, pps: PpsInfo, qp: int, data: bytes) -> None:
+        self.sps = sps
+        self.pps = pps
+        self.qp = qp
+        ctx = ContextSet(0)
+        ctx.states = init_states(I_SLICE, qp)
+        self.cab = CabacDecoder(data, ctx)
+        self.w, self.h = sps.width, sps.height
+        self.cw, self.ch = self.w // 2, self.h // 2
+        bd = sps.bit_depth
+        self.y = np.zeros((self.h, self.w), dtype=np.int32)
+        self.cb = np.zeros((self.ch, self.cw), dtype=np.int32)
+        self.cr = np.zeros((self.ch, self.cw), dtype=np.int32)
+        self.decoded_y = np.zeros((self.h, self.w), dtype=bool)
+        self.decoded_c = np.zeros((self.ch, self.cw), dtype=bool)
+        self.depth8 = np.zeros((self.h // 8, self.w // 8), dtype=np.uint8)
+        self.mode8 = np.full((self.h // 8, self.w // 8), 255, dtype=np.uint8)
+        self.bd = bd
+        self.qp_cb = chroma_qp(min(max(qp + pps.cb_qp_offset, 0), 57))
+        self.qp_cr = chroma_qp(min(max(qp + pps.cr_qp_offset, 0), 57))
+
+    def decode(self) -> DecodedFrame:
+        log2_ctu = self.sps.log2_ctu
+        ctu = 1 << log2_ctu
+        rows = (self.h + ctu - 1) >> log2_ctu
+        cols = (self.w + ctu - 1) >> log2_ctu
+        for addr in range(rows * cols):
+            cy, cx = divmod(addr, cols)
+            self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
+            end = self.cab.decode_terminate()
+            assert end == (1 if addr == rows * cols - 1 else 0), \
+                f"end_of_slice mismatch at CTU {addr}"
+        return DecodedFrame(self.y, self.cb, self.cr, self.qp,
+                            self.depth8, self.mode8)
+
+    # -- quadtree ---------------------------------------------------------------
+
+    def _depth_at(self, x: int, y: int) -> int:
+        return int(self.depth8[y >> 3, x >> 3])
+
+    def _cu_tree(self, x0: int, y0: int, log2_size: int) -> None:
+        size = 1 << log2_size
+        depth = self.sps.log2_ctu - log2_size
+        inside = x0 + size <= self.w and y0 + size <= self.h
+        if inside and log2_size > self.sps.log2_min_cu:
+            ctx = 0
+            if x0 > 0 and self.decoded_y[y0, x0 - 1] \
+                    and self._depth_at(x0 - 1, y0) > depth:
+                ctx += 1
+            if y0 > 0 and self.decoded_y[y0 - 1, x0] \
+                    and self._depth_at(x0, y0 - 1) > depth:
+                ctx += 1
+            split = self.cab.decode_bin(OFF["split_cu_flag"] + ctx)
+        elif log2_size > self.sps.log2_min_cu:
+            split = 1
+        else:
+            split = 0
+        if split:
+            half = size >> 1
+            for sub in range(4):
+                sx = x0 + (sub & 1) * half
+                sy = y0 + (sub >> 1) * half
+                if sx < self.w and sy < self.h:
+                    self._cu_tree(sx, sy, log2_size - 1)
+        else:
+            self._cu(x0, y0, log2_size)
+
+    # -- coding unit -------------------------------------------------------------
+
+    def _neighbor_mode(self, x: int, y: int, *, above: bool) -> int:
+        if above:
+            if y == 0 or (y - 1) >> self.sps.log2_ctu != y >> self.sps.log2_ctu:
+                return INTRA_DC
+            return int(self.mode8[(y - 1) >> 3, x >> 3])
+        if x == 0:
+            return INTRA_DC
+        return int(self.mode8[y >> 3, (x - 1) >> 3])
+
+    def _cu(self, x0: int, y0: int, log2_size: int) -> None:
+        cab = self.cab
+        size = 1 << log2_size
+        if log2_size == self.sps.log2_min_cu:
+            part = cab.decode_bin(OFF["part_mode"])
+            assert part == 1, "NxN partitions not emitted yet"
+        if cab.decode_bin(OFF["prev_intra_luma_pred_flag"]):
+            idx = cab.decode_bypass()
+            if idx:
+                idx += cab.decode_bypass()
+            mpm_idx = idx
+            rem = None
+        else:
+            mpm_idx = None
+            rem = cab.decode_bypass_bins(5)
+        cand_a = self._neighbor_mode(x0, y0, above=False)
+        cand_b = self._neighbor_mode(x0, y0, above=True)
+        mpm = derive_mpm(cand_a, cand_b)
+        if mpm_idx is not None:
+            mode = mpm[mpm_idx]
+        else:
+            mode = rem
+            for m in sorted(mpm):
+                if mode >= m:
+                    mode += 1
+        chroma_dm = cab.decode_bin(OFF["intra_chroma_pred_mode"])
+        assert chroma_dm == 0, "only DM chroma mode emitted"
+        d = self.sps.log2_ctu - log2_size
+        self.depth8[y0 >> 3:(y0 + size) >> 3, x0 >> 3:(x0 + size) >> 3] = d
+        self.mode8[y0 >> 3:(y0 + size) >> 3, x0 >> 3:(x0 + size) >> 3] = mode
+
+        # transform unit (TU == CU)
+        cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
+        cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
+        cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1)
+        coeff_y = coeff_cb = coeff_cr = None
+        if cbf_y:
+            scan = intra_scan_idx(mode, log2_size, True)
+            coeff_y = self._residual(log2_size, 0, scan)
+        csize = size >> 1
+        if csize >= 4:
+            cscan = intra_scan_idx(mode, log2_size - 1, False)
+            if cbf_cb:
+                coeff_cb = self._residual(log2_size - 1, 1, cscan)
+            if cbf_cr:
+                coeff_cr = self._residual(log2_size - 1, 2, cscan)
+
+        self._reconstruct(x0, y0, log2_size, mode, coeff_y, coeff_cb, coeff_cr)
+
+    # -- reconstruction (clauses 8.4.4, 8.6) --------------------------------------
+
+    def _avail_mask(self, mask: np.ndarray, x0: int, y0: int, n: int,
+                    w: int, h: int) -> np.ndarray:
+        av = np.zeros(4 * n + 1, dtype=bool)
+        for i in range(4 * n + 1):
+            if i < 2 * n:
+                x, y = x0 - 1, y0 + (2 * n - 1 - i)
+            elif i == 2 * n:
+                x, y = x0 - 1, y0 - 1
+            else:
+                x, y = x0 + (i - 2 * n - 1), y0 - 1
+            if 0 <= x < w and 0 <= y < h:
+                av[i] = mask[y, x]
+        return av
+
+    def _reconstruct(self, x0: int, y0: int, log2_size: int, mode: int,
+                     cy_: np.ndarray | None, ccb: np.ndarray | None,
+                     ccr: np.ndarray | None) -> None:
+        n = 1 << log2_size
+        bd = self.bd
+        # luma
+        av = self._avail_mask(self.decoded_y, x0, y0, n, self.w, self.h)
+        refs = canonical_refs(self.y, x0, y0, n, av, bd)
+        filt = filter_refs(refs, n, bd)
+        pred = intra_pred_np(refs, mode, n, is_luma=True, bit_depth=bd,
+                             filtered=filt)
+        resi = 0
+        if cy_ is not None:
+            dq = dequant_np(cy_, self.qp, bd)
+            resi = idct_np(dq, bd, dst=(log2_size == 2))
+        self.y[y0:y0 + n, x0:x0 + n] = np.clip(pred + resi, 0, (1 << bd) - 1)
+        self.decoded_y[y0:y0 + n, x0:x0 + n] = True
+        # chroma
+        cn = n >> 1
+        if cn < 4:
+            return  # handled at the 8x8 parent for 4x4 CUs (not emitted yet)
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        avc = self._avail_mask(self.decoded_c, cx0, cy0, cn, self.cw, self.ch)
+        for plane, coeff, qp in ((self.cb, ccb, self.qp_cb),
+                                 (self.cr, ccr, self.qp_cr)):
+            refs_c = canonical_refs(plane, cx0, cy0, cn, avc, bd)
+            pred_c = intra_pred_np(refs_c, mode, cn, is_luma=False,
+                                   bit_depth=bd)
+            resi_c = 0
+            if coeff is not None:
+                dq = dequant_np(coeff, qp, bd)
+                resi_c = idct_np(dq, bd, dst=False)
+            plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
+                pred_c + resi_c, 0, (1 << bd) - 1)
+        self.decoded_c[cy0:cy0 + cn, cx0:cx0 + cn] = True
+
+    # -- residual parsing (clause 7.3.8.11) ----------------------------------------
+
+    def _residual(self, log2_size: int, c_idx: int, scan_idx: int) -> np.ndarray:
+        cab = self.cab
+        n = 1 << log2_size
+        lx, ly = self._last_position(log2_size, c_idx)
+        if scan_idx == SCAN_VER:
+            lx, ly = ly, lx
+        scan = full_scan_table(scan_idx, log2_size)
+        inv = np.zeros(n * n, dtype=np.int32)
+        # find last scan pos from raster coords
+        raster_last = ly * n + lx
+        last_pos = int(np.nonzero(scan == raster_last)[0][0])
+        levels = np.zeros(n * n, dtype=np.int64)
+
+        num_cg = (n * n) >> 4 if log2_size > 2 else 1
+        last_cg = last_pos >> 4
+        ncg = max(n >> 2, 1)
+        csbf = np.zeros((ncg + 1, ncg + 1), dtype=np.int32)
+        cg_scan = cg_scan_order(scan_idx, log2_size)
+        csbf_base = OFF["coded_sub_block_flag"] + (2 if c_idx else 0)
+        sig_base = OFF["sig_coeff_flag"] + (27 if c_idx else 0)
+        gtr1_base = OFF["greater1_flag"] + (16 if c_idx else 0)
+        gtr2_base = OFF["greater2_flag"] + (4 if c_idx else 0)
+
+        c1 = 1
+        for i in range(last_cg, -1, -1):
+            cg_x, cg_y = int(cg_scan[i, 0]), int(cg_scan[i, 1])
+            infer_sb_dc = 0
+            if i == last_cg or i == 0:
+                coded_sb = 1
+            else:
+                ctx = min(csbf[cg_y, cg_x + 1] + csbf[cg_y + 1, cg_x], 1)
+                coded_sb = cab.decode_bin(csbf_base + ctx)
+                infer_sb_dc = 1
+            csbf[cg_y, cg_x] = coded_sb
+            if not coded_sb:
+                continue
+            start_n = (last_pos - 1 - i * 16) if i == last_cg else 15
+            sig_pos: list[int] = []
+            if i == last_cg:
+                sig_pos.append(last_pos)
+            prev_csbf = csbf[cg_y, cg_x + 1] + 2 * csbf[cg_y + 1, cg_x]
+            for nn in range(start_n, -1, -1):
+                pos = i * 16 + nn
+                if nn > 0 or not infer_sb_dc:
+                    rp = int(scan[pos])
+                    sctx = self._sig_ctx(rp % n, rp // n, log2_size, c_idx,
+                                         scan_idx, prev_csbf)
+                    sig = cab.decode_bin(sig_base + sctx)
+                    if sig:
+                        infer_sb_dc = 0
+                else:
+                    sig = 1
+                if sig:
+                    sig_pos.append(pos)
+            ctx_set = (0 if (i == 0 or c_idx) else 2) + (1 if c1 == 0 else 0)
+            c1 = 1
+            nsig = len(sig_pos)
+            gtr1_coded = min(nsig, 8)
+            gtr1 = []
+            first_g2 = -1
+            for j in range(gtr1_coded):
+                g1 = cab.decode_bin(gtr1_base + ctx_set * 4 + c1)
+                gtr1.append(g1)
+                if g1:
+                    if first_g2 < 0:
+                        first_g2 = j
+                    c1 = 0
+                elif 0 < c1 < 3:
+                    c1 += 1
+            g2 = 0
+            if first_g2 >= 0:
+                g2 = cab.decode_bin(gtr2_base + ctx_set)
+            signs = [cab.decode_bypass() for _ in range(nsig)]
+            rice = 0
+            for j, pos in enumerate(sig_pos):
+                if j < gtr1_coded:
+                    if j == first_g2:
+                        base, has_rem = 2 + g2, g2 == 1
+                    else:
+                        base, has_rem = 1 + gtr1[j], gtr1[j] == 1
+                else:
+                    base, has_rem = 1, True
+                lvl = base
+                if has_rem:
+                    lvl = base + self._decode_remaining(rice)
+                    if lvl > (3 << rice):
+                        rice = min(rice + 1, 4)
+                levels[pos] = -lvl if signs[j] else lvl
+        out = np.zeros(n * n, dtype=np.int32)
+        out[scan] = levels[np.arange(n * n)]
+        return out.reshape(n, n)
+
+    def _last_position(self, log2_size: int, c_idx: int) -> tuple[int, int]:
+        cab = self.cab
+        if c_idx == 0:
+            ctx_off = 3 * (log2_size - 2) + ((log2_size - 1) >> 2)
+            ctx_shift = (log2_size + 1) >> 2
+        else:
+            ctx_off, ctx_shift = 15, log2_size - 2
+        max_group = int(GROUP_IDX[(1 << log2_size) - 1])
+        gx = 0
+        while gx < max_group and cab.decode_bin(
+                OFF["last_sig_x"] + ctx_off + (gx >> ctx_shift)):
+            gx += 1
+        gy = 0
+        while gy < max_group and cab.decode_bin(
+                OFF["last_sig_y"] + ctx_off + (gy >> ctx_shift)):
+            gy += 1
+        lx = int(MIN_IN_GROUP[gx])
+        if gx > 3:
+            lx += cab.decode_bypass_bins((gx >> 1) - 1)
+        ly = int(MIN_IN_GROUP[gy])
+        if gy > 3:
+            ly += cab.decode_bypass_bins((gy >> 1) - 1)
+        return lx, ly
+
+    @staticmethod
+    def _sig_ctx(xc: int, yc: int, log2_size: int, c_idx: int,
+                 scan_idx: int, prev_csbf: int) -> int:
+        from ..bitstream.syntax import SliceSyntaxEncoder
+        return SliceSyntaxEncoder._sig_ctx_raw(xc, yc, log2_size, c_idx,
+                                               scan_idx, prev_csbf)
+
+    def _decode_remaining(self, rice: int) -> int:
+        """Inverse of clause 9.3.3.10: truncated-Rice prefix with an
+        Exp-Golomb escape after 3 leading ones."""
+        cab = self.cab
+        ones = 0
+        while cab.decode_bypass():
+            ones += 1
+            if ones >= COEF_REMAIN_BIN_REDUCTION:
+                break
+        if ones < COEF_REMAIN_BIN_REDUCTION:
+            suffix = cab.decode_bypass_bins(rice) if rice else 0
+            return (ones << rice) + suffix
+        length = rice
+        while cab.decode_bypass():
+            length += 1
+        # value = 3<<rice + sum_{k=rice}^{length-1} 2^k + tail
+        base = (COEF_REMAIN_BIN_REDUCTION << rice) + (1 << length) - (1 << rice)
+        return base + cab.decode_bypass_bins(length)

@@ -1,0 +1,91 @@
+"""Top-level encoder orchestration (the x265 Encoder::encode analog).
+
+Current scope: all-intra CQP. Pipeline per frame:
+  1. dense device analysis (intra_analysis.analyze_intra_frame)
+  2. conformant reconstruction + coefficients (intra_recon)
+  3. serial CABAC slice coding (bitstream.syntax)
+  4. NAL packaging (bitstream.nal)
+Reference call path being re-expressed: x265 source/encoder/encoder.cpp
+Encoder::encode -> frameencoder.cpp compressFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.headers import write_vps, write_sps, write_pps, \
+    write_slice_header
+from ..bitstream.nal import NalUnitType, annexb_stream
+from ..bitstream.syntax import SliceSyntaxEncoder, FrameIntraSyntax
+from ..common.params import EncoderConfig, I_SLICE
+from .intra_analysis import analyze_intra_frame
+from .intra_recon import reconstruct_intra_frame, ReconFrame
+
+
+def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Edge-replicate to the coded (padded) size."""
+    ph, pw = h - p.shape[0], w - p.shape[1]
+    if ph == 0 and pw == 0:
+        return p
+    return np.pad(p, ((0, ph), (0, pw)), mode="edge")
+
+
+@dataclass
+class FrameResult:
+    bitstream: bytes            # Annex-B access unit (headers for frame 0)
+    recon: ReconFrame
+    syntax: FrameIntraSyntax
+    bits: int = 0
+
+
+class IntraEncoder:
+    """All-intra HEVC encoder, CQP."""
+
+    def __init__(self, cfg: EncoderConfig) -> None:
+        cfg.validate()
+        self.cfg = cfg
+        self.frame_count = 0
+
+    def headers(self) -> list[tuple[NalUnitType, bytes]]:
+        cfg = self.cfg
+        return [
+            (NalUnitType.VPS, write_vps(cfg)),
+            (NalUnitType.SPS, write_sps(cfg)),
+            (NalUnitType.PPS, write_pps(cfg)),
+        ]
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     *, use_device_recon: bool = False) -> FrameResult:
+        cfg = self.cfg
+        w, h = cfg.width_padded, cfg.height_padded
+        yp = pad_plane(np.asarray(y), h, w)
+        cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
+        crp = pad_plane(np.asarray(cr), h // 2, w // 2)
+
+        depth8, mode8 = analyze_intra_frame(yp, cfg.qp, cfg.ctu_size,
+                                            cfg.bit_depth)
+        if use_device_recon:
+            from .intra_recon_tpu import reconstruct_intra_frame_tpu
+            syn, recon = reconstruct_intra_frame_tpu(yp, cbp, crp, depth8,
+                                                     mode8, cfg)
+        else:
+            syn, recon = reconstruct_intra_frame(yp, cbp, crp, depth8,
+                                                 mode8, cfg)
+
+        sw = write_slice_header(cfg, I_SLICE, idr=True)
+        syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, cfg.qp)
+        cab = syntax.encode_slice_data()
+        cab.finish_into(sw)
+        sw.align_one()
+        slice_rbsp = sw.get_bytes()
+
+        nals: list[tuple[NalUnitType, bytes]] = []
+        if self.frame_count == 0:
+            nals.extend(self.headers())
+        nals.append((NalUnitType.IDR_W_RADL, slice_rbsp))
+        stream = annexb_stream(nals)
+        self.frame_count += 1
+        return FrameResult(bitstream=stream, recon=recon, syntax=syn,
+                           bits=len(stream) * 8)

@@ -1,0 +1,162 @@
+"""Batched intra mode + depth decision (the TPU analysis pass).
+
+TPU-first recast of x265's recursive compressIntraCU (reference:
+source/encoder/analysis.cpp:514, search.cpp estIntraPredQT:1509): instead
+of walking a quadtree per CTU and pruning candidate modes, evaluate ALL
+35 modes for ALL blocks of every CU size densely on the MXU, then pick
+depths bottom-up by cost comparison. Decisions use original-pixel
+references (like x265's rd-level<=4 sa8d decisions); the conformant
+reconstruction pass re-predicts from decoded samples.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..common.tables import lambda_from_qp
+from ..ops.intra import intra_pred_all_modes
+from ..ops.satd import sa8d_nxn_batch
+
+# approximate signalling cost (bits) per mode: MPM-favoured modes cheap
+_MODE_BITS = np.full(35, 6.0)
+_MODE_BITS[[0, 1, 10, 26]] = 2.0
+
+
+def extract_blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(H, W) -> (B, n, n) raster-ordered non-overlapping blocks."""
+    h, w = plane.shape
+    by, bx = h // n, w // n
+    return plane.reshape(by, n, bx, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
+
+
+def gather_refs_orig(plane: np.ndarray, n: int) -> np.ndarray:
+    """Canonical refs R[0..4n] for every n-block, from original pixels.
+
+    Availability here is simply 'inside the picture' — this feeds the
+    non-normative analysis pass only. Vectorized substitution = forward
+    fill over the canonical axis. Returns (B, 4n+1) int32.
+    """
+    h, w = plane.shape
+    by, bx = h // n, w // n
+    x0 = (np.arange(bx) * n)[None, :, None]       # (1, bx, 1)
+    y0 = (np.arange(by) * n)[:, None, None]       # (by, 1, 1)
+    i = np.arange(4 * n + 1)[None, None, :]       # canonical index
+    # positions per canonical index
+    left = i < 2 * n
+    corner = i == 2 * n
+    xs = np.where(left, x0 - 1, np.where(corner, x0 - 1, x0 + (i - 2 * n - 1)))
+    ys = np.where(left, y0 + (2 * n - 1 - i), np.where(corner, y0 - 1, y0 - 1))
+    avail = (xs >= 0) & (ys >= 0) & (xs < w) & (ys < h)
+    vals = plane[np.clip(ys, 0, h - 1), np.clip(xs, 0, w - 1)].astype(np.int64)
+    vals = np.where(avail, vals, 0)
+    # forward fill (substitution, clause 8.4.4.2.2 analog)
+    idx = np.where(avail, i, -1)
+    filled_idx = np.maximum.accumulate(idx, axis=-1)
+    any_avail = avail.any(axis=-1, keepdims=True)
+    first = np.argmax(avail, axis=-1)
+    first_val = np.take_along_axis(vals, first[..., None], axis=-1)
+    out = np.take_along_axis(vals, np.clip(filled_idx, 0, 4 * n), axis=-1)
+    out = np.where(filled_idx >= 0, out, first_val)
+    out = np.where(any_avail, out, 128)
+    return out.reshape(by * bx, 4 * n + 1).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("n", "bit_depth"))
+def _mode_costs(blocks: jnp.ndarray, refs: jnp.ndarray, n: int,
+                lam_bits: jnp.ndarray, bit_depth: int = 8) -> tuple[jnp.ndarray,
+                                                                    jnp.ndarray]:
+    """SATD + lambda*bits over all 35 modes. Returns (best_mode, best_cost)."""
+    preds = intra_pred_all_modes(refs, n, is_luma=True, bit_depth=bit_depth)
+    diff = preds - blocks[:, None, :, :]
+    costs = sa8d_nxn_batch(diff, n)                 # (B, 35)
+    costs = costs + lam_bits[None, :].astype(jnp.int32)
+    best = jnp.argmin(costs, axis=1)
+    return best.astype(jnp.int32), jnp.min(costs, axis=1)
+
+
+def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
+                        bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Dense mode+depth decision. orig_y already padded to 8-multiples.
+
+    Returns (depth8, mode8) over the 8x8 min-CU grid.
+    """
+    h, w = orig_y.shape
+    lam = lambda_from_qp(qp)
+    sizes = [8, 16, 32] if ctu_size == 32 else [8, 16, 32, 64]
+    sizes = [s for s in sizes if s <= ctu_size]
+    best_mode: dict[int, np.ndarray] = {}
+    best_cost: dict[int, np.ndarray] = {}
+    plane_j = jnp.asarray(orig_y.astype(np.int32))
+    lam_bits = jnp.asarray(np.round(lam * _MODE_BITS).astype(np.int32))
+    for n in sizes:
+        if h % n or w % n:
+            # handle ragged edges by evaluating on an edge-padded plane
+            hp = (h + n - 1) // n * n
+            wp = (w + n - 1) // n * n
+            pl = np.pad(orig_y, ((0, hp - h), (0, wp - w)), mode="edge")
+        else:
+            hp, wp, pl = h, w, orig_y
+        blocks = extract_blocks(jnp.asarray(pl.astype(np.int32)), n)
+        refs = jnp.asarray(gather_refs_orig(pl, n))
+        mode, cost = _mode_costs(blocks, refs, n, lam_bits, bit_depth)
+        by, bx = hp // n, wp // n
+        m = np.asarray(mode).reshape(by, bx)
+        c = np.asarray(cost).reshape(by, bx).astype(np.float64)
+        # blocks that extend past the real (padded-to-8) frame can't be
+        # chosen whole: force split by making them infinitely expensive
+        if hp != h or wp != w:
+            ny, nx = np.meshgrid(np.arange(by), np.arange(bx), indexing="ij")
+            over = ((ny + 1) * n > h) | ((nx + 1) * n > w)
+            c = np.where(over, np.inf, c)
+        best_mode[n] = m
+        best_cost[n] = c
+
+    # bottom-up depth choice; split overhead ~ (split flag + extra CU
+    # headers) * lambda
+    split_bits = 6.0
+    depth_map: dict[int, np.ndarray] = {}   # per size: 0 = keep, 1 = split
+    agg_cost = best_cost[8]
+    for n in sizes[1:]:
+        by, bx = best_cost[n].shape
+        # pad child grid to 2*by x 2*bx; missing children (outside the
+        # picture) cost 0 — the quadtree simply doesn't recurse there
+        cy, cx = agg_cost.shape
+        padded = np.zeros((by * 2, bx * 2))
+        padded[:cy, :cx] = agg_cost
+        child = padded.reshape(by, 2, bx, 2).sum(axis=(1, 3)) \
+            + lam * split_bits
+        keep = best_cost[n] <= child
+        depth_map[n] = ~keep
+        agg_cost = np.where(keep, best_cost[n], child)
+
+    # materialize depth8/mode8 on the 8x8 grid
+    n8y, n8x = h // 8, w // 8
+    depth8 = np.zeros((n8y, n8x), dtype=np.uint8)
+    mode8 = np.zeros((n8y, n8x), dtype=np.uint8)
+    log2_ctu = ctu_size.bit_length() - 1
+
+    def fill(n: int, yb: int, xb: int) -> None:
+        """Resolve the choice for block (yb, xb) of size n."""
+        if yb * n >= h or xb * n >= w:
+            return
+        if n > 8 and depth_map[n][yb, xb]:
+            half = n // 2
+            for sy in range(2):
+                for sx in range(2):
+                    fill(half, yb * 2 + sy, xb * 2 + sx)
+        else:
+            s = n // 8
+            d = log2_ctu - (n.bit_length() - 1)
+            depth8[yb * s:(yb + 1) * s, xb * s:(xb + 1) * s] = d
+            mode8[yb * s:(yb + 1) * s, xb * s:(xb + 1) * s] = \
+                best_mode[n][yb, xb]
+
+    top = sizes[-1]
+    for yb in range((h + top - 1) // top):
+        for xb in range((w + top - 1) // top):
+            fill(top, yb, xb)
+    return depth8, mode8

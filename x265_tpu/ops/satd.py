@@ -1,0 +1,98 @@
+"""SATD / SA8D cost kernels (Hadamard-transformed SAD).
+
+Reference behavior: x265 source/common/pixel.cpp (satd_4x4/satd_8x8/
+sa8d_8x8 C kernels; asm in source/common/x86/pixel-a.asm). TPU-first
+formulation: the Hadamard transform is two small matmuls (H @ D @ H^T),
+batched over thousands of blocks at once, so the whole 35-mode intra
+sweep reduces to one (B*35)-deep batch on the MXU.
+
+Note x265's sa8d convention: sa8d_8x8 = (satd_hadamard8 + 2) >> 2,
+satd_4x4-based satd = sum per 4x4 halved (>>1). We reproduce those
+normalizations so costs are comparable with the reference's lambda
+tables.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=None)
+def hadamard(n: int) -> np.ndarray:
+    if n == 1:
+        return np.array([[1]], dtype=np.int32)
+    h = hadamard(n // 2)
+    return np.block([[h, h], [h, -h]]).astype(np.int32)
+
+
+def satd4_np(a: np.ndarray, b: np.ndarray) -> int:
+    """4x4 SATD, x265 normalization ((sum+1)>>1)."""
+    h = hadamard(4)
+    d = (a.astype(np.int64) - b.astype(np.int64))
+    t = h @ d @ h.T
+    return int((np.abs(t).sum() + 1) >> 1)
+
+
+def sa8d_np(a: np.ndarray, b: np.ndarray) -> int:
+    """8x8 SA8D, x265 normalization ((sum+2)>>2)."""
+    h = hadamard(8)
+    d = (a.astype(np.int64) - b.astype(np.int64))
+    t = h @ d @ h.T
+    return int((np.abs(t).sum() + 2) >> 2)
+
+
+def sa8d_block_np(a: np.ndarray, b: np.ndarray) -> int:
+    """SA8D of an NxN block (N multiple of 8) = sum of 8x8 sa8d."""
+    n = a.shape[-1]
+    total = 0
+    for y in range(0, n, 8):
+        for x in range(0, n, 8):
+            total += sa8d_np(a[y:y + 8, x:x + 8], b[y:y + 8, x:x + 8])
+    return total
+
+
+# --- JAX batched ---------------------------------------------------------------
+
+def _hadamard_j(n: int) -> jnp.ndarray:
+    return jnp.asarray(hadamard(n), dtype=jnp.float32)
+
+
+def satd4_batch(diff: jnp.ndarray) -> jnp.ndarray:
+    """diff: (..., 4, 4) int32 -> (...,) int32 SATD (x265 norm)."""
+    h = _hadamard_j(4)
+    d = diff.astype(jnp.float32)
+    t = jnp.einsum("ij,...jk,lk->...il", h, d, h,
+                   preferred_element_type=jnp.float32)
+    s = jnp.sum(jnp.abs(t), axis=(-2, -1)).astype(jnp.int32)
+    return (s + 1) >> 1
+
+
+def sa8d_batch(diff: jnp.ndarray) -> jnp.ndarray:
+    """diff: (..., 8, 8) int32 -> (...,) int32 SA8D (x265 norm).
+
+    Exact: |diff| < 2^11 (12-bit video), Hadamard8 output < 2^17, f32
+    matmul of +-1 weights is exact well past 2^24.
+    """
+    h = _hadamard_j(8)
+    d = diff.astype(jnp.float32)
+    t = jnp.einsum("ij,...jk,lk->...il", h, d, h,
+                   preferred_element_type=jnp.float32)
+    s = jnp.sum(jnp.abs(t), axis=(-2, -1)).astype(jnp.int32)
+    return (s + 2) >> 2
+
+
+def sa8d_nxn_batch(diff: jnp.ndarray, n: int) -> jnp.ndarray:
+    """diff: (..., N, N) -> (...,) sum of 8x8 SA8Ds (N multiple of 8)."""
+    if n == 4:
+        return satd4_batch(diff)
+    if n == 8:
+        return sa8d_batch(diff)
+    m = n // 8
+    lead = diff.shape[:-2]
+    d = diff.reshape(*lead, m, 8, m, 8)
+    d = jnp.swapaxes(d, -3, -2)          # (..., m, m, 8, 8)
+    return jnp.sum(sa8d_batch(d), axis=(-2, -1))
