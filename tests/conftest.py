@@ -10,6 +10,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the axon site hook re-forces JAX_PLATFORMS=axon; the config update is
+# what actually sticks, so apply it before any backend is touched
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: the wavefront recon step is a large jit
 # program; caching makes repeated test runs fast
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")

@@ -177,9 +177,19 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
     if sps.sao:
         raise NotImplementedError("sao decode lands with sao encode")
     qp = pps.init_qp + r.read_se()
-    r.byte_align()                 # byte_alignment() before slice data
+    if sps.sao or not pps.deblock_disabled:
+        r.read_flag()              # slice_loop_filter_across_slices_enabled
+    # byte_alignment(): one alignment bit (always present) + zero pad
+    assert r.read_flag() == 1, "alignment_bit_equal_to_one"
+    r.byte_align()
     data = rbsp[r.bit_position // 8:]
-    return SliceDecoder(sps, pps, qp, data).decode()
+    frame = SliceDecoder(sps, pps, qp, data).decode()
+    if not pps.deblock_disabled:
+        from ..ops.deblock import deblock_frame_np
+        frame.y, frame.cb, frame.cr = deblock_frame_np(
+            frame.y, frame.cb, frame.cr, frame.depth8, 1 << sps.log2_ctu,
+            qp, sps.bit_depth)
+    return frame
 
 
 class SliceDecoder:

@@ -57,7 +57,8 @@ class IntraEncoder:
         ]
 
     def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                     *, use_device_recon: bool = False) -> FrameResult:
+                     *, use_device_recon: bool = False,
+                     use_native_cabac: bool = True) -> FrameResult:
         cfg = self.cfg
         w, h = cfg.width_padded, cfg.height_padded
         yp = pad_plane(np.asarray(y), h, w)
@@ -73,11 +74,40 @@ class IntraEncoder:
         else:
             syn, recon = reconstruct_intra_frame(yp, cbp, crp, depth8,
                                                  mode8, cfg)
+        if cfg.deblock:
+            # in-loop filter on the output/reference picture (intra
+            # prediction inside the frame used the unfiltered recon)
+            if use_device_recon:
+                import jax.numpy as jnp
+                from ..ops.deblock import deblock_frame
+                dy, dcb, dcr = deblock_frame(
+                    jnp.asarray(recon.y), jnp.asarray(recon.cb),
+                    jnp.asarray(recon.cr), depth8, cfg.ctu_size, cfg.qp,
+                    cfg.bit_depth)
+                recon = ReconFrame(np.asarray(dy), np.asarray(dcb),
+                                   np.asarray(dcr))
+            else:
+                from ..ops.deblock import deblock_frame_np
+                dy, dcb, dcr = deblock_frame_np(
+                    recon.y, recon.cb, recon.cr, depth8, cfg.ctu_size,
+                    cfg.qp, cfg.bit_depth)
+                recon = ReconFrame(dy, dcb, dcr)
 
         sw = write_slice_header(cfg, I_SLICE, idr=True)
-        syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, cfg.qp)
-        cab = syntax.encode_slice_data()
-        cab.finish_into(sw)
+        if use_native_cabac:
+            from ..bitstream.ctx_tables import init_states
+            from ..native.entropy_native import encode_intra_slice_native
+            payload, tail_val, tail_bits = encode_intra_slice_native(
+                syn.depth8, syn.mode8, syn.coeff_y, syn.coeff_cb,
+                syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
+                init_states(I_SLICE, cfg.qp))
+            sw.write_bytes(payload)
+            if tail_bits:
+                sw.write(tail_val, tail_bits)
+        else:
+            syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, cfg.qp)
+            cab = syntax.encode_slice_data()
+            cab.finish_into(sw)
         sw.align_one()
         slice_rbsp = sw.get_bytes()
 

@@ -11,7 +11,7 @@ reconstruction pass re-predicts from decoded samples.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -78,6 +78,54 @@ def _mode_costs(blocks: jnp.ndarray, refs: jnp.ndarray, n: int,
     return best.astype(jnp.int32), jnp.min(costs, axis=1)
 
 
+@lru_cache(maxsize=None)
+def _ref_index_tables(h: int, w: int, n: int):
+    """Static gather indices + availability for gather_refs_device."""
+    by, bx = h // n, w // n
+    x0 = (np.arange(bx) * n)[None, :, None]
+    y0 = (np.arange(by) * n)[:, None, None]
+    i = np.arange(4 * n + 1)[None, None, :]
+    left = i < 2 * n
+    corner = i == 2 * n
+    xs = np.where(left, x0 - 1, np.where(corner, x0 - 1, x0 + (i - 2 * n - 1)))
+    ys = np.where(left, y0 + (2 * n - 1 - i), np.where(corner, y0 - 1, y0 - 1))
+    avail = (xs >= 0) & (ys >= 0) & (xs < w) & (ys < h)
+    flat = (np.clip(ys, 0, h - 1) * w + np.clip(xs, 0, w - 1))
+    return (flat.reshape(by * bx, -1).astype(np.int32),
+            avail.reshape(by * bx, -1))
+
+
+def gather_refs_device(plane: jnp.ndarray, n: int,
+                       bit_depth: int = 8) -> jnp.ndarray:
+    """Device version of gather_refs_orig: (H, W) -> (B, 4n+1) int32."""
+    h, w = plane.shape
+    flat_idx, avail_np = _ref_index_tables(h, w, n)
+    vals = jnp.take(plane.reshape(-1), jnp.asarray(flat_idx))
+    avail = jnp.asarray(avail_np)
+    k = 4 * n + 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    idx = jnp.where(avail, iota, -1)
+    filled = jax.lax.cummax(idx, axis=1)
+    first = jnp.argmax(avail, axis=1)
+    firstval = jnp.take_along_axis(vals, first[:, None], axis=1)
+    out = jnp.take_along_axis(vals, jnp.clip(filled, 0, k - 1), axis=1)
+    out = jnp.where(filled >= 0, out, firstval)
+    any_avail = jnp.any(avail, axis=1, keepdims=True)
+    return jnp.where(any_avail, out, 1 << (bit_depth - 1)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n", "bit_depth"))
+def analyze_size_device(plane: jnp.ndarray, n: int, lam_bits: jnp.ndarray,
+                        bit_depth: int = 8):
+    """Fully on-device mode decision for one CU size over the frame."""
+    blocks = extract_blocks(plane, n)
+    refs = gather_refs_device(plane, n, bit_depth)
+    preds = intra_pred_all_modes(refs, n, is_luma=True, bit_depth=bit_depth)
+    diff = preds - blocks[:, None, :, :]
+    costs = sa8d_nxn_batch(diff, n) + lam_bits[None, :].astype(jnp.int32)
+    return jnp.argmin(costs, axis=1).astype(jnp.int32), jnp.min(costs, axis=1)
+
+
 def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
                         bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """Dense mode+depth decision. orig_y already padded to 8-multiples.
@@ -100,9 +148,8 @@ def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
             pl = np.pad(orig_y, ((0, hp - h), (0, wp - w)), mode="edge")
         else:
             hp, wp, pl = h, w, orig_y
-        blocks = extract_blocks(jnp.asarray(pl.astype(np.int32)), n)
-        refs = jnp.asarray(gather_refs_orig(pl, n))
-        mode, cost = _mode_costs(blocks, refs, n, lam_bits, bit_depth)
+        mode, cost = analyze_size_device(jnp.asarray(pl.astype(np.int32)), n,
+                                         lam_bits, bit_depth)
         by, bx = hp // n, wp // n
         m = np.asarray(mode).reshape(by, bx)
         c = np.asarray(cost).reshape(by, bx).astype(np.float64)

@@ -143,8 +143,6 @@ def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
     return ext, cf_tile
 
 
-@partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "w", "h", "ctu"),
-         donate_argnums=(0, 1, 2, 3, 4, 5))
 def _diag_step(rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
                x0s, y0s, dt, mt, org_y, org_cb, org_cr,
                *, qp: int, qpc: int, bit_depth: int, w: int, h: int,
@@ -217,6 +215,29 @@ def _diag_step(rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
     return rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr
 
 
+@partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "w", "h", "ctu"),
+         donate_argnums=(0, 1, 2, 3, 4, 5))
+def _recon_scan(rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
+                x0a, y0a, dta, mta, org_y, org_cb, org_cr,
+                *, qp: int, qpc: int, bit_depth: int, w: int, h: int,
+                ctu: int = 32):
+    """Whole-frame wavefront as one lax.scan over diagonals — a single
+    device dispatch per frame (the x265 analog is the entire WPP frame
+    compress, frameencoder.cpp:850-880)."""
+
+    def body(carry, xs):
+        ry, rcb, rcr, fy, fcb, fcr = carry
+        x0s, y0s, dt, mt = xs
+        out = _diag_step(ry, rcb, rcr, fy, fcb, fcr, x0s, y0s, dt, mt,
+                         org_y, org_cb, org_cr, qp=qp, qpc=qpc,
+                         bit_depth=bit_depth, w=w, h=h, ctu=ctu)
+        return out, ()
+
+    carry = (rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr)
+    carry, _ = jax.lax.scan(body, carry, (x0a, y0a, dta, mta))
+    return carry
+
+
 def reconstruct_intra_frame_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                                 orig_cr: np.ndarray, depth8: np.ndarray,
                                 mode8: np.ndarray, cfg: EncoderConfig
@@ -270,22 +291,22 @@ def reconstruct_intra_frame_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         bmax = max(bmax, len(cells))
 
     far = 1 << 20
-    for cells in diags:
-        b = len(cells)
-        x0s = np.full(bmax, far, dtype=np.int32)
-        y0s = np.full(bmax, far, dtype=np.int32)
-        dt = np.full((bmax, n8, n8), 2, dtype=np.int32)
-        mt = np.ones((bmax, n8, n8), dtype=np.int32)
+    x0a = np.full((ndiag, bmax), far, dtype=np.int32)
+    y0a = np.full((ndiag, bmax), far, dtype=np.int32)
+    dta = np.full((ndiag, bmax, n8, n8), 2, dtype=np.int32)
+    mta = np.ones((ndiag, bmax, n8, n8), dtype=np.int32)
+    for d, cells in enumerate(diags):
         for j, (cx, cy) in enumerate(cells):
-            x0s[j] = cx * ctu
-            y0s[j] = cy * ctu
-            dt[j] = dt_all[cy, cx]
-            mt[j] = mt_all[cy, cx]
-        rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr = _diag_step(
-            rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
-            jnp.asarray(x0s), jnp.asarray(y0s), jnp.asarray(dt),
-            jnp.asarray(mt), org_y, org_cb, org_cr,
-            qp=cfg.qp, qpc=qpc, bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu)
+            x0a[d, j] = cx * ctu
+            y0a[d, j] = cy * ctu
+            dta[d, j] = dt_all[cy, cx]
+            mta[d, j] = mt_all[cy, cx]
+
+    rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr = _recon_scan(
+        rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
+        jnp.asarray(x0a), jnp.asarray(y0a), jnp.asarray(dta),
+        jnp.asarray(mta), org_y, org_cb, org_cr,
+        qp=cfg.qp, qpc=qpc, bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu)
 
     ry = np.asarray(rec_y[1:h + 1, 1:w + 1])
     rcb = np.asarray(rec_cb[1:h // 2 + 1, 1:w // 2 + 1])

@@ -1,0 +1,556 @@
+// Native CABAC slice-data encoder for the x265_tpu framework.
+//
+// This is the serial entropy stage (the only intrinsically sequential
+// part of HEVC encoding); it mirrors the tested Python implementation
+// in x265_tpu/bitstream/{cabac,syntax}.py bin-for-bin, and exists for
+// throughput: the per-bin loop must run at native speed while the
+// massively parallel analysis/reconstruction stages run on the TPU.
+// Reference analog: x265 source/encoder/entropy.cpp (CABAC + CTU
+// syntax); engine uses the same HM register formulation.
+//
+// Context layout and initialization states are PASSED IN from Python
+// (ctx_tables.py is the single source of truth); the struct of offsets
+// below must match the group order there (asserted at load time by
+// entropy_native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---- normative engine tables (H.265 Table 9-46/9-47) ----------------------
+const uint8_t RANGE_TAB_LPS[64][4] = {
+    {128,176,208,240},{128,167,197,227},{128,158,187,216},{123,150,178,205},
+    {116,142,169,195},{111,135,160,185},{105,128,152,175},{100,122,144,166},
+    {95,116,137,158},{90,110,130,150},{85,104,123,142},{81,99,117,135},
+    {77,94,111,128},{73,89,105,122},{69,85,100,116},{66,80,95,110},
+    {62,76,90,104},{59,72,86,99},{56,69,81,94},{53,65,77,89},
+    {51,62,73,85},{48,59,69,80},{46,56,66,76},{43,53,63,72},
+    {41,50,59,69},{39,48,56,65},{37,45,54,62},{35,43,51,59},
+    {33,41,48,56},{32,39,46,53},{30,37,43,50},{29,35,41,48},
+    {27,33,39,45},{26,31,37,43},{24,30,35,41},{23,28,33,39},
+    {22,27,32,37},{21,26,30,35},{20,24,29,33},{19,23,27,31},
+    {18,22,26,30},{17,21,25,28},{16,20,23,27},{15,19,22,25},
+    {14,18,21,24},{14,17,20,23},{13,16,19,22},{12,15,18,21},
+    {12,14,17,20},{11,14,16,19},{11,13,15,18},{10,12,15,17},
+    {10,12,14,16},{9,11,13,15},{9,11,12,14},{8,10,12,14},
+    {8,9,11,13},{7,9,11,12},{7,9,10,12},{7,8,10,11},
+    {6,8,9,11},{6,7,9,10},{6,7,8,9},{2,2,2,2},
+};
+const uint8_t TRANS_IDX_LPS[64] = {
+    0,0,1,2,2,4,4,5,6,7,8,9,9,11,11,12,13,13,15,15,16,16,18,18,19,19,21,21,
+    22,22,23,24,24,25,26,26,27,27,28,29,29,30,30,30,31,32,32,33,33,33,34,34,
+    35,35,35,36,36,36,37,37,37,38,38,63,
+};
+
+struct Tables {
+    uint8_t next_mps[128];
+    uint8_t next_lps[128];
+    uint8_t renorm[128];  // shifts for lps value per state
+    Tables() {
+        for (int p = 0; p < 64; p++) {
+            for (int m = 0; m < 2; m++) {
+                int s = (p << 1) | m;
+                if (p == 63) { next_mps[s] = s; next_lps[s] = s; }
+                else {
+                    int pm = (p == 62) ? 62 : p + 1;
+                    next_mps[s] = (pm << 1) | m;
+                    next_lps[s] = (p == 0)
+                        ? ((TRANS_IDX_LPS[p] << 1) | (1 - m))
+                        : ((TRANS_IDX_LPS[p] << 1) | m);
+                }
+            }
+        }
+        (void)renorm;
+    }
+};
+const Tables T;
+
+static int renorm_shift(int lps) {
+    // smallest n with (lps << n) >= 256
+    int n = 0;
+    while ((lps << n) < 256) n++;
+    return n;
+}
+
+// ---- CABAC encoder (HM register formulation) ------------------------------
+struct Cabac {
+    uint64_t low = 0;
+    uint32_t range = 510;
+    int bits_left = -12;
+    uint32_t buffered_byte = 0xFF;
+    int num_buffered = 0;
+    std::vector<uint8_t> out;
+    uint8_t* ctx;
+
+    explicit Cabac(uint8_t* states) : ctx(states) { out.reserve(1 << 16); }
+
+    void write_out() {
+        uint32_t lead = (uint32_t)(low >> (13 + bits_left));
+        low &= ((uint64_t)1 << (13 + bits_left)) - 1;
+        bits_left -= 8;
+        if (lead == 0xFF) { num_buffered++; }
+        else {
+            if (num_buffered > 0) {
+                uint32_t carry = lead >> 8;
+                out.push_back((buffered_byte + carry) & 0xFF);
+                uint8_t fill = (0xFF + carry) & 0xFF;
+                for (int i = 0; i < num_buffered - 1; i++) out.push_back(fill);
+            }
+            num_buffered = 1;
+            buffered_byte = lead & 0xFF;
+        }
+    }
+
+    void encode_bin(int idx, int bin) {
+        uint8_t mstate = ctx[idx];
+        ctx[idx] = (bin == (mstate & 1)) ? T.next_mps[mstate]
+                                         : T.next_lps[mstate];
+        uint32_t lps = RANGE_TAB_LPS[mstate >> 1][(range >> 6) & 3];
+        range -= lps;
+        int nbits;
+        if (bin != (mstate & 1)) {
+            nbits = renorm_shift(lps);
+            low += range;
+            range = lps;
+        } else {
+            nbits = (range < 256) ? 1 : 0;
+        }
+        low <<= nbits;
+        range <<= nbits;
+        bits_left += nbits;
+        if (bits_left >= 0) write_out();
+    }
+
+    void encode_bypass(int bin) {
+        low <<= 1;
+        if (bin) low += range;
+        bits_left += 1;
+        if (bits_left >= 0) write_out();
+    }
+
+    void encode_bypass_bins(uint32_t value, int nbins) {
+        while (nbins > 8) {
+            nbins -= 8;
+            uint32_t pattern = value >> nbins;
+            low = (low << 8) + (uint64_t)range * pattern;
+            value -= pattern << nbins;
+            bits_left += 8;
+            if (bits_left >= 0) write_out();
+        }
+        low = (low << nbins) + (uint64_t)range * value;
+        bits_left += nbins;
+        if (bits_left >= 0) write_out();
+    }
+
+    void encode_terminate(int bin) {
+        range -= 2;
+        if (bin) {
+            low += range;
+            low <<= 7;
+            range = 2 << 7;
+            bits_left += 7;
+        } else if (range >= 256) {
+            return;
+        } else {
+            low <<= 1;
+            range <<= 1;
+            bits_left += 1;
+        }
+        if (bits_left >= 0) write_out();
+    }
+
+    // flush; returns (tail_value, tail_nbits) appended as whole bits
+    void finish(uint32_t* tail_val, int* tail_bits) {
+        if (low >> (21 + bits_left)) {
+            out.push_back((buffered_byte + 1) & 0xFF);
+            for (int i = 0; i < num_buffered - 1; i++) out.push_back(0x00);
+            low -= (uint64_t)1 << (21 + bits_left);
+        } else {
+            if (num_buffered > 0) out.push_back(buffered_byte);
+            for (int i = 0; i < num_buffered - 1; i++) out.push_back(0xFF);
+        }
+        int nbits = 13 + bits_left;
+        *tail_bits = nbits > 0 ? nbits : 0;
+        *tail_val = nbits > 0
+            ? (uint32_t)((low >> 8) & (((uint64_t)1 << nbits) - 1)) : 0;
+    }
+};
+
+// ---- context group offsets (generated to match ctx_tables.py) -------------
+#include "ctx_offsets.h"
+
+// ---- scan tables (clause 6.5.3), built on first use -----------------------
+struct Scans {
+    // [scan_idx][log2-2]: raster index per scan position (CG-major)
+    std::vector<int> full[3][4];
+    std::vector<int> cg[3][4];     // CG (x,y) pairs
+    int inv4[3][16];               // scan pos per raster pos, 4x4
+
+    static void diag(int n, std::vector<int>& xy) {
+        int x = 0, y = 0;
+        while ((int)xy.size() < 2 * n * n) {
+            while (y >= 0) {
+                if (x < n && y < n) { xy.push_back(x); xy.push_back(y); }
+                y--; x++;
+            }
+            y = x; x = 0;
+        }
+    }
+    static void order(int scan, int n, std::vector<int>& xy) {
+        if (scan == 1) {         // horizontal
+            for (int y = 0; y < n; y++)
+                for (int x = 0; x < n; x++) { xy.push_back(x); xy.push_back(y); }
+        } else if (scan == 2) {  // vertical
+            for (int x = 0; x < n; x++)
+                for (int y = 0; y < n; y++) { xy.push_back(x); xy.push_back(y); }
+        } else diag(n, xy);
+    }
+    Scans() {
+        for (int s = 0; s < 3; s++) {
+            for (int l2 = 2; l2 <= 5; l2++) {
+                int n = 1 << l2;
+                std::vector<int> inner; order(s, 4, inner);
+                std::vector<int>& f = full[s][l2 - 2];
+                std::vector<int>& c = cg[s][l2 - 2];
+                if (l2 == 2) {
+                    for (int i = 0; i < 16; i++)
+                        f.push_back(inner[2*i+1] * n + inner[2*i]);
+                    c.push_back(0); c.push_back(0);
+                } else {
+                    std::vector<int> cgxy; order(s, n >> 2, cgxy);
+                    c = cgxy;
+                    for (size_t g = 0; g < cgxy.size() / 2; g++)
+                        for (int i = 0; i < 16; i++) {
+                            int x = cgxy[2*g] * 4 + inner[2*i];
+                            int y = cgxy[2*g+1] * 4 + inner[2*i+1];
+                            f.push_back(y * n + x);
+                        }
+                }
+            }
+            for (int i = 0; i < 16; i++) inv4[s][full[s][0][i]] = i;
+        }
+    }
+};
+const Scans S;
+
+const int GROUP_IDX[32] = {0,1,2,3,4,4,5,5,6,6,6,6,7,7,7,7,
+                           8,8,8,8,8,8,8,8,9,9,9,9,9,9,9,9};
+const int MIN_IN_GROUP[10] = {0,1,2,3,4,6,8,12,16,24};
+const int SIG_CTX_4X4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
+
+inline int intra_scan_idx(int mode, int log2_size, bool luma) {
+    if ((luma && log2_size <= 3) || (!luma && log2_size == 2)) {
+        if (mode >= 6 && mode <= 14) return 2;
+        if (mode >= 22 && mode <= 30) return 1;
+    }
+    return 0;
+}
+
+// ---- slice syntax ---------------------------------------------------------
+struct SliceEnc {
+    Cabac cab;
+    const uint8_t *depth8, *mode8;
+    const int32_t *cy, *ccb, *ccr;
+    int w, h, n8x, n8y, log2_ctu, log2_min_cu;
+
+    SliceEnc(uint8_t* states, const uint8_t* d8, const uint8_t* m8,
+             const int32_t* y, const int32_t* cb, const int32_t* cr,
+             int w_, int h_, int l2ctu, int l2min)
+        : cab(states), depth8(d8), mode8(m8), cy(y), ccb(cb), ccr(cr),
+          w(w_), h(h_), n8x(w_ / 8), n8y(h_ / 8),
+          log2_ctu(l2ctu), log2_min_cu(l2min) {}
+
+    int depth_at(int x, int y) const { return depth8[(y >> 3) * n8x + (x >> 3)]; }
+    int mode_at(int x, int y) const { return mode8[(y >> 3) * n8x + (x >> 3)]; }
+
+    void run() {
+        int ctu = 1 << log2_ctu;
+        int rows = (h + ctu - 1) >> log2_ctu;
+        int cols = (w + ctu - 1) >> log2_ctu;
+        int nctu = rows * cols;
+        for (int a = 0; a < nctu; a++) {
+            int cx = a % cols, cy_ = a / cols;
+            cu_tree(cx * ctu, cy_ * ctu, log2_ctu);
+            cab.encode_terminate(a == nctu - 1 ? 1 : 0);
+        }
+    }
+
+    void cu_tree(int x0, int y0, int l2) {
+        int size = 1 << l2;
+        int depth = log2_ctu - l2;
+        bool inside = x0 + size <= w && y0 + size <= h;
+        bool split;
+        if (inside && l2 > log2_min_cu) {
+            split = depth_at(x0, y0) > depth;
+            int ctx = 0;
+            if (x0 > 0 && depth_at(x0 - 1, y0) > depth) ctx++;
+            if (y0 > 0 && depth_at(x0, y0 - 1) > depth) ctx++;
+            cab.encode_bin(OFF_SPLIT_CU_FLAG + ctx, split);
+        } else if (l2 > log2_min_cu) {
+            split = true;
+        } else {
+            split = false;
+        }
+        if (split) {
+            int half = size >> 1;
+            for (int s = 0; s < 4; s++) {
+                int sx = x0 + (s & 1) * half, sy = y0 + (s >> 1) * half;
+                if (sx < w && sy < h) cu_tree(sx, sy, l2 - 1);
+            }
+        } else {
+            code_cu(x0, y0, l2);
+        }
+    }
+
+    int neighbor_mode(int x, int y, bool above) const {
+        if (above) {
+            if (y == 0) return 1;  // DC
+            if (((y - 1) >> log2_ctu) != (y >> log2_ctu)) return 1;
+            return mode_at(x, y - 1);
+        }
+        if (x == 0) return 1;
+        return mode_at(x - 1, y);
+    }
+
+    void code_cu(int x0, int y0, int l2) {
+        if (l2 == log2_min_cu) cab.encode_bin(OFF_PART_MODE, 1);
+        int mode = mode_at(x0, y0);
+        int a = neighbor_mode(x0, y0, false), b = neighbor_mode(x0, y0, true);
+        int mpm[3];
+        if (a == b) {
+            if (a < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
+            else { mpm[0] = a; mpm[1] = 2 + ((a + 29) % 32);
+                   mpm[2] = 2 + ((a - 2 + 1) % 32); }
+        } else {
+            mpm[0] = a; mpm[1] = b;
+            if (a != 0 && b != 0) mpm[2] = 0;
+            else if (a != 1 && b != 1) mpm[2] = 1;
+            else mpm[2] = 26;
+        }
+        int idx = -1;
+        for (int i = 0; i < 3; i++) if (mpm[i] == mode) { idx = i; break; }
+        if (idx >= 0) {
+            cab.encode_bin(OFF_PREV_INTRA_LUMA_PRED_FLAG, 1);
+            cab.encode_bypass(idx == 0 ? 0 : 1);
+            if (idx) cab.encode_bypass(idx - 1);
+        } else {
+            cab.encode_bin(OFF_PREV_INTRA_LUMA_PRED_FLAG, 0);
+            int rem = mode;
+            // subtract the count of MPMs smaller than mode
+            int srt[3] = {mpm[0], mpm[1], mpm[2]};
+            for (int i = 0; i < 2; i++)
+                for (int j = i + 1; j < 3; j++)
+                    if (srt[j] < srt[i]) { int t = srt[i]; srt[i] = srt[j]; srt[j] = t; }
+            for (int i = 2; i >= 0; i--) if (mode > srt[i]) rem--;
+            cab.encode_bypass_bins(rem, 5);
+        }
+        cab.encode_bin(OFF_INTRA_CHROMA_PRED_MODE, 0);  // DM
+        transform_unit(x0, y0, l2, mode);
+    }
+
+    bool cbf(const int32_t* plane, int stride, int x, int y, int size) const {
+        for (int j = 0; j < size; j++)
+            for (int i = 0; i < size; i++)
+                if (plane[(y + j) * stride + x + i]) return true;
+        return false;
+    }
+
+    void transform_unit(int x0, int y0, int l2, int mode) {
+        int size = 1 << l2;
+        int cx = x0 >> 1, cy_ = y0 >> 1, cs = size >> 1, cstride = w >> 1;
+        bool fcb = cbf(ccb, cstride, cx, cy_, cs);
+        bool fcr = cbf(ccr, cstride, cx, cy_, cs);
+        bool fy = cbf(cy, w, x0, y0, size);
+        cab.encode_bin(OFF_CBF_CHROMA, fcb);
+        cab.encode_bin(OFF_CBF_CHROMA, fcr);
+        cab.encode_bin(OFF_CBF_LUMA + 1, fy);
+        if (fy)
+            residual(cy, w, x0, y0, l2, 0, intra_scan_idx(mode, l2, true));
+        if (cs >= 4) {
+            int csc = intra_scan_idx(mode, l2 - 1, false);
+            if (fcb) residual(ccb, cstride, cx, cy_, l2 - 1, 1, csc);
+            if (fcr) residual(ccr, cstride, cx, cy_, l2 - 1, 2, csc);
+        }
+    }
+
+    static int sig_ctx(int xc, int yc, int l2, int cidx, int scan,
+                       int prev_csbf) {
+        if (l2 == 2) return SIG_CTX_4X4[(yc << 2) + xc];
+        if (xc + yc == 0) return 0;
+        int xp = xc & 3, yp = yc & 3, s;
+        if (prev_csbf == 0) { int t = xp + yp; s = t == 0 ? 2 : (t < 3 ? 1 : 0); }
+        else if (prev_csbf == 1) s = yp == 0 ? 2 : (yp == 1 ? 1 : 0);
+        else if (prev_csbf == 2) s = xp == 0 ? 2 : (xp == 1 ? 1 : 0);
+        else s = 2;
+        if (cidx == 0) {
+            if ((xc >> 2) + (yc >> 2) > 0) s += 3;
+            s += (l2 == 3) ? (scan == 0 ? 9 : 15) : 21;
+        } else {
+            s += (l2 == 3) ? 9 : 12;
+        }
+        return s;
+    }
+
+    void code_remaining(uint32_t value, int rice) {
+        if (value < (uint32_t)(3 << rice)) {
+            int length = value >> rice;
+            cab.encode_bypass_bins((1u << (length + 1)) - 2, length + 1);
+            cab.encode_bypass_bins(value & ((1u << rice) - 1), rice);
+        } else {
+            int length = rice;
+            value -= 3 << rice;
+            while (value >= (1u << length)) { value -= 1u << length; length++; }
+            int nbits = 3 + length + 1 - rice;
+            cab.encode_bypass_bins((1u << nbits) - 2, nbits);
+            cab.encode_bypass_bins(value, length);
+        }
+    }
+
+    void last_position(int lx, int ly, int l2, int cidx) {
+        int ctx_off, ctx_shift;
+        if (cidx == 0) {
+            ctx_off = 3 * (l2 - 2) + ((l2 - 1) >> 2);
+            ctx_shift = (l2 + 1) >> 2;
+        } else { ctx_off = 15; ctx_shift = l2 - 2; }
+        int gx = GROUP_IDX[lx], gy = GROUP_IDX[ly];
+        int max_group = GROUP_IDX[(1 << l2) - 1];
+        for (int i = 0; i < gx; i++)
+            cab.encode_bin(OFF_LAST_SIG_X + ctx_off + (i >> ctx_shift), 1);
+        if (gx < max_group)
+            cab.encode_bin(OFF_LAST_SIG_X + ctx_off + (gx >> ctx_shift), 0);
+        for (int i = 0; i < gy; i++)
+            cab.encode_bin(OFF_LAST_SIG_Y + ctx_off + (i >> ctx_shift), 1);
+        if (gy < max_group)
+            cab.encode_bin(OFF_LAST_SIG_Y + ctx_off + (gy >> ctx_shift), 0);
+        if (gx > 3) cab.encode_bypass_bins(lx - MIN_IN_GROUP[gx], (gx >> 1) - 1);
+        if (gy > 3) cab.encode_bypass_bins(ly - MIN_IN_GROUP[gy], (gy >> 1) - 1);
+    }
+
+    void residual(const int32_t* plane, int stride, int bx, int by, int l2,
+                  int cidx, int scan_idx) {
+        int n = 1 << l2;
+        const std::vector<int>& scan = S.full[scan_idx][l2 - 2];
+        const std::vector<int>& cgs = S.cg[scan_idx][l2 - 2];
+        int nn = n * n;
+        int32_t levels[1024];
+        int last_pos = -1;
+        for (int i = 0; i < nn; i++) {
+            int r = scan[i];
+            levels[i] = plane[(by + r / n) * stride + bx + r % n];
+            if (levels[i]) last_pos = i;
+        }
+        int lx = scan[last_pos] % n, ly = scan[last_pos] / n;
+        if (scan_idx == 2) { int t = lx; lx = ly; ly = t; }
+        last_position(lx, ly, l2, cidx);
+
+        int last_cg = last_pos >> 4;
+        int ncg = n >= 4 ? (n >> 2) : 1;
+        int csbf[9][9];
+        memset(csbf, 0, sizeof(csbf));
+        int gtr1_base = OFF_GREATER1_FLAG + (cidx ? 16 : 0);
+        int gtr2_base = OFF_GREATER2_FLAG + (cidx ? 4 : 0);
+        int sig_base = OFF_SIG_COEFF_FLAG + (cidx ? 27 : 0);
+        int csbf_base = OFF_CODED_SUB_BLOCK_FLAG + (cidx ? 2 : 0);
+
+        int c1 = 1;
+        for (int i = last_cg; i >= 0; i--) {
+            int cg_x = cgs[2 * i], cg_y = cgs[2 * i + 1];
+            int infer_dc = 0, coded_sb;
+            bool has = false;
+            int s0 = i * 16, e0 = (i * 16 + 16 < last_pos + 1) ? i * 16 + 16
+                                                               : last_pos + 1;
+            for (int k = s0; k < e0; k++) if (levels[k]) { has = true; break; }
+            if (i == last_cg || i == 0) {
+                coded_sb = 1;
+            } else {
+                coded_sb = has ? 1 : 0;
+                int ctx = csbf[cg_y][cg_x + 1] + csbf[cg_y + 1][cg_x];
+                cab.encode_bin(csbf_base + (ctx > 1 ? 1 : ctx), coded_sb);
+                infer_dc = 1;
+            }
+            csbf[cg_y][cg_x] = coded_sb;
+            if (!coded_sb) continue;
+
+            int start_n = (i == last_cg) ? (last_pos - 1 - i * 16) : 15;
+            int sig_pos[17], nsig = 0;
+            if (i == last_cg) sig_pos[nsig++] = last_pos;
+            int prev_csbf = csbf[cg_y][cg_x + 1] + 2 * csbf[cg_y + 1][cg_x];
+            for (int k = start_n; k >= 0; k--) {
+                int pos = i * 16 + k;
+                int sig = levels[pos] != 0;
+                if (k > 0 || !infer_dc) {
+                    int r = scan[pos];
+                    cab.encode_bin(sig_base + sig_ctx(r % n, r / n, l2, cidx,
+                                                      scan_idx, prev_csbf), sig);
+                    if (sig) infer_dc = 0;
+                }
+                if (sig) sig_pos[nsig++] = pos;
+            }
+
+            int ctx_set = ((i == 0 || cidx) ? 0 : 2) + (c1 == 0 ? 1 : 0);
+            c1 = 1;
+            int gtr1_coded = nsig < 8 ? nsig : 8;
+            int first_g2 = -1;
+            for (int j = 0; j < gtr1_coded; j++) {
+                int lvl = levels[sig_pos[j]] < 0 ? -levels[sig_pos[j]]
+                                                 : levels[sig_pos[j]];
+                int g1 = lvl > 1;
+                cab.encode_bin(gtr1_base + ctx_set * 4 + c1, g1);
+                if (g1) { if (first_g2 < 0) first_g2 = j; c1 = 0; }
+                else if (c1 > 0 && c1 < 3) c1++;
+            }
+            if (first_g2 >= 0) {
+                int lvl = levels[sig_pos[first_g2]];
+                if (lvl < 0) lvl = -lvl;
+                cab.encode_bin(gtr2_base + ctx_set, lvl > 2);
+            }
+            for (int j = 0; j < nsig; j++)
+                cab.encode_bypass(levels[sig_pos[j]] < 0);
+            int rice = 0;
+            for (int j = 0; j < nsig; j++) {
+                int lvl = levels[sig_pos[j]] < 0 ? -levels[sig_pos[j]]
+                                                 : levels[sig_pos[j]];
+                int base = 1;
+                if (j < gtr1_coded) base = (j == first_g2) ? 3 : 2;
+                if (lvl >= base) {
+                    code_remaining(lvl - base, rice);
+                    if (lvl > (3 << rice) && rice < 4) rice++;
+                }
+            }
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode the intra slice data. Returns bytes written, or -1 on overflow.
+// tail_val/tail_bits receive the sub-byte CABAC tail (appended by the
+// Python BitWriter before rbsp trailing bits).
+int encode_intra_slice(const uint8_t* depth8, const uint8_t* mode8,
+                       const int32_t* coeff_y, const int32_t* coeff_cb,
+                       const int32_t* coeff_cr, int w, int h,
+                       int log2_ctu, int log2_min_cu,
+                       uint8_t* init_states, int num_ctx,
+                       uint8_t* out, int out_cap,
+                       uint32_t* tail_val, int* tail_bits) {
+    (void)num_ctx;
+    SliceEnc enc(init_states, depth8, mode8, coeff_y, coeff_cb, coeff_cr,
+                 w, h, log2_ctu, log2_min_cu);
+    enc.run();
+    enc.cab.finish(tail_val, tail_bits);
+    int nbytes = (int)enc.cab.out.size();
+    if (nbytes > out_cap) return -1;
+    memcpy(out, enc.cab.out.data(), nbytes);
+    return nbytes;
+}
+
+int ctx_layout_checksum() {
+    // lets Python assert the generated offsets match ctx_tables.py
+    return CTX_LAYOUT_CHECKSUM;
+}
+
+}  // extern "C"
