@@ -45,21 +45,20 @@ def synth_1080p(seed: int):
 
 
 def main() -> None:
-    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    gop = int(os.environ.get("BENCH_GOP", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
     cfg = EncoderConfig(width=1920, height=1080, qp=32)
     enc = IntraEncoder(cfg)
-    frames = [synth_1080p(i) for i in range(3)]
+    frames = [synth_1080p(i % 3) for i in range(gop)]
 
-    for i in range(warmup):
-        enc.encode_frame(*frames[i % 3], use_device_recon=True)
+    enc.encode_gop(frames)    # warmup / compile
     t0 = time.perf_counter()
     total_bits = 0
-    for i in range(iters):
-        res = enc.encode_frame(*frames[i % 3], use_device_recon=True)
-        total_bits += res.bits
+    for _ in range(iters):
+        for res in enc.encode_gop(frames):
+            total_bits += res.bits
     dt = time.perf_counter() - t0
-    fps = iters / dt
+    fps = gop * iters / dt
     print(json.dumps({
         "metric": "intra_1080p_fps",
         "value": round(fps, 3),

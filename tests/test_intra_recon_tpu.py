@@ -31,3 +31,28 @@ def test_device_recon_matches_host(w, h, qp):
     np.testing.assert_array_equal(rec_d.y, rec_h.y)
     np.testing.assert_array_equal(rec_d.cb, rec_h.cb)
     np.testing.assert_array_equal(rec_d.cr, rec_h.cr)
+
+
+def test_gop_batch_matches_host():
+    """A batch of distinct frames through one wavefront must equal the
+    per-frame host oracle."""
+    from x265_tpu.enc.intra_recon_tpu import reconstruct_intra_gop_tpu
+    w, h, qp = 64, 64, 33
+    cfg = EncoderConfig(width=w, height=h, qp=qp)
+    ys, cbs, crs, d8s, m8s = [], [], [], [], []
+    for f in range(3):
+        y, cb, cr = synth_frame(w, h, seed=100 + f)
+        d8, m8 = analyze_intra_frame(y, qp, cfg.ctu_size, cfg.bit_depth)
+        ys.append(y); cbs.append(cb); crs.append(cr)
+        d8s.append(d8); m8s.append(m8)
+    syns, recons = reconstruct_intra_gop_tpu(
+        np.stack(ys), np.stack(cbs), np.stack(crs),
+        np.stack(d8s), np.stack(m8s), cfg)
+    for f in range(3):
+        syn_h, rec_h = reconstruct_intra_frame(ys[f], cbs[f], crs[f],
+                                               d8s[f], m8s[f], cfg)
+        np.testing.assert_array_equal(syns[f].coeff_y, syn_h.coeff_y)
+        np.testing.assert_array_equal(syns[f].coeff_cb, syn_h.coeff_cb)
+        np.testing.assert_array_equal(recons[f].y, rec_h.y)
+        np.testing.assert_array_equal(recons[f].cb, rec_h.cb)
+        np.testing.assert_array_equal(recons[f].cr, rec_h.cr)

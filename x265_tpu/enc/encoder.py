@@ -20,7 +20,7 @@ from ..bitstream.headers import write_vps, write_sps, write_pps, \
 from ..bitstream.nal import NalUnitType, annexb_stream
 from ..bitstream.syntax import SliceSyntaxEncoder, FrameIntraSyntax
 from ..common.params import EncoderConfig, I_SLICE
-from .intra_analysis import analyze_intra_frame
+from .intra_analysis import analyze_intra_frame, analyze_intra_gop
 from .intra_recon import reconstruct_intra_frame, ReconFrame
 
 
@@ -119,3 +119,53 @@ class IntraEncoder:
         self.frame_count += 1
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8)
+
+    def encode_gop(self, frames: list[tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]]
+                   ) -> list[FrameResult]:
+        """Encode a batch of frames through the GOP-batched device
+        pipeline: fused analysis + one wavefront scan for all frames
+        (the frame-threads analog, SURVEY.md §2.5), then per-frame
+        native CABAC."""
+        from ..bitstream.ctx_tables import init_states
+        from ..native.entropy_native import encode_intra_slice_native
+        from .intra_recon_tpu import reconstruct_intra_gop_tpu
+        cfg = self.cfg
+        w, h = cfg.width_padded, cfg.height_padded
+        ys = np.stack([pad_plane(np.asarray(f[0]), h, w) for f in frames])
+        cbs = np.stack([pad_plane(np.asarray(f[1]), h // 2, w // 2)
+                        for f in frames])
+        crs = np.stack([pad_plane(np.asarray(f[2]), h // 2, w // 2)
+                        for f in frames])
+        depth8, mode8 = analyze_intra_gop(ys, cfg.qp, cfg.ctu_size,
+                                          cfg.bit_depth)
+        syns, recons = reconstruct_intra_gop_tpu(ys, cbs, crs, depth8,
+                                                 mode8, cfg)
+        if cfg.deblock:
+            import jax.numpy as jnp
+            from ..ops.deblock import deblock_frame
+            recons = [
+                ReconFrame(*[np.asarray(p) for p in deblock_frame(
+                    jnp.asarray(r.y), jnp.asarray(r.cb), jnp.asarray(r.cr),
+                    depth8[f], cfg.ctu_size, cfg.qp, cfg.bit_depth)])
+                for f, r in enumerate(recons)]
+        results = []
+        for f, syn in enumerate(syns):
+            sw = write_slice_header(cfg, I_SLICE, idr=True)
+            payload, tail_val, tail_bits = encode_intra_slice_native(
+                syn.depth8, syn.mode8, syn.coeff_y, syn.coeff_cb,
+                syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
+                init_states(I_SLICE, cfg.qp))
+            sw.write_bytes(payload)
+            if tail_bits:
+                sw.write(tail_val, tail_bits)
+            sw.align_one()
+            nals: list[tuple[NalUnitType, bytes]] = []
+            if self.frame_count == 0:
+                nals.extend(self.headers())
+            nals.append((NalUnitType.IDR_W_RADL, sw.get_bytes()))
+            stream = annexb_stream(nals)
+            self.frame_count += 1
+            results.append(FrameResult(bitstream=stream, recon=recons[f],
+                                       syntax=syn, bits=len(stream) * 8))
+        return results

@@ -126,6 +126,78 @@ def analyze_size_device(plane: jnp.ndarray, n: int, lam_bits: jnp.ndarray,
     return jnp.argmin(costs, axis=1).astype(jnp.int32), jnp.min(costs, axis=1)
 
 
+@partial(jax.jit, static_argnames=("h", "w", "ctu", "bit_depth"))
+def _analyze_gop_jit(planes: jnp.ndarray, lam_bits: jnp.ndarray,
+                     lam_split: jnp.ndarray, *, h: int, w: int,
+                     ctu: int, bit_depth: int):
+    """Fused mode+depth decision for a GOP: planes (F, Hp, Wp) padded to
+    CTU multiples; (h, w) = real (8-aligned) coded size. Returns
+    depth8/mode8 (F, Hp/8, Wp/8) on the padded grid."""
+    nf, hp, wp = planes.shape
+    sizes = [8, 16, 32]
+
+    def per_size(n):
+        def one(pl):
+            return analyze_size_device(pl, n, lam_bits, bit_depth)
+        m, c = jax.vmap(one)(planes)
+        by, bx = hp // n, wp // n
+        m = m.reshape(nf, by, bx)
+        c = c.reshape(nf, by, bx).astype(jnp.float32)
+        # blocks extending past the coded frame can't be chosen whole
+        ys = jax.lax.broadcasted_iota(jnp.int32, (by, bx), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (by, bx), 1)
+        over = ((ys + 1) * n > h) | ((xs + 1) * n > w)
+        c = jnp.where(over[None], jnp.inf, c)
+        return m, c
+
+    mode = {}
+    cost = {}
+    for n in sizes:
+        mode[n], cost[n] = per_size(n)
+
+    def children_sum(c):
+        f, cy, cx = c.shape
+        return c.reshape(f, cy // 2, 2, cx // 2, 2).sum(axis=(2, 4))
+
+    # out-of-frame children cost 0 (the tree doesn't recurse there)
+    agg8 = jnp.where(jnp.isinf(cost[8]), 0.0, cost[8])
+    child16 = children_sum(agg8) + lam_split
+    keep16 = cost[16] <= child16
+    agg16 = jnp.where(keep16, cost[16], child16)
+    agg16 = jnp.where(jnp.isinf(agg16), 0.0, agg16)
+    child32 = children_sum(agg16) + lam_split
+    keep32 = cost[32] <= child32
+
+    def up(x, k):
+        return jnp.repeat(jnp.repeat(x, k, axis=1), k, axis=2)
+
+    k32 = up(keep32, 4)
+    k16 = up(keep16, 2)
+    depth8 = jnp.where(k32, 0, jnp.where(k16, 1, 2)).astype(jnp.uint8)
+    mode8 = jnp.where(k32, up(mode[32], 4),
+                      jnp.where(k16, up(mode[16], 2),
+                                mode[8])).astype(jnp.uint8)
+    return depth8, mode8
+
+
+def analyze_intra_gop(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
+                      bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """GOP analysis: orig_y (F, H, W) 8-aligned planes. Returns
+    (depth8, mode8) of shape (F, H/8, W/8)."""
+    nf, h, w = orig_y.shape
+    lam = lambda_from_qp(qp)
+    hp = (h + ctu_size - 1) // ctu_size * ctu_size
+    wp = (w + ctu_size - 1) // ctu_size * ctu_size
+    pl = np.pad(orig_y, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    lam_bits = jnp.asarray(np.round(lam * _MODE_BITS).astype(np.int32))
+    lam_split = jnp.float32(lam * 6.0)
+    d8, m8 = _analyze_gop_jit(jnp.asarray(pl.astype(np.int32)), lam_bits,
+                              lam_split, h=h, w=w, ctu=ctu_size,
+                              bit_depth=bit_depth)
+    return (np.asarray(d8)[:, :h // 8, :w // 8],
+            np.asarray(m8)[:, :h // 8, :w // 8])
+
+
 def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
                         bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """Dense mode+depth decision. orig_y already padded to 8-multiples.

@@ -1,22 +1,24 @@
 """Batched device wavefront intra reconstruction (JAX/XLA).
 
-TPU-first replacement for x265's WPP row threads (reference:
-source/encoder/frameencoder.cpp processRowEncoder): the frame's CTUs are
+TPU-first replacement for x265's WPP row threads + frame threads
+(reference: source/encoder/frameencoder.cpp processRowEncoder and the
+frame-parallelism contract in doc/reST/threading.rst:123-215): CTUs are
 processed along anti-diagonals d = cx + 2*cy (the same 2:1 dependency
-slope WPP uses); every CTU on a diagonal reconstructs concurrently as
-one batch. Inside a CTU the z-scan is a STATICALLY UNROLLED 16-step
-sweep over min-CU positions, with all three CU sizes evaluated masked —
-control flow becomes tensor select, shapes stay static, the 35-mode
-predictor and the transform pipeline run on the MXU.
+slope WPP uses), and a whole GOP of frames rides the SAME wavefront —
+frames are independent, so batching them multiplies arithmetic
+intensity per sequential step without adding steps. Inside a CTU the
+z-scan is a statically unrolled 16-step sweep with all three CU sizes
+evaluated masked; control flow becomes tensor select, shapes stay
+static, prediction and transforms run on the MXU.
 
-Bit-exactness contract: this pass produces the identical recon and
-coefficients as intra_recon.py's host oracle (asserted in tests), which
-in turn equals the validation decoder's output.
+Bit-exactness contract: identical recon + coefficients to the
+intra_recon.py host oracle (asserted in tests), which equals the
+validation decoder's output.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -44,13 +46,18 @@ def _zpos(p: int) -> tuple[int, int]:
     return ox, oy
 
 
+def _zindex(bx: int, by: int) -> int:
+    """min-block (bx, by) -> z-scan index within the CTU."""
+    return (((by >> 1) & 1) << 3) | (((bx >> 1) & 1) << 2) | \
+        ((by & 1) << 1) | (bx & 1)
+
+
 def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32):
     """Static canonical-ref geometry for a CU of size n at (ox, oy).
 
-    Returns (rx, ry, z_ok): arrays (4n+1,) of tile-relative coords and
-    the static decode-order availability (picture-border checks are
-    applied at runtime). `p` is the z index of the current min-block;
-    the min-block size is ctu/4 (8 px luma, 4 px chroma).
+    Returns (rx, ry, z_ok): (4n+1,) tile-relative coords and static
+    decode-order availability (picture borders checked at runtime).
+    `p` is the z index of the current min-block (ctu/4 px granularity).
     """
     k = 4 * n + 1
     bshift = (ctu // 4).bit_length() - 1    # 3 luma / 2 chroma
@@ -73,15 +80,8 @@ def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32):
         elif x >= ctu or y >= ctu:
             z_ok[i] = False         # right CTU (same row) / below: undecoded
         else:
-            bz = _zindex(x >> bshift, y >> bshift)
-            z_ok[i] = bz < p
+            z_ok[i] = _zindex(x >> bshift, y >> bshift) < p
     return rx, ry, z_ok
-
-
-def _zindex(bx: int, by: int) -> int:
-    """8x8 block (bx, by) -> z-scan index within the 32-CTU."""
-    return (((by >> 1) & 1) << 3) | (((bx >> 1) & 1) << 2) | \
-        ((by & 1) << 1) | (bx & 1)
 
 
 def _substitute(refs: jnp.ndarray, avail: jnp.ndarray,
@@ -101,12 +101,10 @@ def _substitute(refs: jnp.ndarray, avail: jnp.ndarray,
 
 def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
                 n, ox, oy, p, qp, bit_depth, w, h, is_luma, ctu):
-    """Reconstruct one masked CU (size n at static (ox,oy)) for the batch.
-
-    ext: (B, EH, EW) tile with halo; orig_tile: (B, ctu, ctu);
-    modes: (B,) int32; active: (B,) bool. Returns updated (ext, cf_tile).
-    """
-    rx, ry, z_ok = _ref_geometry(n, ox, oy, p if is_luma else p, ctu)
+    """Reconstruct one masked CU (size n at static (ox,oy)) per batch
+    element. ext: (B, EH, EW) halo tile; orig_tile: (B, ctu, ctu);
+    modes/active: (B,). Returns updated (ext, cf_tile)."""
+    rx, ry, z_ok = _ref_geometry(n, ox, oy, p, ctu)
     eh, ew = ext.shape[1], ext.shape[2]
     exti = (np.clip(ry + 1, 0, eh - 1) * ew +
             np.clip(rx + 1, 0, ew - 1)).astype(np.int32)
@@ -143,40 +141,40 @@ def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
     return ext, cf_tile
 
 
-def _diag_step(rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
-               x0s, y0s, dt, mt, org_y, org_cb, org_cr,
-               *, qp: int, qpc: int, bit_depth: int, w: int, h: int,
-               ctu: int = 32):
-    """Process one CTU anti-diagonal batch.
+def _diag_step(rec_y, rec_c, cf_y, cf_c, f0s, x0s, y0s, dt, mt,
+               org_y, org_c, *, qp: int, qpc: int, bit_depth: int,
+               w: int, h: int, ctu: int = 32):
+    """One CTU anti-diagonal across the whole frame batch.
 
-    rec_*: halo-padded planes (+1 top/left, +EXT right/bottom margin).
-    cf_*: coefficient planes (unpadded coords).
-    x0s/y0s: (B,) CTU origins (luma); masked entries point far outside.
-    dt/mt: (B, 4, 4) depth/mode tiles.
+    rec_y: (F, Hp, Wp) halo-padded luma; rec_c: (2F, Hp/2, Wp/2) halo-
+    padded chroma (cb frames then cr frames). cf_*: coefficient planes.
+    f0s/x0s/y0s: (B,) frame index + CTU origins; dt/mt: (B, 4, 4).
     """
     b = x0s.shape[0]
     half = ctu // 2
 
-    # gather working tiles
-    def g(plane, y0, x0, hh, ww):
-        return jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-            plane, (yy, xx), (hh, ww)))(y0, x0)
+    def g(plane3, f0, y0, x0, hh, ww):
+        return jax.vmap(lambda f, yy, xx: jax.lax.dynamic_slice(
+            plane3, (f, yy, xx), (1, hh, ww))[0])(f0, y0, x0)
 
-    ext_y = g(rec_y, y0s, x0s, EXT_H, EXT_W)
-    ext_cb = g(rec_cb, y0s // 2, x0s // 2, CEXT_H, CEXT_W)
-    ext_cr = g(rec_cr, y0s // 2, x0s // 2, CEXT_H, CEXT_W)
-    oy_t = g(org_y, y0s, x0s, ctu, ctu)
-    ocb_t = g(org_cb, y0s // 2, x0s // 2, half, half)
-    ocr_t = g(org_cr, y0s // 2, x0s // 2, half, half)
+    nf = rec_y.shape[0]
+    fc = jnp.concatenate([f0s, f0s + nf])            # chroma batch: cb|cr
+    x0c = jnp.concatenate([x0s, x0s]) // 2
+    y0c = jnp.concatenate([y0s, y0s]) // 2
+
+    ext_y = g(rec_y, f0s, y0s, x0s, EXT_H, EXT_W)
+    ext_c = g(rec_c, fc, y0c, x0c, CEXT_H, CEXT_W)
+    oy_t = g(org_y, f0s, y0s, x0s, ctu, ctu)
+    oc_t = g(org_c, fc, y0c, x0c, half, half)
     cfy_t = jnp.zeros((b, ctu, ctu), jnp.int32)
-    cfcb_t = jnp.zeros((b, half, half), jnp.int32)
-    cfcr_t = jnp.zeros((b, half, half), jnp.int32)
+    cfc_t = jnp.zeros((2 * b, half, half), jnp.int32)
 
     cw, chh = w // 2, h // 2
     for p in range(16):
         ox, oy = _zpos(p)
         d = dt[:, oy >> 3, ox >> 3]
         m = mt[:, oy >> 3, ox >> 3].astype(jnp.int32)
+        m2 = jnp.concatenate([m, m])
         plans = [(8, ox, oy, d == 2)]
         if p % 4 == 0:
             plans.append((16, (ox >> 4) << 4, (oy >> 4) << 4, d == 1))
@@ -186,133 +184,160 @@ def _diag_step(rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
             ext_y, cfy_t = _process_cu(
                 ext_y, cfy_t, oy_t, x0s, y0s, m, act, n, cox, coy, p,
                 qp, bit_depth, w, h, True, ctu)
-            cn = n >> 1
-            ext_cb, cfcb_t = _process_cu(
-                ext_cb, cfcb_t, ocb_t, x0s // 2, y0s // 2, m, act, cn,
-                cox >> 1, coy >> 1, p, qpc, bit_depth, cw, chh, False,
-                ctu // 2)
-            ext_cr, cfcr_t = _process_cu(
-                ext_cr, cfcr_t, ocr_t, x0s // 2, y0s // 2, m, act, cn,
+            act2 = jnp.concatenate([act, act])
+            ext_c, cfc_t = _process_cu(
+                ext_c, cfc_t, oc_t, x0c * 1, y0c * 1, m2, act2, n >> 1,
                 cox >> 1, coy >> 1, p, qpc, bit_depth, cw, chh, False,
                 ctu // 2)
 
-    # scatter tiles back (drop out-of-range = masked/pad CTUs)
-    def scat(plane, tile, y0, x0, hh, ww, off):
+    def scat(plane3, tile, f0, y0, x0, hh, ww, off):
+        bb = tile.shape[0]
+        fs = f0[:, None, None] + jnp.zeros((bb, hh, ww), jnp.int32)
         ys = y0[:, None, None] + off + \
-            jax.lax.broadcasted_iota(jnp.int32, (b, hh, ww), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (bb, hh, ww), 1)
         xs = x0[:, None, None] + off + \
-            jax.lax.broadcasted_iota(jnp.int32, (b, hh, ww), 2)
-        return plane.at[ys, xs].set(tile, mode="drop")
+            jax.lax.broadcasted_iota(jnp.int32, (bb, hh, ww), 2)
+        return plane3.at[fs, ys, xs].set(tile, mode="drop")
 
-    rec_y = scat(rec_y, ext_y[:, 1:, 1:1 + ctu], y0s, x0s, ctu, ctu, 1)
-    rec_cb = scat(rec_cb, ext_cb[:, 1:, 1:1 + half], y0s // 2, x0s // 2,
-                  half, half, 1)
-    rec_cr = scat(rec_cr, ext_cr[:, 1:, 1:1 + half], y0s // 2, x0s // 2,
-                  half, half, 1)
-    cf_y = scat(cf_y, cfy_t, y0s, x0s, ctu, ctu, 0)
-    cf_cb = scat(cf_cb, cfcb_t, y0s // 2, x0s // 2, half, half, 0)
-    cf_cr = scat(cf_cr, cfcr_t, y0s // 2, x0s // 2, half, half, 0)
-    return rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr
+    rec_y = scat(rec_y, ext_y[:, 1:, 1:1 + ctu], f0s, y0s, x0s,
+                 ctu, ctu, 1)
+    rec_c = scat(rec_c, ext_c[:, 1:, 1:1 + half], fc, y0c, x0c,
+                 half, half, 1)
+    cf_y = scat(cf_y, cfy_t, f0s, y0s, x0s, ctu, ctu, 0)
+    cf_c = scat(cf_c, cfc_t, fc, y0c, x0c, half, half, 0)
+    return rec_y, rec_c, cf_y, cf_c
 
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "w", "h", "ctu"),
-         donate_argnums=(0, 1, 2, 3, 4, 5))
-def _recon_scan(rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
-                x0a, y0a, dta, mta, org_y, org_cb, org_cr,
-                *, qp: int, qpc: int, bit_depth: int, w: int, h: int,
-                ctu: int = 32):
-    """Whole-frame wavefront as one lax.scan over diagonals — a single
-    device dispatch per frame (the x265 analog is the entire WPP frame
-    compress, frameencoder.cpp:850-880)."""
+         donate_argnums=(0, 1, 2, 3))
+def _recon_scan(rec_y, rec_c, cf_y, cf_c, f0s, x0a, y0a, dta, mta,
+                org_y, org_c, *, qp: int, qpc: int, bit_depth: int,
+                w: int, h: int, ctu: int = 32):
+    """Whole-GOP wavefront as one lax.scan over diagonals — a single
+    device dispatch for the batch (x265 analog: the entire WPP frame
+    compress across all frame threads, frameencoder.cpp:850-880)."""
 
     def body(carry, xs):
-        ry, rcb, rcr, fy, fcb, fcr = carry
+        ry, rc, fy, fc = carry
         x0s, y0s, dt, mt = xs
-        out = _diag_step(ry, rcb, rcr, fy, fcb, fcr, x0s, y0s, dt, mt,
-                         org_y, org_cb, org_cr, qp=qp, qpc=qpc,
+        out = _diag_step(ry, rc, fy, fc, f0s, x0s, y0s, dt, mt,
+                         org_y, org_c, qp=qp, qpc=qpc,
                          bit_depth=bit_depth, w=w, h=h, ctu=ctu)
         return out, ()
 
-    carry = (rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr)
+    carry = (rec_y, rec_c, cf_y, cf_c)
     carry, _ = jax.lax.scan(body, carry, (x0a, y0a, dta, mta))
     return carry
+
+
+@lru_cache(maxsize=None)
+def _wavefront_schedule(ncx: int, ncy: int, ctu: int):
+    """Static (ndiag, bmax) CTU-origin schedule + tile gather indices."""
+    ndiag = (ncx - 1) + 2 * (ncy - 1) + 1
+    diags = []
+    bmax = 0
+    for d in range(ndiag):
+        cells = [(d - 2 * cy, cy) for cy in range(ncy)
+                 if 0 <= d - 2 * cy < ncx]
+        diags.append(cells)
+        bmax = max(bmax, len(cells))
+    far = 1 << 20
+    x0a = np.full((ndiag, bmax), far, np.int32)
+    y0a = np.full((ndiag, bmax), far, np.int32)
+    cell_idx = np.zeros((ndiag, bmax), np.int32)   # cy*ncx+cx (clamped)
+    valid = np.zeros((ndiag, bmax), bool)
+    for d, cells in enumerate(diags):
+        for j, (cx, cy) in enumerate(cells):
+            x0a[d, j] = cx * ctu
+            y0a[d, j] = cy * ctu
+            cell_idx[d, j] = cy * ncx + cx
+            valid[d, j] = True
+    return ndiag, bmax, x0a, y0a, cell_idx, valid
+
+
+def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
+                              orig_cr: np.ndarray, depth8: np.ndarray,
+                              mode8: np.ndarray, cfg: EncoderConfig
+                              ) -> tuple[list[FrameIntraSyntax],
+                                         list[ReconFrame]]:
+    """Reconstruct a batch of frames. orig_y: (F, H, W) padded planes;
+    depth8/mode8: (F, n8y, n8x)."""
+    assert cfg.ctu_size == 32, "device wavefront currently tuned for CTU32"
+    nf, h, w = orig_y.shape
+    ctu = cfg.ctu_size
+    ncx = (w + ctu - 1) // ctu
+    ncy = (h + ctu - 1) // ctu
+    qpc = chroma_qp(cfg.qp)
+
+    rec_y = jnp.zeros((nf, h + 1 + EXT_H, w + 1 + EXT_W), jnp.int32)
+    rec_c = jnp.zeros((2 * nf, h // 2 + 1 + CEXT_H, w // 2 + 1 + CEXT_W),
+                      jnp.int32)
+    cf_y = jnp.zeros((nf, h, w), jnp.int32)
+    cf_c = jnp.zeros((2 * nf, h // 2, w // 2), jnp.int32)
+
+    def _pad_ctu(p: np.ndarray, mult: int) -> np.ndarray:
+        ph = (p.shape[1] + mult - 1) // mult * mult
+        pw = (p.shape[2] + mult - 1) // mult * mult
+        return np.pad(p, ((0, 0), (0, ph - p.shape[1]),
+                          (0, pw - p.shape[2])), mode="edge")
+
+    org_y = jnp.asarray(_pad_ctu(orig_y, ctu).astype(np.int32))
+    org_c = jnp.asarray(_pad_ctu(
+        np.concatenate([orig_cb, orig_cr]), ctu // 2).astype(np.int32))
+
+    # per-CTU decision tiles (F, ncy*ncx, 4, 4), vectorized
+    n8 = ctu // 8
+    n8y, n8x = depth8.shape[1:]
+    dpad = np.full((nf, ncy * n8, ncx * n8), 2, np.uint8)
+    mpad = np.ones((nf, ncy * n8, ncx * n8), np.uint8)
+    dpad[:, :n8y, :n8x] = depth8
+    mpad[:, :n8y, :n8x] = mode8
+    dt_all = dpad.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
+        .reshape(nf, ncy * ncx, n8, n8).astype(np.int32)
+    mt_all = mpad.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
+        .reshape(nf, ncy * ncx, n8, n8).astype(np.int32)
+
+    ndiag, bmax, x0a, y0a, cell_idx, valid = _wavefront_schedule(
+        ncx, ncy, ctu)
+    # batch layout: b = f * bmax + j
+    x0b = np.broadcast_to(x0a[:, None, :], (ndiag, nf, bmax)) \
+        .reshape(ndiag, nf * bmax)
+    y0b = np.broadcast_to(y0a[:, None, :], (ndiag, nf, bmax)) \
+        .reshape(ndiag, nf * bmax)
+    f0s = np.broadcast_to(np.arange(nf, dtype=np.int32)[:, None],
+                          (nf, bmax)).reshape(-1)
+    dta = dt_all[:, cell_idx]                     # (F, ndiag, bmax, 4, 4)
+    mta = mt_all[:, cell_idx]
+    dta = np.where(valid[None, :, :, None, None], dta, 2) \
+        .transpose(1, 0, 2, 3, 4).reshape(ndiag, nf * bmax, n8, n8)
+    mta = np.where(valid[None, :, :, None, None], mta, 1) \
+        .transpose(1, 0, 2, 3, 4).reshape(ndiag, nf * bmax, n8, n8)
+
+    rec_y, rec_c, cf_y, cf_c = _recon_scan(
+        rec_y, rec_c, cf_y, cf_c, jnp.asarray(f0s), jnp.asarray(x0b),
+        jnp.asarray(y0b), jnp.asarray(dta), jnp.asarray(mta),
+        org_y, org_c, qp=cfg.qp, qpc=qpc, bit_depth=cfg.bit_depth,
+        w=w, h=h, ctu=ctu)
+
+    rec_y_np = np.asarray(rec_y[:, 1:h + 1, 1:w + 1])
+    rec_c_np = np.asarray(rec_c[:, 1:h // 2 + 1, 1:w // 2 + 1])
+    cf_y_np = np.asarray(cf_y)
+    cf_c_np = np.asarray(cf_c)
+    syns, recons = [], []
+    for f in range(nf):
+        syns.append(FrameIntraSyntax(
+            depth8=depth8[f], mode8=mode8[f], coeff_y=cf_y_np[f],
+            coeff_cb=cf_c_np[f], coeff_cr=cf_c_np[nf + f]))
+        recons.append(ReconFrame(rec_y_np[f], rec_c_np[f],
+                                 rec_c_np[nf + f]))
+    return syns, recons
 
 
 def reconstruct_intra_frame_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                                 orig_cr: np.ndarray, depth8: np.ndarray,
                                 mode8: np.ndarray, cfg: EncoderConfig
                                 ) -> tuple[FrameIntraSyntax, ReconFrame]:
-    assert cfg.ctu_size == 32, "device wavefront currently tuned for CTU32"
-    h, w = orig_y.shape
-    ctu = cfg.ctu_size
-    ncx = (w + ctu - 1) // ctu
-    ncy = (h + ctu - 1) // ctu
-    qpc = chroma_qp(cfg.qp)
-
-    # halo-padded recon planes: +1 top/left, + (EXT_W) right/bottom margin
-    rec_y = jnp.zeros((h + 1 + EXT_H, w + 1 + EXT_W), jnp.int32)
-    rec_cb = jnp.zeros((h // 2 + 1 + CEXT_H, w // 2 + 1 + CEXT_W), jnp.int32)
-    rec_cr = jnp.zeros_like(rec_cb)
-    cf_y = jnp.zeros((h, w), jnp.int32)
-    cf_cb = jnp.zeros((h // 2, w // 2), jnp.int32)
-    cf_cr = jnp.zeros((h // 2, w // 2), jnp.int32)
-    # pad originals to CTU multiples: dynamic_slice clamps out-of-bounds
-    # starts, which would silently shift the gather for partial CTUs
-    def _pad_ctu(p: np.ndarray, mult: int) -> np.ndarray:
-        ph = (p.shape[0] + mult - 1) // mult * mult
-        pw = (p.shape[1] + mult - 1) // mult * mult
-        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
-                      mode="edge")
-
-    org_y = jnp.asarray(_pad_ctu(orig_y, ctu).astype(np.int32))
-    org_cb = jnp.asarray(_pad_ctu(orig_cb, ctu // 2).astype(np.int32))
-    org_cr = jnp.asarray(_pad_ctu(orig_cr, ctu // 2).astype(np.int32))
-
-    # per-CTU decision tiles
-    n8 = ctu // 8
-    dt_all = np.full((ncy, ncx, n8, n8), 2, dtype=np.int32)
-    mt_all = np.ones((ncy, ncx, n8, n8), dtype=np.int32)
-    n8y, n8x = depth8.shape
-    for cy in range(ncy):
-        for cx in range(ncx):
-            ys, xs = cy * n8, cx * n8
-            sy, sx = min(n8, n8y - ys), min(n8, n8x - xs)
-            dt_all[cy, cx, :sy, :sx] = depth8[ys:ys + sy, xs:xs + sx]
-            mt_all[cy, cx, :sy, :sx] = mode8[ys:ys + sy, xs:xs + sx]
-
-    ndiag = (ncx - 1) + 2 * (ncy - 1) + 1
-    # batch size: number of CTUs on the widest diagonal
-    bmax = 0
-    diags: list[list[tuple[int, int]]] = []
-    for d in range(ndiag):
-        cells = [(d - 2 * cy, cy) for cy in range(ncy)
-                 if 0 <= d - 2 * cy < ncx]
-        diags.append(cells)
-        bmax = max(bmax, len(cells))
-
-    far = 1 << 20
-    x0a = np.full((ndiag, bmax), far, dtype=np.int32)
-    y0a = np.full((ndiag, bmax), far, dtype=np.int32)
-    dta = np.full((ndiag, bmax, n8, n8), 2, dtype=np.int32)
-    mta = np.ones((ndiag, bmax, n8, n8), dtype=np.int32)
-    for d, cells in enumerate(diags):
-        for j, (cx, cy) in enumerate(cells):
-            x0a[d, j] = cx * ctu
-            y0a[d, j] = cy * ctu
-            dta[d, j] = dt_all[cy, cx]
-            mta[d, j] = mt_all[cy, cx]
-
-    rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr = _recon_scan(
-        rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr,
-        jnp.asarray(x0a), jnp.asarray(y0a), jnp.asarray(dta),
-        jnp.asarray(mta), org_y, org_cb, org_cr,
-        qp=cfg.qp, qpc=qpc, bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu)
-
-    ry = np.asarray(rec_y[1:h + 1, 1:w + 1])
-    rcb = np.asarray(rec_cb[1:h // 2 + 1, 1:w // 2 + 1])
-    rcr = np.asarray(rec_cr[1:h // 2 + 1, 1:w // 2 + 1])
-    syn = FrameIntraSyntax(depth8=depth8, mode8=mode8,
-                           coeff_y=np.asarray(cf_y),
-                           coeff_cb=np.asarray(cf_cb),
-                           coeff_cr=np.asarray(cf_cr))
-    return syn, ReconFrame(ry, rcb, rcr)
+    syns, recons = reconstruct_intra_gop_tpu(
+        orig_y[None], orig_cb[None], orig_cr[None], depth8[None],
+        mode8[None], cfg)
+    return syns[0], recons[0]
