@@ -32,8 +32,8 @@ def test_luma_jax_vs_oracle(qp):
                 d[:] = 0 if rng.random() < 0.5 else np.maximum(d, 1)
             depth8[i:i + 4, j:j + 4] = d
     vm, hm = edge_masks_from_depth(depth8, 32)
-    ref = deblock_luma_np(plane, vm, hm, qp)
-    out = np.asarray(deblock_luma(jnp.asarray(plane), vm, hm, qp))
+    ref = deblock_luma_np(plane, vm * 2, hm * 2, qp)
+    out = np.asarray(deblock_luma(jnp.asarray(plane), vm * 2, hm * 2, qp))
     np.testing.assert_array_equal(out, ref)
 
 
@@ -71,5 +71,5 @@ def test_deblock_changes_pixels():
     plane[:, 32:] = 40     # sharp CU-aligned step
     depth8 = np.zeros((8, 8), dtype=np.uint8)
     vm, hm = edge_masks_from_depth(depth8, 32)
-    out = deblock_luma_np(plane, vm, hm, qp=37)
+    out = deblock_luma_np(plane, vm * 2, hm * 2, qp=37)
     assert (out != plane).any()

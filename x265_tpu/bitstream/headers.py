@@ -176,6 +176,7 @@ def write_pps(cfg: EncoderConfig) -> bytes:
 
 def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
                        idr: bool = True, slice_qp: int | None = None,
+                       ref_delta_poc: int = 1, max_merge: int = 2,
                        num_entry_points: int = 0,
                        entry_point_offsets: list[int] | None = None) -> BitWriter:
     """slice_segment_header — clause 7.3.6.1. Returns the open BitWriter so
@@ -190,12 +191,21 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
     w.write_ue(slice_type)            # slice_type (2=I, 1=P, 0=B)
     if not idr:
         w.write(poc & ((1 << POC_LSB_BITS) - 1), POC_LSB_BITS)
-        w.write_flag(1)               # short_term_ref_pic_set_sps_flag=0 -> inline
-        # st_ref_pic_set(): written by the caller for inter slices (dpb.py)
-        raise NotImplementedError("non-IDR slice headers land with the inter path")
+        w.write_flag(0)               # short_term_ref_pic_set_sps_flag -> inline
+        # st_ref_pic_set() (clause 7.3.7): one negative ref at delta 1
+        delta_poc = ref_delta_poc if ref_delta_poc else 1
+        w.write_ue(1)                 # num_negative_pics
+        w.write_ue(0)                 # num_positive_pics
+        w.write_ue(delta_poc - 1)     # delta_poc_s0_minus1
+        w.write_flag(1)               # used_by_curr_pic_s0_flag
     if cfg.sao:
         w.write_flag(1)               # slice_sao_luma_flag
         w.write_flag(1)               # slice_sao_chroma_flag
+    if slice_type != I_SLICE:
+        w.write_flag(0)               # num_ref_idx_active_override_flag
+        # ref_pic_lists_modification absent (flag off, 1 ref)
+        # cabac_init / collocated / weights absent (features off)
+        w.write_ue(5 - max_merge)     # five_minus_max_num_merge_cand
     w.write_se(slice_qp - cfg.qp)     # slice_qp_delta (init_qp = cfg.qp)
     # deblocking override disabled; loop-filter-across flag only when a
     # filter is active

@@ -51,6 +51,17 @@ class FrameIntraSyntax:
     coeff_cr: np.ndarray   # (H/2, W/2) int32
 
 
+@dataclass
+class FramePSyntax:
+    """P-frame decisions: all-inter 2Nx2N CUs, single L0 reference."""
+    depth8: np.ndarray     # (n8y, n8x) uint8
+    mv8: np.ndarray        # (n8y, n8x, 2) int32 qpel MV of covering CU
+    coeff_y: np.ndarray
+    coeff_cb: np.ndarray
+    coeff_cr: np.ndarray
+    max_merge: int = 2
+
+
 def derive_mpm(cand_a: int, cand_b: int) -> list[int]:
     """Most-probable intra modes (clause 8.4.2)."""
     if cand_a == cand_b:
@@ -70,10 +81,11 @@ def derive_mpm(cand_a: int, cand_b: int) -> list[int]:
 class SliceSyntaxEncoder:
     """Encodes one slice's CTUs into a CABAC bin stream."""
 
-    def __init__(self, cfg: EncoderConfig, syn: FrameIntraSyntax,
-                 slice_type: int = I_SLICE, qp: int | None = None) -> None:
+    def __init__(self, cfg: EncoderConfig, syn, slice_type: int = I_SLICE,
+                 qp: int | None = None) -> None:
         self.cfg = cfg
         self.syn = syn
+        self.slice_type = slice_type
         self.qp = cfg.qp if qp is None else qp
         ctx = ContextSet(0)
         ctx.states = init_states(slice_type, self.qp)
@@ -82,6 +94,11 @@ class SliceSyntaxEncoder:
         self.h = cfg.height_padded
         self.n8x = self.w // 8
         self.n8y = self.h // 8
+        self.is_p = isinstance(syn, FramePSyntax)
+        if self.is_p:
+            from ..common.mv_derive import MvField
+            self.field = MvField(self.n8y, self.n8x)
+            self.skip8 = np.zeros((self.n8y, self.n8x), dtype=bool)
 
     # -- top level -------------------------------------------------------------
 
@@ -133,6 +150,124 @@ class SliceSyntaxEncoder:
         else:
             self._code_cu(x0, y0, log2_size)
 
+    # -- P-slice coding unit (clauses 7.3.8.5-7.3.8.9) --------------------------
+
+    def _code_cu_p(self, x0: int, y0: int, log2_size: int) -> None:
+        from ..common.mv_derive import merge_candidates, amvp_candidates
+        cab = self.cab
+        syn = self.syn
+        size = 1 << log2_size
+        mv = (int(syn.mv8[y0 >> 3, x0 >> 3, 0]),
+              int(syn.mv8[y0 >> 3, x0 >> 3, 1]))
+        cbf_y = self._cbf(syn.coeff_y, x0, y0, size)
+        cbf_cb = self._cbf(syn.coeff_cb, x0 >> 1, y0 >> 1, size >> 1)
+        cbf_cr = self._cbf(syn.coeff_cr, x0 >> 1, y0 >> 1, size >> 1)
+        cbf_any = bool(cbf_y or cbf_cb or cbf_cr)
+        mcands = merge_candidates(self.field, x0, y0, size, self.w, self.h,
+                                  self.cfg.log2_ctu, syn.max_merge)
+        merge_idx = mcands.index(mv) if mv in mcands else -1
+        skip = merge_idx >= 0 and not cbf_any
+
+        ctx = 0
+        if x0 > 0 and self.skip8[y0 >> 3, (x0 - 1) >> 3]:
+            ctx += 1
+        if y0 > 0 and self.skip8[(y0 - 1) >> 3, x0 >> 3]:
+            ctx += 1
+        cab.encode_bin(OFF["cu_skip_flag"] + ctx, int(skip))
+        s = size >> 3
+        self.skip8[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s] = skip
+        self.field.set_cu(x0, y0, size, mv, inter=True)
+
+        if skip:
+            self._code_merge_idx(merge_idx)
+            return
+        cab.encode_bin(OFF["pred_mode_flag"], 0)      # MODE_INTER
+        cab.encode_bin(OFF["part_mode"], 1)           # PART_2Nx2N
+        if merge_idx >= 0:
+            cab.encode_bin(OFF["merge_flag"], 1)
+            self._code_merge_idx(merge_idx)
+            # rqt_root_cbf not coded for 2Nx2N merge: inferred 1
+            assert cbf_any, "merge non-skip requires residual"
+        else:
+            cab.encode_bin(OFF["merge_flag"], 0)
+            acands = amvp_candidates(self.field, x0, y0, size, self.w,
+                                     self.h, self.cfg.log2_ctu)
+            c0 = abs(mv[0] - acands[0][0]) + abs(mv[1] - acands[0][1])
+            c1 = abs(mv[0] - acands[1][0]) + abs(mv[1] - acands[1][1])
+            mvp_idx = 0 if c0 <= c1 else 1
+            mvd = (mv[0] - acands[mvp_idx][0], mv[1] - acands[mvp_idx][1])
+            self._code_mvd(mvd[0], mvd[1])
+            cab.encode_bin(OFF["mvp_flag"], mvp_idx)
+            cab.encode_bin(OFF["rqt_root_cbf"], int(cbf_any))
+            if not cbf_any:
+                return
+        self._code_transform_unit_inter(x0, y0, log2_size,
+                                        cbf_y, cbf_cb, cbf_cr)
+
+    def _code_merge_idx(self, idx: int) -> None:
+        mx = self.syn.max_merge
+        if mx <= 1:
+            return
+        self.cab.encode_bin(OFF["merge_idx"], int(idx > 0))
+        if idx > 0:
+            for i in range(1, mx - 1):
+                self.cab.encode_bypass(0 if idx == i else 1)
+                if idx == i:
+                    break
+
+    def _code_mvd(self, mx: int, my: int) -> None:
+        """mvd_coding (clause 7.3.8.9)."""
+        cab = self.cab
+        ax, ay = abs(mx), abs(my)
+        cab.encode_bin(OFF["abs_mvd_greater_flag"], int(ax > 0))
+        cab.encode_bin(OFF["abs_mvd_greater_flag"], int(ay > 0))
+        if ax > 0:
+            cab.encode_bin(OFF["abs_mvd_greater_flag"] + 1, int(ax > 1))
+        if ay > 0:
+            cab.encode_bin(OFF["abs_mvd_greater_flag"] + 1, int(ay > 1))
+        for v, a in ((mx, ax), (my, ay)):
+            if a > 0:
+                if a > 1:
+                    self._code_eg1(a - 2)
+                cab.encode_bypass(1 if v < 0 else 0)
+
+    def _code_eg1(self, symbol: int) -> None:
+        """1st-order Exp-Golomb, bypass (abs_mvd_minus2 binarization)."""
+        cab = self.cab
+        count = 1
+        while symbol >= (1 << count):
+            cab.encode_bypass(1)
+            symbol -= 1 << count
+            count += 1
+        cab.encode_bypass(0)
+        cab.encode_bypass_bins(symbol, count)
+
+    def _code_transform_unit_inter(self, x0: int, y0: int, log2_size: int,
+                                   cbf_y: int, cbf_cb: int,
+                                   cbf_cr: int) -> None:
+        cab = self.cab
+        syn = self.syn
+        size = 1 << log2_size
+        cx, cy, csize = x0 >> 1, y0 >> 1, size >> 1
+        cab.encode_bin(OFF["cbf_chroma"], cbf_cb)
+        cab.encode_bin(OFF["cbf_chroma"], cbf_cr)
+        if cbf_cb or cbf_cr:
+            cab.encode_bin(OFF["cbf_luma"] + 1, cbf_y)
+        else:
+            assert cbf_y, "rqt_root_cbf implies residual"
+        if cbf_y:
+            self.code_residual(syn.coeff_y[y0:y0 + size, x0:x0 + size],
+                               log2_size, 0, SCAN_DIAG)
+        if csize >= 4:
+            if cbf_cb:
+                self.code_residual(
+                    syn.coeff_cb[cy:cy + csize, cx:cx + csize],
+                    log2_size - 1, 1, SCAN_DIAG)
+            if cbf_cr:
+                self.code_residual(
+                    syn.coeff_cr[cy:cy + csize, cx:cx + csize],
+                    log2_size - 1, 2, SCAN_DIAG)
+
     # -- coding unit (clause 7.3.8.5, intra only so far) ------------------------
 
     def _neighbor_mode(self, x: int, y: int, *, above: bool) -> int:
@@ -149,6 +284,9 @@ class SliceSyntaxEncoder:
         return int(self.syn.mode8[y >> 3, (x - 1) >> 3])
 
     def _code_cu(self, x0: int, y0: int, log2_size: int) -> None:
+        if self.is_p:
+            self._code_cu_p(x0, y0, log2_size)
+            return
         cfg = self.cfg
         cab = self.cab
         # I-slice: no cu_skip / pred_mode flags; part_mode only at min size

@@ -26,9 +26,10 @@ from ..bitstream.syntax import (GROUP_IDX, MIN_IN_GROUP, SIG_CTX_4X4,
                                 COEF_REMAIN_BIN_REDUCTION, derive_mpm,
                                 INTRA_DC)
 from ..common.params import I_SLICE
-from ..common.tables import (SCAN_VER, full_scan_table, cg_scan_order,
-                             intra_scan_idx, chroma_qp)
+from ..common.tables import (SCAN_DIAG, SCAN_VER, full_scan_table,
+                             cg_scan_order, intra_scan_idx, chroma_qp)
 from ..ops.intra_np import canonical_refs, filter_refs, intra_pred_np
+from ..ops.interp import luma_mc_np, chroma_mc_np
 from ..ops.transforms import idct_np, dequant_np
 
 
@@ -64,6 +65,8 @@ class DecodedFrame:
     # parsed decision maps, for white-box assertions in tests
     depth8: np.ndarray | None = None
     mode8: np.ndarray | None = None
+    mv8: np.ndarray | None = None        # P frames: decoded MV field
+    coeff_y: np.ndarray | None = None    # P frames: for bs derivation
 
 
 def parse_sps(rbsp: bytes) -> SpsInfo:
@@ -150,6 +153,7 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
     sps: SpsInfo | None = None
     pps: PpsInfo | None = None
     frames: list[DecodedFrame] = []
+    ref: DecodedFrame | None = None
     for nal_type, rbsp in split_annexb(stream):
         if nal_type == NalUnitType.SPS:
             sps = parse_sps(rbsp)
@@ -158,7 +162,14 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
         elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
                           NalUnitType.CRA_NUT):
             assert sps is not None and pps is not None
-            frames.append(_decode_slice(rbsp, sps, pps, idr=True))
+            f = _decode_slice(rbsp, sps, pps, idr=True)
+            frames.append(f)
+            ref = f
+        elif nal_type in (NalUnitType.TRAIL_R, NalUnitType.TRAIL_N):
+            assert sps is not None and pps is not None and ref is not None
+            f = _decode_slice(rbsp, sps, pps, idr=False, ref=ref)
+            frames.append(f)
+            ref = f
         elif nal_type in (NalUnitType.VPS, NalUnitType.AUD,
                           NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
             continue
@@ -166,16 +177,29 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
 
 
 def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
-                  idr: bool) -> DecodedFrame:
+                  idr: bool, ref: DecodedFrame | None = None
+                  ) -> DecodedFrame:
     r = BitReader(rbsp)
     assert r.read_flag() == 1      # first_slice_segment_in_pic_flag
     if idr:
         r.read_flag()              # no_output_of_prior_pics
     r.read_ue()                    # pps id
     slice_type = r.read_ue()
-    assert slice_type == 2, "only I slices decodable so far"
+    assert slice_type in (1, 2), "B slices not decodable yet"
+    max_merge = 2
+    if slice_type == 1:            # P
+        r.read(sps.poc_lsb_bits)   # slice_pic_order_cnt_lsb
+        assert r.read_flag() == 0  # short_term_ref_pic_set_sps_flag
+        nneg = r.read_ue()
+        npos = r.read_ue()
+        assert nneg == 1 and npos == 0, "only 1-ref IPPP streams"
+        r.read_ue()                # delta_poc_s0_minus1
+        r.read_flag()              # used_by_curr_pic_s0_flag
     if sps.sao:
         raise NotImplementedError("sao decode lands with sao encode")
+    if slice_type == 1:
+        assert r.read_flag() == 0  # num_ref_idx_active_override_flag
+        max_merge = 5 - r.read_ue()  # five_minus_max_num_merge_cand
     qp = pps.init_qp + r.read_se()
     if sps.sao or not pps.deblock_disabled:
         r.read_flag()              # slice_loop_filter_across_slices_enabled
@@ -183,12 +207,22 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
     assert r.read_flag() == 1, "alignment_bit_equal_to_one"
     r.byte_align()
     data = rbsp[r.bit_position // 8:]
-    frame = SliceDecoder(sps, pps, qp, data).decode()
+    if slice_type == 2:
+        frame = SliceDecoder(sps, pps, qp, data).decode()
+        if not pps.deblock_disabled:
+            from ..ops.deblock import deblock_frame_np
+            frame.y, frame.cb, frame.cr = deblock_frame_np(
+                frame.y, frame.cb, frame.cr, frame.depth8,
+                1 << sps.log2_ctu, qp, sps.bit_depth)
+        return frame
+    frame = PSliceDecoder(sps, pps, qp, data, ref, max_merge).decode()
     if not pps.deblock_disabled:
-        from ..ops.deblock import deblock_frame_np
-        frame.y, frame.cb, frame.cr = deblock_frame_np(
-            frame.y, frame.cb, frame.cr, frame.depth8, 1 << sps.log2_ctu,
-            qp, sps.bit_depth)
+        from ..ops.deblock import deblock_luma_np, inter_bs_maps
+        vbs, hbs = inter_bs_maps(frame.depth8, frame.mv8, frame.coeff_y,
+                                 1 << sps.log2_ctu)
+        frame.y = deblock_luma_np(frame.y, vbs, hbs, qp, sps.bit_depth)
+        # chroma deblock applies only on bs==2 (intra) edges: none in an
+        # all-inter P frame
     return frame
 
 
@@ -517,3 +551,250 @@ class SliceDecoder:
         # value = 3<<rice + sum_{k=rice}^{length-1} 2^k + tail
         base = (COEF_REMAIN_BIN_REDUCTION << rice) + (1 << length) - (1 << rice)
         return base + cab.decode_bypass_bins(length)
+
+
+class PSliceDecoder:
+    """P-slice parser + reconstruction (all-inter 2Nx2N, one L0 ref).
+
+    Candidate derivation here is written independently of the encoder's
+    common/mv_derive.py: availability uses an explicit decoded-cell mask
+    updated in parse order, so a z-order bug on either side shows up as
+    an encoder/decoder mismatch in tests.
+    """
+
+    def __init__(self, sps: SpsInfo, pps: PpsInfo, qp: int, data: bytes,
+                 ref: DecodedFrame, max_merge: int) -> None:
+        self.sps = sps
+        self.pps = pps
+        self.qp = qp
+        self.max_merge = max_merge
+        ctx = ContextSet(0)
+        ctx.states = init_states(1, qp)      # P_SLICE row
+        self.cab = CabacDecoder(data, ctx)
+        self.w, self.h = sps.width, sps.height
+        self.ref = ref
+        bd = sps.bit_depth
+        self.bd = bd
+        self.y = np.zeros((self.h, self.w), dtype=np.int32)
+        self.cb = np.zeros((self.h // 2, self.w // 2), dtype=np.int32)
+        self.cr = np.zeros((self.h // 2, self.w // 2), dtype=np.int32)
+        n8y, n8x = self.h // 8, self.w // 8
+        self.depth8 = np.zeros((n8y, n8x), dtype=np.uint8)
+        self.mv8 = np.zeros((n8y, n8x, 2), dtype=np.int32)
+        self.skip8 = np.zeros((n8y, n8x), dtype=bool)
+        self.coded8 = np.zeros((n8y, n8x), dtype=bool)
+        self.coeff_y = np.zeros((self.h, self.w), dtype=np.int32)
+        self.qp_c = chroma_qp(qp)
+
+    def decode(self) -> DecodedFrame:
+        log2_ctu = self.sps.log2_ctu
+        ctu = 1 << log2_ctu
+        rows = (self.h + ctu - 1) >> log2_ctu
+        cols = (self.w + ctu - 1) >> log2_ctu
+        for addr in range(rows * cols):
+            cy, cx = divmod(addr, cols)
+            self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
+            end = self.cab.decode_terminate()
+            assert end == (1 if addr == rows * cols - 1 else 0)
+        return DecodedFrame(self.y, self.cb, self.cr, self.qp,
+                            depth8=self.depth8, mv8=self.mv8,
+                            coeff_y=self.coeff_y)
+
+    def _depth_at(self, x, y):
+        return int(self.depth8[y >> 3, x >> 3])
+
+    def _cu_tree(self, x0, y0, log2_size):
+        size = 1 << log2_size
+        depth = self.sps.log2_ctu - log2_size
+        inside = x0 + size <= self.w and y0 + size <= self.h
+        if inside and log2_size > self.sps.log2_min_cu:
+            ctx = 0
+            if x0 > 0 and self.coded8[y0 >> 3, (x0 - 1) >> 3] \
+                    and self._depth_at(x0 - 1, y0) > depth:
+                ctx += 1
+            if y0 > 0 and self.coded8[(y0 - 1) >> 3, x0 >> 3] \
+                    and self._depth_at(x0, y0 - 1) > depth:
+                ctx += 1
+            split = self.cab.decode_bin(OFF["split_cu_flag"] + ctx)
+        elif log2_size > self.sps.log2_min_cu:
+            split = 1
+        else:
+            split = 0
+        if split:
+            half = size >> 1
+            for sub in range(4):
+                sx = x0 + (sub & 1) * half
+                sy = y0 + (sub >> 1) * half
+                if sx < self.w and sy < self.h:
+                    self._cu_tree(sx, sy, log2_size - 1)
+        else:
+            self._cu(x0, y0, log2_size)
+
+    # -- availability + candidates (decoded-mask formulation) ------------------
+
+    def _mv_if_coded(self, nx, ny):
+        if nx < 0 or ny < 0 or nx >= self.w or ny >= self.h:
+            return None
+        if not self.coded8[ny >> 3, nx >> 3]:
+            return None
+        return (int(self.mv8[ny >> 3, nx >> 3, 0]),
+                int(self.mv8[ny >> 3, nx >> 3, 1]))
+
+    def _merge_cands(self, x0, y0, n):
+        get = self._mv_if_coded
+        a1 = get(x0 - 1, y0 + n - 1)
+        b1 = get(x0 + n - 1, y0 - 1)
+        b0 = get(x0 + n, y0 - 1)
+        a0 = get(x0 - 1, y0 + n)
+        cands = []
+        if a1 is not None:
+            cands.append(a1)
+        if b1 is not None and b1 != a1:
+            cands.append(b1)
+        if b0 is not None and b0 != b1:
+            cands.append(b0)
+        if a0 is not None and a0 != a1:
+            cands.append(a0)
+        if len(cands) < 4:
+            b2 = get(x0 - 1, y0 - 1)
+            if b2 is not None and b2 != a1 and b2 != b1:
+                cands.append(b2)
+        cands = cands[:self.max_merge]
+        while len(cands) < self.max_merge:
+            cands.append((0, 0))
+        return cands
+
+    def _amvp_cands(self, x0, y0, n):
+        get = self._mv_if_coded
+        a = get(x0 - 1, y0 + n)
+        if a is None:
+            a = get(x0 - 1, y0 + n - 1)
+        b = get(x0 + n, y0 - 1)
+        if b is None:
+            b = get(x0 + n - 1, y0 - 1)
+        if b is None:
+            b = get(x0 - 1, y0 - 1)
+        cands = []
+        if a is not None:
+            cands.append(a)
+        if b is not None and b != a:
+            cands.append(b)
+        while len(cands) < 2:
+            cands.append((0, 0))
+        return cands[:2]
+
+    # -- CU parse + recon ------------------------------------------------------
+
+    def _cu(self, x0, y0, log2_size):
+        cab = self.cab
+        size = 1 << log2_size
+        ctxs = 0
+        if x0 > 0 and self.skip8[y0 >> 3, (x0 - 1) >> 3]:
+            ctxs += 1
+        if y0 > 0 and self.skip8[(y0 - 1) >> 3, x0 >> 3]:
+            ctxs += 1
+        skip = cab.decode_bin(OFF["cu_skip_flag"] + ctxs)
+        s = size >> 3
+        sl = np.s_[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s]
+        d = self.sps.log2_ctu - log2_size
+        if skip:
+            idx = self._merge_idx()
+            mv = self._merge_cands(x0, y0, size)[idx]
+            self._finish_cu(x0, y0, size, mv, None, None, None, True, sl, d)
+            return
+        pred_mode = cab.decode_bin(OFF["pred_mode_flag"])
+        assert pred_mode == 0, "intra CUs in P frames not emitted yet"
+        part = cab.decode_bin(OFF["part_mode"])
+        assert part == 1, "only 2Nx2N emitted"
+        if cab.decode_bin(OFF["merge_flag"]):
+            idx = self._merge_idx()
+            mv = self._merge_cands(x0, y0, size)[idx]
+            root_cbf = 1          # inferred for 2Nx2N merge non-skip
+        else:
+            mvd = self._decode_mvd()
+            mvp_idx = cab.decode_bin(OFF["mvp_flag"])
+            mvp = self._amvp_cands(x0, y0, size)[mvp_idx]
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            root_cbf = cab.decode_bin(OFF["rqt_root_cbf"])
+        cy_ = ccb = ccr = None
+        if root_cbf:
+            cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
+            cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
+            if cbf_cb or cbf_cr:
+                cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1)
+            else:
+                cbf_y = 1
+            if cbf_y:
+                cy_ = self._residual(log2_size, 0, SCAN_DIAG)
+            if size >> 1 >= 4:
+                if cbf_cb:
+                    ccb = self._residual(log2_size - 1, 1, SCAN_DIAG)
+                if cbf_cr:
+                    ccr = self._residual(log2_size - 1, 2, SCAN_DIAG)
+        self._finish_cu(x0, y0, size, mv, cy_, ccb, ccr, False, sl, d)
+
+    def _merge_idx(self):
+        if self.max_merge <= 1:
+            return 0
+        if not self.cab.decode_bin(OFF["merge_idx"]):
+            return 0
+        idx = 1
+        while idx < self.max_merge - 1 and self.cab.decode_bypass():
+            idx += 1
+        return idx
+
+    def _decode_mvd(self):
+        cab = self.cab
+        g0x = cab.decode_bin(OFF["abs_mvd_greater_flag"])
+        g0y = cab.decode_bin(OFF["abs_mvd_greater_flag"])
+        g1x = cab.decode_bin(OFF["abs_mvd_greater_flag"] + 1) if g0x else 0
+        g1y = cab.decode_bin(OFF["abs_mvd_greater_flag"] + 1) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            if not g0:
+                out.append(0)
+                continue
+            v = 1
+            if g1:
+                v = 2 + self._decode_eg1()
+            out.append(-v if cab.decode_bypass() else v)
+        return tuple(out)
+
+    def _decode_eg1(self):
+        cab = self.cab
+        count = 1
+        value = 0
+        while cab.decode_bypass():
+            value += 1 << count
+            count += 1
+        return value + cab.decode_bypass_bins(count)
+
+    def _finish_cu(self, x0, y0, size, mv, cy_, ccb, ccr, skip, sl, d):
+        self.depth8[sl] = d
+        self.mv8[sl] = mv
+        self.skip8[sl] = skip
+        self.coded8[sl] = True
+        bd = self.bd
+        pred = luma_mc_np(self.ref.y, x0, y0, size, mv[0], mv[1], bd)
+        resi = 0
+        if cy_ is not None:
+            self.coeff_y[y0:y0 + size, x0:x0 + size] = cy_
+            resi = idct_np(dequant_np(cy_, self.qp, bd), bd)
+        self.y[y0:y0 + size, x0:x0 + size] = np.clip(
+            pred + resi, 0, (1 << bd) - 1)
+        cn = size >> 1
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        for plane, ref_p, coeff in ((self.cb, self.ref.cb, ccb),
+                                    (self.cr, self.ref.cr, ccr)):
+            pred_c = chroma_mc_np(ref_p, cx0, cy0, cn, mv[0], mv[1], bd)
+            resi_c = 0
+            if coeff is not None:
+                resi_c = idct_np(dequant_np(coeff, self.qp_c, bd), bd)
+            plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
+                pred_c + resi_c, 0, (1 << bd) - 1)
+
+    # residual parsing shared with the I-slice decoder
+    _residual = SliceDecoder._residual
+    _last_position = SliceDecoder._last_position
+    _sig_ctx = staticmethod(SliceDecoder._sig_ctx)
+    _decode_remaining = SliceDecoder._decode_remaining

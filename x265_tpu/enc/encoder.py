@@ -19,7 +19,7 @@ from ..bitstream.headers import write_vps, write_sps, write_pps, \
     write_slice_header
 from ..bitstream.nal import NalUnitType, annexb_stream
 from ..bitstream.syntax import SliceSyntaxEncoder, FrameIntraSyntax
-from ..common.params import EncoderConfig, I_SLICE
+from ..common.params import EncoderConfig, I_SLICE, P_SLICE
 from .intra_analysis import analyze_intra_frame, analyze_intra_gop
 from .intra_recon import reconstruct_intra_frame, ReconFrame
 
@@ -47,6 +47,8 @@ class IntraEncoder:
         cfg.validate()
         self.cfg = cfg
         self.frame_count = 0
+        self.ref: ReconFrame | None = None   # last reference (post-filter)
+        self.poc = 0
 
     def headers(self) -> list[tuple[NalUnitType, bytes]]:
         cfg = self.cfg
@@ -119,6 +121,54 @@ class IntraEncoder:
         self.frame_count += 1
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8)
+
+    def encode_frame_p(self, y: np.ndarray, cb: np.ndarray,
+                       cr: np.ndarray) -> FrameResult:
+        """Encode one P frame against the previous reconstructed
+        reference (IPPP low-delay, x265's default P-slice path)."""
+        from ..bitstream.ctx_tables import init_states
+        from .inter_frame import encode_p_frame_arrays
+        assert self.ref is not None, "no reference: encode an I frame first"
+        cfg = self.cfg
+        w, h = cfg.width_padded, cfg.height_padded
+        yp = pad_plane(np.asarray(y), h, w)
+        cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
+        crp = pad_plane(np.asarray(cr), h // 2, w // 2)
+        syn, recon = encode_p_frame_arrays(yp, cbp, crp, self.ref, cfg)
+        if cfg.deblock:
+            from ..ops.deblock import deblock_luma_np, inter_bs_maps
+            vbs, hbs = inter_bs_maps(syn.depth8, syn.mv8, syn.coeff_y,
+                                     cfg.ctu_size)
+            recon = ReconFrame(
+                deblock_luma_np(recon.y, vbs, hbs, cfg.qp, cfg.bit_depth),
+                recon.cb, recon.cr)
+
+        self.poc += 1
+        sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
+                                max_merge=syn.max_merge)
+        syntax = SliceSyntaxEncoder(cfg, syn, P_SLICE, cfg.qp)
+        cab = syntax.encode_slice_data()
+        cab.finish_into(sw)
+        sw.align_one()
+        stream = annexb_stream([(NalUnitType.TRAIL_R, sw.get_bytes())])
+        self.frame_count += 1
+        self.ref = recon
+        return FrameResult(bitstream=stream, recon=recon, syntax=syn,
+                           bits=len(stream) * 8)
+
+    def encode_sequence(self, frames) -> list[FrameResult]:
+        """IPPP: first frame IDR intra, rest P (keyint honored later
+        with the GOP/lookahead work)."""
+        results = []
+        for i, (y, cb, cr) in enumerate(frames):
+            if i == 0:
+                r = self.encode_frame(y, cb, cr)
+                self.ref = r.recon
+                self.poc = 0
+            else:
+                r = self.encode_frame_p(y, cb, cr)
+            results.append(r)
+        return results
 
     def encode_gop(self, frames: list[tuple[np.ndarray, np.ndarray,
                                             np.ndarray]]

@@ -32,6 +32,44 @@ TC_TABLE = np.array(
      6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24], dtype=np.int32)
 
 
+def inter_bs_maps(depth8: np.ndarray, mv8: np.ndarray, coeff_y: np.ndarray,
+                  ctu: int) -> tuple[np.ndarray, np.ndarray]:
+    """Boundary-strength maps for an all-inter P frame (clause 8.7.2.4):
+    bs = 1 on CU boundaries where either side's luma TU has coefficients
+    or the MV difference reaches a full pel; else 0. Returns (vbs, hbs)
+    int arrays on the 8x8 grid."""
+    vmask, hmask = edge_masks_from_depth(depth8, ctu)
+    n8y, n8x = depth8.shape
+    h, w = coeff_y.shape
+    nz8 = coeff_y[:n8y * 8, :n8x * 8].reshape(n8y, 8, n8x, 8)
+    nz8 = np.any(nz8 != 0, axis=(1, 3))
+
+    def orpool(a, k):
+        yy = a.shape[0] // k * k
+        xx = a.shape[1] // k * k
+        p = np.zeros(((a.shape[0] + k - 1) // k, (a.shape[1] + k - 1) // k),
+                     bool)
+        q = a[:yy, :xx].reshape(yy // k, k, xx // k, k).any(axis=(1, 3))
+        p[:q.shape[0], :q.shape[1]] = q
+        return np.repeat(np.repeat(p, k, 0), k, 1)[:a.shape[0], :a.shape[1]]
+
+    cbf8 = np.where(depth8 == 0, orpool(nz8, 4),
+                    np.where(depth8 == 1, orpool(nz8, 2), nz8))
+
+    def bs_of(maskP, maskQ, mvP, mvQ):
+        mvd = (np.abs(mvP[..., 0] - mvQ[..., 0]) >= 4) | \
+              (np.abs(mvP[..., 1] - mvQ[..., 1]) >= 4)
+        return (maskP | maskQ | mvd).astype(np.int32)
+
+    vbs = np.zeros((n8y, n8x), np.int32)
+    vbs[:, 1:] = bs_of(cbf8[:, :-1], cbf8[:, 1:], mv8[:, :-1], mv8[:, 1:])
+    vbs = vbs * vmask
+    hbs = np.zeros((n8y, n8x), np.int32)
+    hbs[1:, :] = bs_of(cbf8[:-1, :], cbf8[1:, :], mv8[:-1, :], mv8[1:, :])
+    hbs = hbs * hmask
+    return vbs, hbs
+
+
 def edge_masks_from_depth(depth8: np.ndarray, ctu: int
                           ) -> tuple[np.ndarray, np.ndarray]:
     """CU-boundary masks on the 8x8 grid.
@@ -107,23 +145,28 @@ def _c3(lo, hi, v):
     return lo if v < lo else (hi if v > hi else v)
 
 
-def deblock_luma_np(plane: np.ndarray, vmask: np.ndarray, hmask: np.ndarray,
+def deblock_luma_np(plane: np.ndarray, vbs: np.ndarray, hbs: np.ndarray,
                     qp: int, bit_depth: int = 8) -> np.ndarray:
-    """In-place-style luma deblock; returns the filtered plane copy."""
+    """Luma deblock; vbs/hbs: per-cell boundary strength (0/1/2).
+    Returns the filtered plane copy."""
     h, w = plane.shape
     out = plane.astype(np.int64).copy()
     shift = bit_depth - 8
     beta = int(BETA_TABLE[min(max(qp, 0), 51)]) << shift
-    tc = int(TC_TABLE[min(max(qp + 2, 0), 53)]) << shift
     maxv = (1 << bit_depth) - 1
     if beta == 0:
         return out.astype(plane.dtype)
+
+    def tc_of(bs):
+        return int(TC_TABLE[min(max(qp + 2 * (bs - 1), 0), 53)]) << shift
+
     # vertical edges (whole picture) first
     for k in range(1, w // 8):
         x = 8 * k
         for i in range(h // 8):
-            if not vmask[i, k]:
+            if not vbs[i, k]:
                 continue
+            tc = tc_of(int(vbs[i, k]))
             for seg in range(2):
                 y = 8 * i + 4 * seg
                 get = lambda c, r: int(out[y + r, x - 4 + c])
@@ -133,8 +176,9 @@ def deblock_luma_np(plane: np.ndarray, vmask: np.ndarray, hmask: np.ndarray,
     for i in range(1, h // 8):
         y = 8 * i
         for k in range(w // 8):
-            if not hmask[i, k]:
+            if not hbs[i, k]:
                 continue
+            tc = tc_of(int(hbs[i, k]))
             for seg in range(2):
                 x = 8 * k + 4 * seg
                 get = lambda c, r: int(out[y - 4 + c, x + r])
@@ -190,7 +234,7 @@ def deblock_frame_np(rec_y: np.ndarray, rec_cb: np.ndarray,
                      qp: int, bit_depth: int = 8):
     vm, hm = edge_masks_from_depth(depth8, ctu)
     qpc = chroma_qp(qp)
-    return (deblock_luma_np(rec_y, vm, hm, qp, bit_depth),
+    return (deblock_luma_np(rec_y, vm * 2, hm * 2, qp, bit_depth),
             deblock_chroma_np(rec_cb, vm, hm, qpc, bit_depth),
             deblock_chroma_np(rec_cr, vm, hm, qpc, bit_depth))
 
@@ -199,10 +243,11 @@ def deblock_frame_np(rec_y: np.ndarray, rec_cb: np.ndarray,
 # JAX batched version
 # =============================================================================
 
-def _luma_filter_batch(seg: jnp.ndarray, active: jnp.ndarray, tc: int,
-                       beta: int, maxv: int) -> jnp.ndarray:
-    """seg: (..., 4, 8) segments [p3..p0|q0..q3] x 4 lines. active: (...,)
-    returns filtered segments."""
+def _luma_filter_batch(seg: jnp.ndarray, active: jnp.ndarray,
+                       tc: jnp.ndarray, beta: int, maxv: int) -> jnp.ndarray:
+    """seg: (..., 4, 8) segments [p3..p0|q0..q3] x 4 lines; active: (...,)
+    bool; tc: (...,) int per segment. Returns filtered segments."""
+    tc1 = tc[..., None]
     p3, p2, p1, p0 = seg[..., 0], seg[..., 1], seg[..., 2], seg[..., 3]
     q0, q1, q2, q3 = seg[..., 4], seg[..., 5], seg[..., 6], seg[..., 7]
     dpr = jnp.abs(p2 - 2 * p1 + p0)          # (..., 4) per line
@@ -221,7 +266,7 @@ def _luma_filter_batch(seg: jnp.ndarray, active: jnp.ndarray, tc: int,
 
     strong = on & dsam(0) & dsam(3)
     weak = on & ~strong
-    c2 = 2 * tc
+    c2 = 2 * tc1
     cl = lambda ref, v: jnp.clip(v, ref - c2, ref + c2)
     sp0 = cl(p0, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
     sp1 = cl(p1, (p2 + p1 + p0 + q0 + 2) >> 2)
@@ -231,14 +276,14 @@ def _luma_filter_batch(seg: jnp.ndarray, active: jnp.ndarray, tc: int,
     sq2 = cl(q2, (p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3)
 
     delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
-    wk_on = weak[..., None] & (jnp.abs(delta) < tc * 10)
-    dcl = jnp.clip(delta, -tc, tc)
+    wk_on = weak[..., None] & (jnp.abs(delta) < tc1 * 10)
+    dcl = jnp.clip(delta, -tc1, tc1)
     wp0 = jnp.clip(p0 + dcl, 0, maxv)
     wq0 = jnp.clip(q0 - dcl, 0, maxv)
     side_thr = (beta + (beta >> 1)) >> 3
     pside = wk_on & (dp < side_thr)[..., None]
     qside = wk_on & (dq < side_thr)[..., None]
-    th = tc >> 1
+    th = tc1 >> 1
     dp1v = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dcl) >> 1, -th, th)
     dq1v = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dcl) >> 1, -th, th)
     wp1 = jnp.clip(p1 + dp1v, 0, maxv)
@@ -254,17 +299,19 @@ def _luma_filter_batch(seg: jnp.ndarray, active: jnp.ndarray, tc: int,
     return jnp.stack([p3, o_p2, o_p1, o_p0, o_q0, o_q1, o_q2, q3], axis=-1)
 
 
-def deblock_luma(plane: jnp.ndarray, vmask: np.ndarray, hmask: np.ndarray,
+def deblock_luma(plane: jnp.ndarray, vbs: np.ndarray, hbs: np.ndarray,
                  qp: int, bit_depth: int = 8) -> jnp.ndarray:
     h, w = plane.shape
     shift = bit_depth - 8
     beta = int(BETA_TABLE[min(max(qp, 0), 51)]) << shift
-    tc = int(TC_TABLE[min(max(qp + 2, 0), 53)]) << shift
     maxv = (1 << bit_depth) - 1
+    tc_by_bs = np.array(
+        [0] + [int(TC_TABLE[min(max(qp + 2 * (b - 1), 0), 53)]) << shift
+               for b in (1, 2)], dtype=np.int32)
     if beta == 0 or w < 16:
         return plane
 
-    def vpass(pl, mask_cells):
+    def vpass(pl, bs_cells):
         hh, ww = pl.shape
         ne = ww // 8 - 1
         if ne <= 0:
@@ -273,14 +320,16 @@ def deblock_luma(plane: jnp.ndarray, vmask: np.ndarray, hmask: np.ndarray,
                np.arange(8)[None, :]).astype(np.int32)      # (nE, 8)
         g = jnp.take(pl, jnp.asarray(idx), axis=1)          # (H, nE, 8)
         seg = g.reshape(hh // 4, 4, ne, 8).transpose(0, 2, 1, 3)
-        act = np.repeat(mask_cells[:, 1:], 2, axis=0)       # (H/4, nE)
-        out = _luma_filter_batch(seg, jnp.asarray(act[:hh // 4]),
-                                 tc, beta, maxv)
+        bs_seg = np.repeat(bs_cells[:, 1:], 2, axis=0)[:hh // 4]
+        act = bs_seg > 0
+        tcs = tc_by_bs[np.clip(bs_seg, 0, 2)]
+        out = _luma_filter_batch(seg, jnp.asarray(act),
+                                 jnp.asarray(tcs), beta, maxv)
         out = out.transpose(0, 2, 1, 3).reshape(hh, ne, 8)
         return pl.at[:, jnp.asarray(idx)].set(out)
 
-    pl = vpass(plane, vmask)
-    pl = vpass(pl.T, hmask.T).T
+    pl = vpass(plane, np.asarray(vbs))
+    pl = vpass(pl.T, np.asarray(hbs).T).T
     return pl
 
 
@@ -326,6 +375,6 @@ def deblock_frame(rec_y: jnp.ndarray, rec_cb: jnp.ndarray,
                   qp: int, bit_depth: int = 8):
     vm, hm = edge_masks_from_depth(depth8, ctu)
     qpc = chroma_qp(qp)
-    return (deblock_luma(rec_y, vm, hm, qp, bit_depth),
+    return (deblock_luma(rec_y, vm * 2, hm * 2, qp, bit_depth),
             deblock_chroma(rec_cb, vm, hm, qpc, bit_depth),
             deblock_chroma(rec_cr, vm, hm, qpc, bit_depth))
