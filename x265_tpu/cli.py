@@ -1,0 +1,142 @@
+"""Command-line encoder (the x265 CLI analog).
+
+Usage:
+    python -m x265_tpu.cli in.y4m -o out.hevc --qp 30 --preset medium
+    python -m x265_tpu.cli in.yuv --input-res 1920x1080 --fps 25 -o out.hevc
+
+Reference surface: x265 source/x265cli.cpp (option names follow it
+where the underlying tool exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .common.params import EncoderConfig
+from .enc import IntraEncoder
+from .io import Y4MReader, YUVReader, Y4MWriter
+
+# preset ladder (reference: x265 source/common/param.cpp presets +
+# doc/reST/presets.rst). Only knobs the current tool set exposes; the
+# table grows as features land.
+PRESETS = {
+    "ultrafast": dict(deblock=False),
+    "superfast": dict(deblock=False),
+    "veryfast": dict(deblock=True),
+    "faster": dict(deblock=True),
+    "fast": dict(deblock=True),
+    "medium": dict(deblock=True),
+    "slow": dict(deblock=True),
+    "slower": dict(deblock=True),
+    "veryslow": dict(deblock=True),
+    "placebo": dict(deblock=True),
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="x265t", description=__doc__)
+    p.add_argument("input", help="input video (.y4m or raw .yuv)")
+    p.add_argument("-o", "--output", required=True, help="output .hevc")
+    p.add_argument("--input-res", help="WxH (raw yuv only)")
+    p.add_argument("--fps", type=float, default=25.0, help="raw yuv fps")
+    p.add_argument("--input-depth", type=int, default=8)
+    p.add_argument("-q", "--qp", type=int, default=32)
+    p.add_argument("--preset", default="medium", choices=sorted(PRESETS))
+    p.add_argument("-I", "--keyint", type=int, default=250)
+    p.add_argument("-f", "--frames", type=int, default=0,
+                   help="max frames to encode (0 = all)")
+    p.add_argument("--no-deblock", action="store_true")
+    p.add_argument("--recon", help="write reconstructed video (.y4m)")
+    p.add_argument("--csv", help="per-frame stats CSV")
+    p.add_argument("--all-intra", action="store_true",
+                   help="force every frame intra (keyint 1)")
+    return p.parse_args(argv)
+
+
+def open_input(args):
+    if args.input.endswith(".y4m"):
+        r = Y4MReader(args.input)
+        return r, r.width, r.height, r.fps_num, r.fps_den, r.bit_depth
+    if not args.input_res:
+        sys.exit("raw yuv input requires --input-res WxH")
+    w, h = (int(v) for v in args.input_res.lower().split("x"))
+    fps_num = int(round(args.fps * 1000))
+    r = YUVReader(args.input, w, h, args.input_depth)
+    return r, w, h, fps_num, 1000, args.input_depth
+
+
+def psnr(a: np.ndarray, b: np.ndarray, maxv: int) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return 10 * np.log10(maxv * maxv / max(mse, 1e-12))
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    reader, w, h, fps_num, fps_den, depth = open_input(args)
+    cfg = EncoderConfig(width=w, height=h, fps_num=fps_num, fps_den=fps_den,
+                        bit_depth=depth, qp=args.qp, keyint=args.keyint)
+    for k, v in PRESETS[args.preset].items():
+        setattr(cfg, k, v)
+    if args.no_deblock:
+        cfg.deblock = False
+    enc = IntraEncoder(cfg)
+    keyint = 1 if args.all_intra else max(args.keyint, 1)
+    maxv = (1 << depth) - 1
+
+    out = open(args.output, "wb")
+    recon_w = None
+    if args.recon:
+        recon_w = Y4MWriter(args.recon, w, h, fps_num, fps_den, depth)
+    csv = open(args.csv, "w") if args.csv else None
+    if csv:
+        csv.write("poc,type,qp,bits,psnr_y\n")
+
+    total_bits = 0
+    n = 0
+    t0 = time.perf_counter()
+    psnr_acc = 0.0
+    for frame in reader:
+        if args.frames and n >= args.frames:
+            break
+        y, cb, cr = frame
+        if n % keyint == 0:
+            res = enc.encode_frame(y, cb, cr)
+            enc.ref = res.recon
+            enc.poc = 0
+            ftype = "I"
+        else:
+            res = enc.encode_frame_p(y, cb, cr)
+            ftype = "P"
+        out.write(res.bitstream)
+        total_bits += res.bits
+        py = psnr(res.recon.y[:h, :w], np.asarray(y), maxv)
+        psnr_acc += py
+        if recon_w:
+            recon_w.write_frame(res.recon.y[:h, :w],
+                                res.recon.cb[:h // 2, :w // 2],
+                                res.recon.cr[:h // 2, :w // 2])
+        if csv:
+            csv.write(f"{n},{ftype},{cfg.qp},{res.bits},{py:.4f}\n")
+        print(f"frame {n:5d} {ftype} qp {cfg.qp} bits {res.bits:8d} "
+              f"Y-PSNR {py:6.3f}", file=sys.stderr)
+        n += 1
+    dt = time.perf_counter() - t0
+    out.close()
+    if recon_w:
+        recon_w.close()
+    if csv:
+        csv.close()
+    fps = n / dt if dt > 0 else 0
+    kbps = total_bits * (fps_num / fps_den) / max(n, 1) / 1000
+    print(f"encoded {n} frames in {dt:.2f}s ({fps:.2f} fps), "
+          f"{kbps:.1f} kb/s, avg Y-PSNR {psnr_acc / max(n, 1):.3f} dB",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
