@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--fps", type=float, default=25.0, help="raw yuv fps")
     p.add_argument("--input-depth", type=int, default=8)
     p.add_argument("-q", "--qp", type=int, default=32)
+    p.add_argument("--bitrate", type=int, default=0,
+                   help="target kbps (ABR mode)")
+    p.add_argument("--crf", type=float, default=0.0,
+                   help="constant rate factor mode")
     p.add_argument("--preset", default="medium", choices=sorted(PRESETS))
     p.add_argument("-I", "--keyint", type=int, default=250)
     p.add_argument("-f", "--frames", type=int, default=0,
@@ -79,11 +83,20 @@ def main(argv=None) -> int:
     reader, w, h, fps_num, fps_den, depth = open_input(args)
     cfg = EncoderConfig(width=w, height=h, fps_num=fps_num, fps_den=fps_den,
                         bit_depth=depth, qp=args.qp, keyint=args.keyint)
+    if args.bitrate:
+        cfg.rc_mode = "abr"
+        cfg.bitrate = args.bitrate
+    elif args.crf:
+        cfg.rc_mode = "crf"
+        cfg.crf = args.crf
     for k, v in PRESETS[args.preset].items():
         setattr(cfg, k, v)
     if args.no_deblock:
         cfg.deblock = False
     enc = IntraEncoder(cfg)
+    from .enc.ratecontrol import RateControl
+    rc = RateControl(cfg)
+    prev_y = None
     keyint = 1 if args.all_intra else max(args.keyint, 1)
     maxv = (1 << depth) - 1
 
@@ -103,14 +116,20 @@ def main(argv=None) -> int:
         if args.frames and n >= args.frames:
             break
         y, cb, cr = frame
-        if n % keyint == 0:
-            res = enc.encode_frame(y, cb, cr)
+        is_intra = n % keyint == 0
+        cplx = rc.frame_complexity(np.asarray(y),
+                                   None if is_intra else prev_y)
+        fqp = rc.frame_qp(is_intra, cplx)
+        if is_intra:
+            res = enc.encode_frame(y, cb, cr, qp=fqp)
             enc.ref = res.recon
             enc.poc = 0
             ftype = "I"
         else:
-            res = enc.encode_frame_p(y, cb, cr)
+            res = enc.encode_frame_p(y, cb, cr, qp=fqp)
             ftype = "P"
+        rc.frame_done(res.bits, fqp, cplx, is_intra)
+        prev_y = np.asarray(y)
         out.write(res.bitstream)
         total_bits += res.bits
         py = psnr(res.recon.y[:h, :w], np.asarray(y), maxv)
@@ -120,8 +139,8 @@ def main(argv=None) -> int:
                                 res.recon.cb[:h // 2, :w // 2],
                                 res.recon.cr[:h // 2, :w // 2])
         if csv:
-            csv.write(f"{n},{ftype},{cfg.qp},{res.bits},{py:.4f}\n")
-        print(f"frame {n:5d} {ftype} qp {cfg.qp} bits {res.bits:8d} "
+            csv.write(f"{n},{ftype},{fqp},{res.bits},{py:.4f}\n")
+        print(f"frame {n:5d} {ftype} qp {fqp} bits {res.bits:8d} "
               f"Y-PSNR {py:6.3f}", file=sys.stderr)
         n += 1
     dt = time.perf_counter() - t0

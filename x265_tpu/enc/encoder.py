@@ -60,22 +60,24 @@ class IntraEncoder:
 
     def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      *, use_device_recon: bool = False,
-                     use_native_cabac: bool = True) -> FrameResult:
+                     use_native_cabac: bool = True,
+                     qp: int | None = None) -> FrameResult:
         cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
         w, h = cfg.width_padded, cfg.height_padded
         yp = pad_plane(np.asarray(y), h, w)
         cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
         crp = pad_plane(np.asarray(cr), h // 2, w // 2)
 
-        depth8, mode8 = analyze_intra_frame(yp, cfg.qp, cfg.ctu_size,
+        depth8, mode8 = analyze_intra_frame(yp, qp, cfg.ctu_size,
                                             cfg.bit_depth)
         if use_device_recon:
             from .intra_recon_tpu import reconstruct_intra_frame_tpu
             syn, recon = reconstruct_intra_frame_tpu(yp, cbp, crp, depth8,
-                                                     mode8, cfg)
+                                                     mode8, cfg, qp)
         else:
             syn, recon = reconstruct_intra_frame(yp, cbp, crp, depth8,
-                                                 mode8, cfg)
+                                                 mode8, cfg, qp)
         if cfg.deblock:
             # in-loop filter on the output/reference picture (intra
             # prediction inside the frame used the unfiltered recon)
@@ -84,7 +86,7 @@ class IntraEncoder:
                 from ..ops.deblock import deblock_frame
                 dy, dcb, dcr = deblock_frame(
                     jnp.asarray(recon.y), jnp.asarray(recon.cb),
-                    jnp.asarray(recon.cr), depth8, cfg.ctu_size, cfg.qp,
+                    jnp.asarray(recon.cr), depth8, cfg.ctu_size, qp,
                     cfg.bit_depth)
                 recon = ReconFrame(np.asarray(dy), np.asarray(dcb),
                                    np.asarray(dcr))
@@ -92,22 +94,22 @@ class IntraEncoder:
                 from ..ops.deblock import deblock_frame_np
                 dy, dcb, dcr = deblock_frame_np(
                     recon.y, recon.cb, recon.cr, depth8, cfg.ctu_size,
-                    cfg.qp, cfg.bit_depth)
+                    qp, cfg.bit_depth)
                 recon = ReconFrame(dy, dcb, dcr)
 
-        sw = write_slice_header(cfg, I_SLICE, idr=True)
+        sw = write_slice_header(cfg, I_SLICE, idr=True, slice_qp=qp)
         if use_native_cabac:
             from ..bitstream.ctx_tables import init_states
             from ..native.entropy_native import encode_intra_slice_native
             payload, tail_val, tail_bits = encode_intra_slice_native(
                 syn.depth8, syn.mode8, syn.coeff_y, syn.coeff_cb,
                 syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
-                init_states(I_SLICE, cfg.qp))
+                init_states(I_SLICE, qp))
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)
         else:
-            syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, cfg.qp)
+            syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, qp)
             cab = syntax.encode_slice_data()
             cab.finish_into(sw)
         sw.align_one()
@@ -123,30 +125,31 @@ class IntraEncoder:
                            bits=len(stream) * 8)
 
     def encode_frame_p(self, y: np.ndarray, cb: np.ndarray,
-                       cr: np.ndarray) -> FrameResult:
+                       cr: np.ndarray, qp: int | None = None) -> FrameResult:
         """Encode one P frame against the previous reconstructed
         reference (IPPP low-delay, x265's default P-slice path)."""
         from ..bitstream.ctx_tables import init_states
         from .inter_frame import encode_p_frame_arrays
         assert self.ref is not None, "no reference: encode an I frame first"
         cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
         w, h = cfg.width_padded, cfg.height_padded
         yp = pad_plane(np.asarray(y), h, w)
         cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
         crp = pad_plane(np.asarray(cr), h // 2, w // 2)
-        syn, recon = encode_p_frame_arrays(yp, cbp, crp, self.ref, cfg)
+        syn, recon = encode_p_frame_arrays(yp, cbp, crp, self.ref, cfg, qp)
         if cfg.deblock:
             from ..ops.deblock import deblock_luma_np, inter_bs_maps
             vbs, hbs = inter_bs_maps(syn.depth8, syn.mv8, syn.coeff_y,
                                      cfg.ctu_size)
             recon = ReconFrame(
-                deblock_luma_np(recon.y, vbs, hbs, cfg.qp, cfg.bit_depth),
+                deblock_luma_np(recon.y, vbs, hbs, qp, cfg.bit_depth),
                 recon.cb, recon.cr)
 
         self.poc += 1
         sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
-                                max_merge=syn.max_merge)
-        syntax = SliceSyntaxEncoder(cfg, syn, P_SLICE, cfg.qp)
+                                max_merge=syn.max_merge, slice_qp=qp)
+        syntax = SliceSyntaxEncoder(cfg, syn, P_SLICE, qp)
         cab = syntax.encode_slice_data()
         cab.finish_into(sw)
         sw.align_one()

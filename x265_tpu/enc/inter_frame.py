@@ -30,9 +30,9 @@ from ..ops.transforms import dct_batch, idct_batch, quant_batch, dequant_batch
 from .intra_recon import ReconFrame
 
 
-@partial(jax.jit, static_argnames=("n", "qp", "qpc", "bit_depth"))
+@partial(jax.jit, static_argnames=("n", "bit_depth"))
 def _mc_recon_size(orig_y, orig_cb, orig_cr, ref_y, ref_cb, ref_cr,
-                   mvgrid, *, n: int, qp: int, qpc: int, bit_depth: int):
+                   mvgrid, qp, qpc, *, n: int, bit_depth: int):
     """Dense MC + residual coding for every n-block of the frame.
 
     mvgrid: (by, bx, 2) qpel. Returns (recon_y, coeff_y, recon_cb,
@@ -87,7 +87,7 @@ def _mc_recon_size(orig_y, orig_cb, orig_cr, ref_y, ref_cb, ref_cr,
 
 def encode_p_frame_arrays(orig_y: np.ndarray, orig_cb: np.ndarray,
                           orig_cr: np.ndarray, ref: ReconFrame,
-                          cfg: EncoderConfig
+                          cfg: EncoderConfig, qp: int | None = None
                           ) -> tuple[FramePSyntax, ReconFrame]:
     """Full P-frame decision + reconstruction. Planes already padded to
     8-multiples (the coded size); internally everything runs on
@@ -108,7 +108,7 @@ def encode_p_frame_arrays(orig_y: np.ndarray, orig_cb: np.ndarray,
     ref_cr = padp(ref.cr, hp // 2, wp // 2)
     real_h, real_w = h, w
     h, w = hp, wp
-    qp = cfg.qp
+    qp = cfg.qp if qp is None else qp
     qpc = chroma_qp(qp)
     lam = lambda_from_qp(qp)
     sizes = [8, 16, 32]
@@ -163,7 +163,8 @@ def encode_p_frame_arrays(orig_y: np.ndarray, orig_cb: np.ndarray,
         s = n // 8
         grid = mv8[::s, ::s][:by, :bx]
         planes[n] = _mc_recon_size(oy, ocb, ocr, ry, rcb, rcr,
-                                   jnp.asarray(grid), n=n, qp=qp, qpc=qpc,
+                                   jnp.asarray(grid), jnp.int32(qp),
+                                   jnp.int32(qpc), n=n,
                                    bit_depth=cfg.bit_depth)
 
     sel8 = {0: k32, 1: k16}

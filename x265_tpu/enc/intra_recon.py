@@ -46,11 +46,12 @@ def _avail_mask(mask: np.ndarray, x0: int, y0: int, n: int) -> np.ndarray:
 
 def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
                             orig_cr: np.ndarray, depth8: np.ndarray,
-                            mode8: np.ndarray, cfg: EncoderConfig
+                            mode8: np.ndarray, cfg: EncoderConfig,
+                            qp: int | None = None
                             ) -> tuple[FrameIntraSyntax, ReconFrame]:
     h, w = orig_y.shape
     bd = cfg.bit_depth
-    qp = cfg.qp
+    qp = cfg.qp if qp is None else qp
     qpc = chroma_qp(qp)
     maxv = (1 << bd) - 1
     rec_y = np.zeros((h, w), dtype=np.int32)

@@ -208,10 +208,10 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, f0s, x0s, y0s, dt, mt,
     return rec_y, rec_c, cf_y, cf_c
 
 
-@partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "w", "h", "ctu"),
+@partial(jax.jit, static_argnames=("bit_depth", "w", "h", "ctu"),
          donate_argnums=(0, 1, 2, 3))
 def _recon_scan(rec_y, rec_c, cf_y, cf_c, f0s, x0a, y0a, dta, mta,
-                org_y, org_c, *, qp: int, qpc: int, bit_depth: int,
+                org_y, org_c, qp, qpc, *, bit_depth: int,
                 w: int, h: int, ctu: int = 32):
     """Whole-GOP wavefront as one lax.scan over diagonals — a single
     device dispatch for the batch (x265 analog: the entire WPP frame
@@ -257,7 +257,8 @@ def _wavefront_schedule(ncx: int, ncy: int, ctu: int):
 
 def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                               orig_cr: np.ndarray, depth8: np.ndarray,
-                              mode8: np.ndarray, cfg: EncoderConfig
+                              mode8: np.ndarray, cfg: EncoderConfig,
+                              qp: int | None = None
                               ) -> tuple[list[FrameIntraSyntax],
                                          list[ReconFrame]]:
     """Reconstruct a batch of frames. orig_y: (F, H, W) padded planes;
@@ -267,7 +268,8 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     ctu = cfg.ctu_size
     ncx = (w + ctu - 1) // ctu
     ncy = (h + ctu - 1) // ctu
-    qpc = chroma_qp(cfg.qp)
+    qp_frame = cfg.qp if qp is None else qp
+    qpc = chroma_qp(qp_frame)
 
     rec_y = jnp.zeros((nf, h + 1 + EXT_H, w + 1 + EXT_W), jnp.int32)
     rec_c = jnp.zeros((2 * nf, h // 2 + 1 + CEXT_H, w // 2 + 1 + CEXT_W),
@@ -316,8 +318,8 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     rec_y, rec_c, cf_y, cf_c = _recon_scan(
         rec_y, rec_c, cf_y, cf_c, jnp.asarray(f0s), jnp.asarray(x0b),
         jnp.asarray(y0b), jnp.asarray(dta), jnp.asarray(mta),
-        org_y, org_c, qp=cfg.qp, qpc=qpc, bit_depth=cfg.bit_depth,
-        w=w, h=h, ctu=ctu)
+        org_y, org_c, jnp.int32(qp_frame), jnp.int32(qpc),
+        bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu)
 
     rec_y_np = np.asarray(rec_y[:, 1:h + 1, 1:w + 1])
     rec_c_np = np.asarray(rec_c[:, 1:h // 2 + 1, 1:w // 2 + 1])
@@ -335,9 +337,10 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
 
 def reconstruct_intra_frame_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                                 orig_cr: np.ndarray, depth8: np.ndarray,
-                                mode8: np.ndarray, cfg: EncoderConfig
+                                mode8: np.ndarray, cfg: EncoderConfig,
+                                qp: int | None = None
                                 ) -> tuple[FrameIntraSyntax, ReconFrame]:
     syns, recons = reconstruct_intra_gop_tpu(
         orig_y[None], orig_cb[None], orig_cr[None], depth8[None],
-        mode8[None], cfg)
+        mode8[None], cfg, qp)
     return syns[0], recons[0]

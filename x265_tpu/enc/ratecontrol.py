@@ -1,0 +1,109 @@
+"""Frame-level rate control: CQP / CRF / ABR.
+
+The model is the x264-lineage controller x265 uses (reference:
+source/encoder/ratecontrol.cpp rateEstimateQscale:1746, updateVbv,
+qScale2qp): blurred SATD complexity drives qscale through qcompress,
+ABR applies a wanted-bits feedback window, I frames get the ip-factor
+discount. Per-frame serial float math stays on host (it is trivially
+cheap); complexity estimation is a half-res device reduction.
+
+Row-level VBV re-encode (frameencoder.cpp:1632) is deliberately NOT
+ported: it is hostile to batched execution; the plan (SURVEY.md §7.6)
+is predictive per-frame clamps within the same 1-5%% tolerance x265's
+own VBV tests accept.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..common.params import EncoderConfig
+
+
+def qp_to_qscale(qp: float) -> float:
+    return 0.85 * math.pow(2.0, (qp - 12.0) / 6.0)
+
+
+def qscale_to_qp(qscale: float) -> float:
+    return 12.0 + 6.0 * math.log2(qscale / 0.85)
+
+
+class RateControl:
+    QCOMPRESS = 0.6
+    IP_FACTOR = 1.4
+    RATE_TOLERANCE = 1.0
+
+    def __init__(self, cfg: EncoderConfig) -> None:
+        self.cfg = cfg
+        self.mode = cfg.rc_mode
+        self.fps = cfg.fps_num / max(cfg.fps_den, 1)
+        self.bitrate = cfg.bitrate * 1000.0
+        self.frame_count = 0
+        self.total_bits = 0.0
+        self.wanted_bits = 0.0
+        self.short_cplx_sum = 0.0
+        self.short_cplx_count = 0.0
+        self.cplxr_sum = 0.01
+        self.last_qp = float(cfg.qp)
+        ncu = ((cfg.width_padded + 15) // 16) * ((cfg.height_padded + 15) // 16)
+        base_cplx = ncu * 80.0
+        self.rate_factor_crf = math.pow(base_cplx, 1 - self.QCOMPRESS) / \
+            qp_to_qscale(cfg.crf)
+        if self.mode == "abr":
+            # x264-lineage ABR init: plausible starting complexity and a
+            # one-frame wanted-bits window
+            self.cplxr_sum = 0.01 * math.pow(7e5, self.QCOMPRESS) * \
+                math.pow(ncu, 0.5)
+            self.wanted_bits_window = self.bitrate / max(self.fps, 1e-9)
+
+    def frame_complexity(self, y: np.ndarray,
+                         prev_y: np.ndarray | None) -> float:
+        """Half-res complexity proxy (the lookahead satdCost analog)."""
+        d = y[::2, ::2].astype(np.int32)
+        if prev_y is None:
+            gx = np.abs(np.diff(d, axis=1)).sum()
+            gy = np.abs(np.diff(d, axis=0)).sum()
+            return float(gx + gy)
+        p = prev_y[::2, ::2].astype(np.int32)
+        return float(np.abs(d - p).sum())
+
+    def frame_qp(self, is_intra: bool, complexity: float) -> int:
+        if self.mode == "cqp":
+            return self.cfg.qp
+        self.short_cplx_sum = self.short_cplx_sum * 0.5 + complexity
+        self.short_cplx_count = self.short_cplx_count * 0.5 + 1.0
+        blur = max(self.short_cplx_sum / self.short_cplx_count, 1.0)
+        if self.mode == "crf":
+            qscale = math.pow(blur, 1 - self.QCOMPRESS) / self.rate_factor_crf
+        else:   # abr
+            rate_factor = self.wanted_bits_window / self.cplxr_sum
+            qscale = math.pow(blur, 1 - self.QCOMPRESS) / max(rate_factor,
+                                                              1e-9)
+            wanted = self.bitrate / self.fps * (self.frame_count + 1)
+            abr_buffer = 2 * self.RATE_TOLERANCE * self.bitrate
+            if abr_buffer > 0 and self.frame_count > 0:
+                overflow = 1.0 + (self.total_bits - wanted) / abr_buffer
+                qscale *= min(max(overflow, 0.5), 2.0)
+        if is_intra:
+            qscale /= self.IP_FACTOR
+        qp = qscale_to_qp(max(qscale, 1e-6))
+        if self.frame_count > 0:
+            qp = min(max(qp, self.last_qp - 4), self.last_qp + 4)
+        qp = int(round(min(max(qp, 0), 51)))
+        self.last_qp = float(qp)
+        return qp
+
+    def frame_done(self, bits: int, qp: int, complexity: float,
+                   is_intra: bool) -> None:
+        self.frame_count += 1
+        self.total_bits += bits
+        if self.mode == "abr":
+            blur = max(self.short_cplx_sum / max(self.short_cplx_count,
+                                                 1e-9), 1.0)
+            rceq = max(math.pow(blur, 1 - self.QCOMPRESS), 1e-9)
+            qscale = qp_to_qscale(qp) * (self.IP_FACTOR if is_intra else 1.0)
+            self.cplxr_sum = 0.5 * self.cplxr_sum + bits * qscale / rceq
+            self.wanted_bits_window = 0.5 * self.wanted_bits_window + \
+                self.bitrate / self.fps

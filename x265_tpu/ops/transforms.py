@@ -142,27 +142,29 @@ def idct_batch(coef: jnp.ndarray, size: int, bit_depth: int = 8,
     return jnp.swapaxes(r, -1, -2)
 
 
-def quant_batch(coef: jnp.ndarray, size: int, qp: int, bit_depth: int = 8,
+def quant_batch(coef: jnp.ndarray, size: int, qp, bit_depth: int = 8,
                 intra: bool = True) -> jnp.ndarray:
-    """Quantize (B, N, N) int32 coeffs. qp/size are static."""
+    """Quantize (B, N, N) int32 coeffs. size is static; qp may be a
+    python int or a traced scalar (per-frame rate control)."""
     log2n = size.bit_length() - 1
+    qp = jnp.asarray(qp, dtype=jnp.int32)
     per, rem = qp // 6, qp % 6
     qbits = QUANT_SHIFT + per + transform_shift(log2n, bit_depth)
-    add = (171 if intra else 85) << (qbits - 9)
-    scale = int(QUANT_SCALES[rem])
-    # |coef|*scale can exceed int32: do it in two shifts.
-    # abs(coef) <= 32767, scale <= 26214 -> product < 2^30*? 32767*26214 = 8.6e8 < 2^31 OK in int32... keep int32.
+    add = jnp.left_shift(jnp.int32(171 if intra else 85), qbits - 9)
+    scale = jnp.take(jnp.asarray(QUANT_SCALES), rem)
+    # abs(coef) <= 32767, scale <= 26214 -> product < 2^31: int32 safe
     a = jnp.abs(coef)
-    level = (a * scale + add) >> qbits
+    level = jnp.right_shift(a * scale + add, qbits)
     level = jnp.clip(level, 0, 32767)
     return jnp.sign(coef) * level
 
 
-def dequant_batch(level: jnp.ndarray, size: int, qp: int,
+def dequant_batch(level: jnp.ndarray, size: int, qp,
                   bit_depth: int = 8) -> jnp.ndarray:
     log2n = size.bit_length() - 1
+    qp = jnp.asarray(qp, dtype=jnp.int32)
     per, rem = qp // 6, qp % 6
     shift = bit_depth + log2n - 9
-    scale = int(INV_QUANT_SCALES[rem]) << per
+    scale = jnp.left_shift(jnp.take(jnp.asarray(INV_QUANT_SCALES), rem), per)
     v = (level * scale + (1 << (shift - 1))) >> shift
     return jnp.clip(v, -32768, 32767)
