@@ -95,9 +95,12 @@ def main(argv=None) -> int:
         cfg.deblock = False
     enc = IntraEncoder(cfg)
     from .enc.ratecontrol import RateControl
+    from .enc.lookahead import Lookahead
     rc = RateControl(cfg)
+    la = Lookahead(cfg)
+    if args.all_intra:
+        la.keyint = 1
     prev_y = None
-    keyint = 1 if args.all_intra else max(args.keyint, 1)
     maxv = (1 << depth) - 1
 
     out = open(args.output, "wb")
@@ -116,7 +119,7 @@ def main(argv=None) -> int:
         if args.frames and n >= args.frames:
             break
         y, cb, cr = frame
-        is_intra = n % keyint == 0
+        is_intra = la.decide(y) == "I"
         cplx = rc.frame_complexity(np.asarray(y),
                                    None if is_intra else prev_y)
         fqp = rc.frame_qp(is_intra, cplx)

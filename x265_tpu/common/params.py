@@ -49,6 +49,7 @@ class EncoderConfig:
     sao: bool = False
 
     # tools
+    hash_sei: bool = False       # emit decoded-picture-hash SEI (MD5)
     rdoq: bool = False
     sign_hiding: bool = False
     wpp: bool = False

@@ -170,8 +170,19 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
             f = _decode_slice(rbsp, sps, pps, idr=False, ref=ref)
             frames.append(f)
             ref = f
+        elif nal_type == NalUnitType.SUFFIX_SEI:
+            from ..bitstream.sei import parse_picture_hash_sei, picture_md5
+            digests = parse_picture_hash_sei(rbsp)
+            if digests is not None and frames:
+                f = frames[-1]
+                got = picture_md5(f.y, f.cb, f.cr,
+                                  sps.bit_depth if sps else 8)
+                if got != digests:
+                    raise ValueError(
+                        "decoded-picture-hash mismatch: stream corrupt or "
+                        "decoder bug")
         elif nal_type in (NalUnitType.VPS, NalUnitType.AUD,
-                          NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
+                          NalUnitType.PREFIX_SEI):
             continue
     return frames
 

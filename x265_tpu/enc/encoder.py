@@ -119,6 +119,10 @@ class IntraEncoder:
         if self.frame_count == 0:
             nals.extend(self.headers())
         nals.append((NalUnitType.IDR_W_RADL, slice_rbsp))
+        if cfg.hash_sei:
+            from ..bitstream.sei import write_picture_hash_sei
+            nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
+                                               cfg.bit_depth))
         stream = annexb_stream(nals)
         self.frame_count += 1
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
@@ -153,18 +157,24 @@ class IntraEncoder:
         cab = syntax.encode_slice_data()
         cab.finish_into(sw)
         sw.align_one()
-        stream = annexb_stream([(NalUnitType.TRAIL_R, sw.get_bytes())])
+        nals = [(NalUnitType.TRAIL_R, sw.get_bytes())]
+        if cfg.hash_sei:
+            from ..bitstream.sei import write_picture_hash_sei
+            nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
+                                               cfg.bit_depth))
+        stream = annexb_stream(nals)
         self.frame_count += 1
         self.ref = recon
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8)
 
     def encode_sequence(self, frames) -> list[FrameResult]:
-        """IPPP: first frame IDR intra, rest P (keyint honored later
-        with the GOP/lookahead work)."""
+        """IPPP with keyint + scene-cut frame-type decisions."""
+        from .lookahead import Lookahead
+        la = Lookahead(self.cfg)
         results = []
-        for i, (y, cb, cr) in enumerate(frames):
-            if i == 0:
+        for y, cb, cr in frames:
+            if la.decide(y) == "I":
                 r = self.encode_frame(y, cb, cr)
                 self.ref = r.recon
                 self.poc = 0
