@@ -82,7 +82,7 @@ class SliceSyntaxEncoder:
     """Encodes one slice's CTUs into a CABAC bin stream."""
 
     def __init__(self, cfg: EncoderConfig, syn, slice_type: int = I_SLICE,
-                 qp: int | None = None) -> None:
+                 qp: int | None = None, sao_params=None) -> None:
         self.cfg = cfg
         self.syn = syn
         self.slice_type = slice_type
@@ -95,6 +95,7 @@ class SliceSyntaxEncoder:
         self.n8x = self.w // 8
         self.n8y = self.h // 8
         self.is_p = isinstance(syn, FramePSyntax)
+        self.sao_params = sao_params   # (p_y, p_cb, p_cr) or None
         if self.is_p:
             from ..common.mv_derive import MvField
             self.field = MvField(self.n8y, self.n8x)
@@ -112,7 +113,63 @@ class SliceSyntaxEncoder:
         return self.cab
 
     def encode_ctu(self, x0: int, y0: int) -> None:
+        if self.sao_params is not None:
+            self._code_sao(x0 // self.cfg.ctu_size,
+                           y0 // self.cfg.ctu_size)
         self._code_cu_tree(x0, y0, self.cfg.log2_ctu)
+
+    # -- sao syntax (clause 7.3.8.3) --------------------------------------------
+
+    def _code_sao(self, tx: int, ty: int) -> None:
+        cab = self.cab
+        py, pcb, pcr = self.sao_params
+
+        def eq(ax, ay, bx, by):
+            return all(np.array_equal(p[ay, ax], p[by, bx])
+                       for p in (py, pcb, pcr))
+
+        if tx > 0:
+            merge_left = eq(tx - 1, ty, tx, ty)
+            cab.encode_bin(OFF["sao_merge_flag"], int(merge_left))
+            if merge_left:
+                return
+        if ty > 0:
+            merge_up = eq(tx, ty - 1, tx, ty)
+            cab.encode_bin(OFF["sao_merge_flag"], int(merge_up))
+            if merge_up:
+                return
+        for cidx, p in enumerate((py, pcb, pcr)):
+            t = int(p[ty, tx, 0])
+            if cidx == 0:
+                self._code_sao_type(t)
+            elif cidx == 1:
+                self._code_sao_type(t)
+            if t == 0:
+                continue
+            offs = [int(v) for v in p[ty, tx, 2:6]]
+            for o in offs:
+                self._code_sao_offset_abs(abs(o))
+            if t == 1:                       # band
+                for o in offs:
+                    if o != 0:
+                        cab.encode_bypass(1 if o < 0 else 0)
+                cab.encode_bypass_bins(int(p[ty, tx, 1]), 5)
+            elif cidx == 0:
+                cab.encode_bypass_bins(int(p[ty, tx, 1]), 2)
+            elif cidx == 1:
+                cab.encode_bypass_bins(int(p[ty, tx, 1]), 2)
+
+    def _code_sao_type(self, t: int) -> None:
+        self.cab.encode_bin(OFF["sao_type_idx"], int(t != 0))
+        if t:
+            self.cab.encode_bypass(int(t == 2))
+
+    def _code_sao_offset_abs(self, v: int) -> None:
+        cmax = 7
+        for i in range(v):
+            self.cab.encode_bypass(1)
+        if v < cmax:
+            self.cab.encode_bypass(0)
 
     # -- coding quadtree (clause 7.3.8.4) ---------------------------------------
 

@@ -206,8 +206,10 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
         assert nneg == 1 and npos == 0, "only 1-ref IPPP streams"
         r.read_ue()                # delta_poc_s0_minus1
         r.read_flag()              # used_by_curr_pic_s0_flag
+    sao_luma = sao_chroma = False
     if sps.sao:
-        raise NotImplementedError("sao decode lands with sao encode")
+        sao_luma = bool(r.read_flag())
+        sao_chroma = bool(r.read_flag())
     if slice_type == 1:
         assert r.read_flag() == 0  # num_ref_idx_active_override_flag
         max_merge = 5 - r.read_ue()  # five_minus_max_num_merge_cand
@@ -219,14 +221,17 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
     r.byte_align()
     data = rbsp[r.bit_position // 8:]
     if slice_type == 2:
-        frame = SliceDecoder(sps, pps, qp, data).decode()
+        dec = SliceDecoder(sps, pps, qp, data, sao=sps.sao)
+        frame = dec.decode()
         if not pps.deblock_disabled:
             from ..ops.deblock import deblock_frame_np
             frame.y, frame.cb, frame.cr = deblock_frame_np(
                 frame.y, frame.cb, frame.cr, frame.depth8,
                 1 << sps.log2_ctu, qp, sps.bit_depth)
+        _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
         return frame
-    frame = PSliceDecoder(sps, pps, qp, data, ref, max_merge).decode()
+    dec = PSliceDecoder(sps, pps, qp, data, ref, max_merge, sao=sps.sao)
+    frame = dec.decode()
     if not pps.deblock_disabled:
         from ..ops.deblock import deblock_luma_np, inter_bs_maps
         vbs, hbs = inter_bs_maps(frame.depth8, frame.mv8, frame.coeff_y,
@@ -234,16 +239,35 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
         frame.y = deblock_luma_np(frame.y, vbs, hbs, qp, sps.bit_depth)
         # chroma deblock applies only on bs==2 (intra) edges: none in an
         # all-inter P frame
+    _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
     return frame
+
+
+def _apply_sao(frame: DecodedFrame, dec, sps: SpsInfo, sao_luma: bool,
+               sao_chroma: bool) -> None:
+    if not sps.sao or getattr(dec, "sao_py", None) is None:
+        return
+    from ..ops.sao import apply_sao_component_np
+    ctu = 1 << sps.log2_ctu
+    if sao_luma:
+        frame.y = apply_sao_component_np(frame.y, dec.sao_py, ctu,
+                                         sps.bit_depth)
+    if sao_chroma:
+        frame.cb = apply_sao_component_np(frame.cb, dec.sao_pcb, ctu // 2,
+                                          sps.bit_depth)
+        frame.cr = apply_sao_component_np(frame.cr, dec.sao_pcr, ctu // 2,
+                                          sps.bit_depth)
 
 
 class SliceDecoder:
     """CABAC slice-data parser + spec reconstruction (intra)."""
 
-    def __init__(self, sps: SpsInfo, pps: PpsInfo, qp: int, data: bytes) -> None:
+    def __init__(self, sps: SpsInfo, pps: PpsInfo, qp: int, data: bytes,
+                 sao: bool = False) -> None:
         self.sps = sps
         self.pps = pps
         self.qp = qp
+        self._init_sao(sao)
         ctx = ContextSet(0)
         ctx.states = init_states(I_SLICE, qp)
         self.cab = CabacDecoder(data, ctx)
@@ -261,13 +285,68 @@ class SliceDecoder:
         self.qp_cb = chroma_qp(min(max(qp + pps.cb_qp_offset, 0), 57))
         self.qp_cr = chroma_qp(min(max(qp + pps.cr_qp_offset, 0), 57))
 
+    def _init_sao(self, sao: bool) -> None:
+        self.sao_on = sao
+        self.sao_py = self.sao_pcb = self.sao_pcr = None
+
+    def _parse_sao(self, tx: int, ty: int) -> None:
+        cab = self.cab
+        if tx > 0 and cab.decode_bin(OFF["sao_merge_flag"]):
+            for p in (self.sao_py, self.sao_pcb, self.sao_pcr):
+                p[ty, tx] = p[ty, tx - 1]
+            return
+        if ty > 0 and cab.decode_bin(OFF["sao_merge_flag"]):
+            for p in (self.sao_py, self.sao_pcb, self.sao_pcr):
+                p[ty, tx] = p[ty - 1, tx]
+            return
+        ptab = (self.sao_py, self.sao_pcb, self.sao_pcr)
+        t_chroma = 0
+        for cidx, p in enumerate(ptab):
+            if cidx < 2:
+                t = 0
+                if cab.decode_bin(OFF["sao_type_idx"]):
+                    t = 2 if cab.decode_bypass() else 1
+                if cidx == 1:
+                    t_chroma = t
+            else:
+                t = t_chroma
+            p[ty, tx, 0] = t
+            if t == 0:
+                continue
+            offs = []
+            for _ in range(4):
+                v = 0
+                while v < 7 and cab.decode_bypass():
+                    v += 1
+                offs.append(v)
+            if t == 1:
+                for i in range(4):
+                    if offs[i] and cab.decode_bypass():
+                        offs[i] = -offs[i]
+                p[ty, tx, 1] = cab.decode_bypass_bins(5)
+            else:
+                offs = [offs[0], offs[1], -offs[2], -offs[3]]
+                if cidx == 0:
+                    p[ty, tx, 1] = cab.decode_bypass_bins(2)
+                elif cidx == 1:
+                    p[ty, tx, 1] = cab.decode_bypass_bins(2)
+                else:
+                    p[ty, tx, 1] = ptab[1][ty, tx, 1]
+            p[ty, tx, 2:6] = offs
+
     def decode(self) -> DecodedFrame:
         log2_ctu = self.sps.log2_ctu
         ctu = 1 << log2_ctu
         rows = (self.h + ctu - 1) >> log2_ctu
         cols = (self.w + ctu - 1) >> log2_ctu
+        if self.sao_on:
+            self.sao_py = np.zeros((rows, cols, 6), np.int32)
+            self.sao_pcb = np.zeros((rows, cols, 6), np.int32)
+            self.sao_pcr = np.zeros((rows, cols, 6), np.int32)
         for addr in range(rows * cols):
             cy, cx = divmod(addr, cols)
+            if self.sao_on:
+                self._parse_sao(cx, cy)
             self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
             end = self.cab.decode_terminate()
             assert end == (1 if addr == rows * cols - 1 else 0), \
@@ -574,7 +653,9 @@ class PSliceDecoder:
     """
 
     def __init__(self, sps: SpsInfo, pps: PpsInfo, qp: int, data: bytes,
-                 ref: DecodedFrame, max_merge: int) -> None:
+                 ref: DecodedFrame, max_merge: int,
+                 sao: bool = False) -> None:
+        self._init_sao(sao)
         self.sps = sps
         self.pps = pps
         self.qp = qp
@@ -602,14 +683,23 @@ class PSliceDecoder:
         ctu = 1 << log2_ctu
         rows = (self.h + ctu - 1) >> log2_ctu
         cols = (self.w + ctu - 1) >> log2_ctu
+        if self.sao_on:
+            self.sao_py = np.zeros((rows, cols, 6), np.int32)
+            self.sao_pcb = np.zeros((rows, cols, 6), np.int32)
+            self.sao_pcr = np.zeros((rows, cols, 6), np.int32)
         for addr in range(rows * cols):
             cy, cx = divmod(addr, cols)
+            if self.sao_on:
+                self._parse_sao(cx, cy)
             self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
             end = self.cab.decode_terminate()
             assert end == (1 if addr == rows * cols - 1 else 0)
         return DecodedFrame(self.y, self.cb, self.cr, self.qp,
                             depth8=self.depth8, mv8=self.mv8,
                             coeff_y=self.coeff_y)
+
+    _init_sao = SliceDecoder._init_sao
+    _parse_sao = SliceDecoder._parse_sao
 
     def _depth_at(self, x, y):
         return int(self.depth8[y >> 3, x >> 3])

@@ -97,6 +97,25 @@ class IntraEncoder:
                     qp, cfg.bit_depth)
                 recon = ReconFrame(dy, dcb, dcr)
 
+        sao_params = None
+        if cfg.sao:
+            from ..ops.sao import (choose_sao_params, choose_sao_chroma,
+                                   apply_sao_component_np)
+            p_y = choose_sao_params(yp, recon.y, cfg.ctu_size, qp,
+                                    cfg.bit_depth)
+            p_cb, p_cr = choose_sao_chroma(cbp, recon.cb, crp, recon.cr,
+                                           cfg.ctu_size // 2, qp,
+                                           cfg.bit_depth)
+            recon = ReconFrame(
+                apply_sao_component_np(recon.y, p_y, cfg.ctu_size,
+                                       cfg.bit_depth),
+                apply_sao_component_np(recon.cb, p_cb, cfg.ctu_size // 2,
+                                       cfg.bit_depth),
+                apply_sao_component_np(recon.cr, p_cr, cfg.ctu_size // 2,
+                                       cfg.bit_depth))
+            sao_params = (p_y, p_cb, p_cr)
+            use_native_cabac = False   # native path grows sao support later
+
         sw = write_slice_header(cfg, I_SLICE, idr=True, slice_qp=qp)
         if use_native_cabac:
             from ..bitstream.ctx_tables import init_states
@@ -109,7 +128,8 @@ class IntraEncoder:
             if tail_bits:
                 sw.write(tail_val, tail_bits)
         else:
-            syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, qp)
+            syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, qp,
+                                        sao_params=sao_params)
             cab = syntax.encode_slice_data()
             cab.finish_into(sw)
         sw.align_one()
@@ -150,10 +170,29 @@ class IntraEncoder:
                 deblock_luma_np(recon.y, vbs, hbs, qp, cfg.bit_depth),
                 recon.cb, recon.cr)
 
+        sao_params = None
+        if cfg.sao:
+            from ..ops.sao import (choose_sao_params, choose_sao_chroma,
+                                   apply_sao_component_np)
+            p_y = choose_sao_params(yp, recon.y, cfg.ctu_size, qp,
+                                    cfg.bit_depth)
+            p_cb, p_cr = choose_sao_chroma(cbp, recon.cb, crp, recon.cr,
+                                           cfg.ctu_size // 2, qp,
+                                           cfg.bit_depth)
+            recon = ReconFrame(
+                apply_sao_component_np(recon.y, p_y, cfg.ctu_size,
+                                       cfg.bit_depth),
+                apply_sao_component_np(recon.cb, p_cb, cfg.ctu_size // 2,
+                                       cfg.bit_depth),
+                apply_sao_component_np(recon.cr, p_cr, cfg.ctu_size // 2,
+                                       cfg.bit_depth))
+            sao_params = (p_y, p_cb, p_cr)
+
         self.poc += 1
         sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
                                 max_merge=syn.max_merge, slice_qp=qp)
-        syntax = SliceSyntaxEncoder(cfg, syn, P_SLICE, qp)
+        syntax = SliceSyntaxEncoder(cfg, syn, P_SLICE, qp,
+                                    sao_params=sao_params)
         cab = syntax.encode_slice_data()
         cab.finish_into(sw)
         sw.align_one()
