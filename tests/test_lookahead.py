@@ -23,11 +23,21 @@ def test_keyint_schedule():
     assert types == ["I", "P", "P", "P", "I", "P", "P", "P", "I"]
 
 
+def _textured(seed):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(0, 50, (64, 96))
+    k = np.ones(9) / 9.0
+    for axis in (0, 1):
+        img = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), axis, img)
+    return np.clip(img * 6 + 128, 0, 255).astype(np.uint8)
+
+
 def test_scenecut_forces_idr():
     cfg = EncoderConfig(width=96, height=64, keyint=250)
     la = Lookahead(cfg)
-    a, b = _noise(2), _noise(3)     # unrelated content = scene change
+    a, b = _textured(2), _textured(3)   # unrelated scenes
     assert la.decide(a) == "I"
     assert la.decide(np.clip(a.astype(np.int32) + 2, 0, 255)
                      .astype(np.uint8)) == "P"
-    assert la.decide(b) == "I"      # hard cut detected
+    assert la.decide(b) == "I"          # hard cut detected

@@ -52,3 +52,29 @@ def test_variable_qp_stream_conformant():
     for i, (d, r) in enumerate(zip(decs, results)):
         assert d.qp == qps[i]
         np.testing.assert_array_equal(d.y, r.recon.y, err_msg=f"frame {i}")
+
+
+def test_two_pass_hits_target():
+    """Pass-2 solver: recorded pass-1 stats -> QPs that hit the bit
+    target under the bits~k/qscale model."""
+    from x265_tpu.enc.ratecontrol import (TwoPassLog, TwoPassRateControl,
+                                          qp_to_qscale)
+    cfg = EncoderConfig(width=96, height=64, qp=32, rc_mode="abr",
+                        bitrate=100, fps_num=25, fps_den=1)
+    log = TwoPassLog("/tmp/test2pass.log")
+    rng = np.random.default_rng(0)
+    for i in range(50):
+        t = "I" if i % 25 == 0 else "P"
+        cplx = 3e4 if t == "I" else float(rng.uniform(5e3, 2e4))
+        bits = int((60000 if t == "I" else 9000) * cplx / 2e4)
+        log.record(t, 32, bits, cplx)
+    log.write()
+    log2 = TwoPassLog.read("/tmp/test2pass.log")
+    rc2 = TwoPassRateControl(cfg, log2)
+    est = 0.0
+    for i in range(50):
+        t, qp = rc2.frame_qp()
+        est += log2.frames[i]["bits"] * qp_to_qscale(log2.frames[i]["qp"]) \
+            / qp_to_qscale(qp) / (1.0 if t == "P" else 1.0)
+    target = 100e3 / 25 * 50
+    assert abs(est - target) / target < 0.25, (est, target)

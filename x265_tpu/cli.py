@@ -58,6 +58,12 @@ def parse_args(argv=None):
     p.add_argument("--csv", help="per-frame stats CSV")
     p.add_argument("--all-intra", action="store_true",
                    help="force every frame intra (keyint 1)")
+    p.add_argument("--pass", dest="rc_pass", type=int, default=0,
+                   choices=(0, 1, 2), help="two-pass rate control pass")
+    p.add_argument("--stats", default="x265t_2pass.log",
+                   help="two-pass stats file")
+    p.add_argument("--analysis-save", help="save analysis decisions (.npz)")
+    p.add_argument("--analysis-load", help="reuse analysis decisions (.npz)")
     return p.parse_args(argv)
 
 
@@ -94,10 +100,18 @@ def main(argv=None) -> int:
     if args.no_deblock:
         cfg.deblock = False
     enc = IntraEncoder(cfg)
-    from .enc.ratecontrol import RateControl
+    from .enc.ratecontrol import RateControl, TwoPassLog, TwoPassRateControl
     from .enc.lookahead import Lookahead
     rc = RateControl(cfg)
     la = Lookahead(cfg)
+    pass1_log = TwoPassLog(args.stats) if args.rc_pass == 1 else None
+    rc2 = None
+    if args.rc_pass == 2:
+        rc2 = TwoPassRateControl(cfg, TwoPassLog.read(args.stats))
+    analysis_store = [] if args.analysis_save else None
+    analysis_src = None
+    if args.analysis_load:
+        analysis_src = np.load(args.analysis_load, allow_pickle=True)
     if args.all_intra:
         la.keyint = 1
     prev_y = None
@@ -119,10 +133,15 @@ def main(argv=None) -> int:
         if args.frames and n >= args.frames:
             break
         y, cb, cr = frame
-        is_intra = la.decide(y) == "I"
-        cplx = rc.frame_complexity(np.asarray(y),
-                                   None if is_intra else prev_y)
-        fqp = rc.frame_qp(is_intra, cplx)
+        if rc2 is not None:
+            ftype2, fqp = rc2.frame_qp()
+            is_intra = ftype2 == "I"
+            cplx = 0.0
+        else:
+            is_intra = la.decide(y) == "I"
+            cplx = rc.frame_complexity(np.asarray(y),
+                                       None if is_intra else prev_y)
+            fqp = rc.frame_qp(is_intra, cplx)
         if is_intra:
             res = enc.encode_frame(y, cb, cr, qp=fqp)
             enc.ref = res.recon
@@ -132,6 +151,15 @@ def main(argv=None) -> int:
             res = enc.encode_frame_p(y, cb, cr, qp=fqp)
             ftype = "P"
         rc.frame_done(res.bits, fqp, cplx, is_intra)
+        if pass1_log is not None:
+            pass1_log.record(ftype, fqp, res.bits, max(cplx, 1.0))
+        if analysis_store is not None:
+            rec = dict(type=ftype, depth8=res.syntax.depth8)
+            if ftype == "I":
+                rec["mode8"] = res.syntax.mode8
+            else:
+                rec["mv8"] = res.syntax.mv8
+            analysis_store.append(rec)
         prev_y = np.asarray(y)
         out.write(res.bitstream)
         total_bits += res.bits
@@ -152,6 +180,11 @@ def main(argv=None) -> int:
         recon_w.close()
     if csv:
         csv.close()
+    if pass1_log is not None:
+        pass1_log.write()
+    if analysis_store is not None:
+        np.savez_compressed(args.analysis_save,
+                            frames=np.array(analysis_store, dtype=object))
     fps = n / dt if dt > 0 else 0
     kbps = total_bits * (fps_num / fps_den) / max(n, 1) / 1000
     print(f"encoded {n} frames in {dt:.2f}s ({fps:.2f} fps), "

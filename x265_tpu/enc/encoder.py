@@ -114,16 +114,16 @@ class IntraEncoder:
                 apply_sao_component_np(recon.cr, p_cr, cfg.ctu_size // 2,
                                        cfg.bit_depth))
             sao_params = (p_y, p_cb, p_cr)
-            use_native_cabac = False   # native path grows sao support later
 
         sw = write_slice_header(cfg, I_SLICE, idr=True, slice_qp=qp)
         if use_native_cabac:
             from ..bitstream.ctx_tables import init_states
-            from ..native.entropy_native import encode_intra_slice_native
-            payload, tail_val, tail_bits = encode_intra_slice_native(
-                syn.depth8, syn.mode8, syn.coeff_y, syn.coeff_cb,
-                syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
-                init_states(I_SLICE, qp))
+            from ..native.entropy_native import encode_slice_native
+            payload, tail_val, tail_bits = encode_slice_native(
+                2, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
+                w, h, cfg.log2_ctu, cfg.log2_min_cu,
+                init_states(I_SLICE, qp), mode8=syn.mode8,
+                sao_params=sao_params)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)
@@ -191,10 +191,16 @@ class IntraEncoder:
         self.poc += 1
         sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
                                 max_merge=syn.max_merge, slice_qp=qp)
-        syntax = SliceSyntaxEncoder(cfg, syn, P_SLICE, qp,
-                                    sao_params=sao_params)
-        cab = syntax.encode_slice_data()
-        cab.finish_into(sw)
+        from ..bitstream.ctx_tables import init_states
+        from ..native.entropy_native import encode_slice_native
+        payload, tail_val, tail_bits = encode_slice_native(
+            1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
+            w, h, cfg.log2_ctu, cfg.log2_min_cu,
+            init_states(P_SLICE, qp), mv8=syn.mv8,
+            max_merge=syn.max_merge, sao_params=sao_params)
+        sw.write_bytes(payload)
+        if tail_bits:
+            sw.write(tail_val, tail_bits)
         sw.align_one()
         nals = [(NalUnitType.TRAIL_R, sw.get_bytes())]
         if cfg.hash_sei:

@@ -208,11 +208,16 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, f0s, x0s, y0s, dt, mt,
     return rec_y, rec_c, cf_y, cf_c
 
 
-@partial(jax.jit, static_argnames=("bit_depth", "w", "h", "ctu"),
+@partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "w", "h",
+                                   "ctu"),
          donate_argnums=(0, 1, 2, 3))
 def _recon_scan(rec_y, rec_c, cf_y, cf_c, f0s, x0a, y0a, dta, mta,
                 org_y, org_c, qp, qpc, *, bit_depth: int,
                 w: int, h: int, ctu: int = 32):
+    # qp static here on purpose: the wavefront scan is the largest jit
+    # in the encoder and dynamic-shift quantization costs ~2x on TPU;
+    # intra frames are rare under rate control, so per-QP compiles are
+    # cheap and cached
     """Whole-GOP wavefront as one lax.scan over diagonals — a single
     device dispatch for the batch (x265 analog: the entire WPP frame
     compress across all frame threads, frameencoder.cpp:850-880)."""
@@ -318,7 +323,7 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     rec_y, rec_c, cf_y, cf_c = _recon_scan(
         rec_y, rec_c, cf_y, cf_c, jnp.asarray(f0s), jnp.asarray(x0b),
         jnp.asarray(y0b), jnp.asarray(dta), jnp.asarray(mta),
-        org_y, org_c, jnp.int32(qp_frame), jnp.int32(qpc),
+        org_y, org_c, qp=int(qp_frame), qpc=int(qpc),
         bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu)
 
     rec_y_np = np.asarray(rec_y[:, 1:h + 1, 1:w + 1])

@@ -17,7 +17,9 @@ from ..common.params import EncoderConfig
 
 
 class Lookahead:
-    SCENECUT_BIAS = 0.4    # inter/intra cost ratio above which we cut
+    # cut when inter cost exceeds (1 - scenecut/100) * intra cost;
+    # x265 default --scenecut 40 -> factor 0.6 (slicetype.cpp:2229)
+    SCENECUT_BIAS = 0.6
 
     def __init__(self, cfg: EncoderConfig) -> None:
         self.cfg = cfg
@@ -27,14 +29,31 @@ class Lookahead:
 
     @staticmethod
     def _half(y: np.ndarray) -> np.ndarray:
-        return y[::2, ::2].astype(np.int32)
+        f = 4 if min(y.shape) >= 480 else 2
+        return y[::f, ::f].astype(np.int32)
 
     @staticmethod
     def _intra_energy(h: np.ndarray) -> float:
-        """Half-res gradient energy: the lowres intra-cost proxy."""
+        """Lowres gradient energy: the lowres intra-cost proxy."""
         gx = np.abs(np.diff(h, axis=1)).sum()
         gy = np.abs(np.diff(h, axis=0)).sum()
         return float(gx + gy) + 1.0
+
+    @staticmethod
+    def _inter_cost(h: np.ndarray, prev: np.ndarray) -> float:
+        """Global-motion-compensated lowres SAD (the lookahead inter-cost
+        proxy; x265 uses per-block lowres ME, slicetype.cpp:3216)."""
+        best = np.inf
+        hh, ww = h.shape
+        for dy in (-4, -2, -1, 0, 1, 2, 4):
+            for dx in (-4, -2, -1, 0, 1, 2, 4):
+                c = h[max(dy, 0):hh + min(dy, 0), max(dx, 0):ww + min(dx, 0)]
+                p = prev[max(-dy, 0):hh + min(-dy, 0),
+                         max(-dx, 0):ww + min(-dx, 0)]
+                sad = float(np.abs(c - p).mean())
+                if sad < best:
+                    best = sad
+        return best * h.size
 
     def decide(self, y: np.ndarray) -> str:
         """Returns 'I' or 'P' for the next frame, updating state."""
@@ -44,7 +63,7 @@ class Lookahead:
         if prev is None or self.since_idr >= self.keyint - 1:
             self.since_idr = 0
             return "I"
-        inter = float(np.abs(h - prev).sum())
+        inter = self._inter_cost(h, prev)
         intra = self._intra_energy(h)
         if inter > self.SCENECUT_BIAS * intra:
             self.since_idr = 0

@@ -107,3 +107,84 @@ class RateControl:
             self.cplxr_sum = 0.5 * self.cplxr_sum + bits * qscale / rceq
             self.wanted_bits_window = 0.5 * self.wanted_bits_window + \
                 self.bitrate / self.fps
+
+
+class TwoPassLog:
+    """Pass-1 stats file + pass-2 target solving (the x265_2pass.log
+    analog, reference: ratecontrol.cpp writeRateControlFrameStats:2973 /
+    initPass2:997)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.frames: list[dict] = []
+
+    def record(self, ftype: str, qp: int, bits: int,
+               complexity: float) -> None:
+        self.frames.append(dict(type=ftype, qp=qp, bits=bits,
+                                cplx=complexity))
+
+    def write(self) -> None:
+        with open(self.path, "w") as f:
+            f.write("# x265t 2-pass stats v1\n")
+            for fr in self.frames:
+                f.write(f"{fr['type']} {fr['qp']} {fr['bits']} "
+                        f"{fr['cplx']:.1f}\n")
+
+    @classmethod
+    def read(cls, path: str) -> "TwoPassLog":
+        log = cls(path)
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                t, qp, bits, cplx = line.split()
+                log.frames.append(dict(type=t, qp=int(qp), bits=int(bits),
+                                       cplx=float(cplx)))
+        return log
+
+
+class TwoPassRateControl:
+    """Pass-2 controller: solves a global rate factor over the recorded
+    complexities so the sequence hits the bit target, then applies the
+    same qcompress/ip-factor shaping per frame."""
+
+    QCOMPRESS = RateControl.QCOMPRESS
+    IP_FACTOR = RateControl.IP_FACTOR
+
+    def __init__(self, cfg: EncoderConfig, log: TwoPassLog) -> None:
+        self.cfg = cfg
+        self.log = log
+        fps = cfg.fps_num / max(cfg.fps_den, 1)
+        target_bits = cfg.bitrate * 1000.0 / fps * len(log.frames)
+        # bits scale roughly linearly in 1/qscale at fixed content:
+        # estimate per-frame bits(qscale) = k_i / qscale from pass 1
+        ks = []
+        for fr in log.frames:
+            qs = qp_to_qscale(fr["qp"])
+            ks.append(fr["bits"] * qs)
+        self.ks = ks
+        lo, hi = 1e-3, 1e5
+        for _ in range(60):        # bisection on the shared rate factor
+            mid = (lo + hi) / 2
+            est = sum(k / self._qscale_of(i, mid)
+                      for i, k in enumerate(ks))
+            if est > target_bits:
+                lo = mid
+            else:
+                hi = mid
+        self.rate_factor = (lo + hi) / 2
+        self.idx = 0
+
+    def _qscale_of(self, i: int, rate_factor: float) -> float:
+        fr = self.log.frames[i]
+        qs = math.pow(max(fr["cplx"], 1.0), 1 - self.QCOMPRESS) * rate_factor
+        if fr["type"] == "I":
+            qs /= self.IP_FACTOR
+        return max(qs, 1e-6)
+
+    def frame_qp(self) -> tuple[str, int]:
+        fr = self.log.frames[self.idx]
+        qs = self._qscale_of(self.idx, self.rate_factor)
+        self.idx += 1
+        qp = int(round(min(max(qscale_to_qp(qs), 0), 51)))
+        return fr["type"], qp

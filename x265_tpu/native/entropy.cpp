@@ -254,13 +254,20 @@ struct SliceEnc {
     const uint8_t *depth8, *mode8;
     const int32_t *cy, *ccb, *ccr;
     int w, h, n8x, n8y, log2_ctu, log2_min_cu;
+    // P-slice state
+    int slice_type = 2;
+    const int32_t* mv8 = nullptr;
+    int max_merge = 2;
+    const int32_t* sao_p[3] = {nullptr, nullptr, nullptr};
+    std::vector<uint8_t> skip8, coded8;
 
     SliceEnc(uint8_t* states, const uint8_t* d8, const uint8_t* m8,
              const int32_t* y, const int32_t* cb, const int32_t* cr,
              int w_, int h_, int l2ctu, int l2min)
         : cab(states), depth8(d8), mode8(m8), cy(y), ccb(cb), ccr(cr),
           w(w_), h(h_), n8x(w_ / 8), n8y(h_ / 8),
-          log2_ctu(l2ctu), log2_min_cu(l2min) {}
+          log2_ctu(l2ctu), log2_min_cu(l2min),
+          skip8(n8x * n8y, 0), coded8(n8x * n8y, 0) {}
 
     int depth_at(int x, int y) const { return depth8[(y >> 3) * n8x + (x >> 3)]; }
     int mode_at(int x, int y) const { return mode8[(y >> 3) * n8x + (x >> 3)]; }
@@ -272,8 +279,215 @@ struct SliceEnc {
         int nctu = rows * cols;
         for (int a = 0; a < nctu; a++) {
             int cx = a % cols, cy_ = a / cols;
+            if (sao_p[0]) code_sao(cx, cy_, cols);
             cu_tree(cx * ctu, cy_ * ctu, log2_ctu);
             cab.encode_terminate(a == nctu - 1 ? 1 : 0);
+        }
+    }
+
+    // -- sao (clause 7.3.8.3) ------------------------------------------------
+    void sao_type_bin(int t) {
+        cab.encode_bin(OFF_SAO_TYPE_IDX, t != 0);
+        if (t) cab.encode_bypass(t == 2);
+    }
+    void sao_offset_abs(int v) {
+        for (int i = 0; i < v; i++) cab.encode_bypass(1);
+        if (v < 7) cab.encode_bypass(0);
+    }
+    bool sao_eq(int ax, int ay, int bx, int by, int cols) {
+        for (int c = 0; c < 3; c++) {
+            const int32_t* pa = sao_p[c] + (ay * cols + ax) * 6;
+            const int32_t* pb = sao_p[c] + (by * cols + bx) * 6;
+            for (int i = 0; i < 6; i++) if (pa[i] != pb[i]) return false;
+        }
+        return true;
+    }
+    void code_sao(int tx, int ty, int cols) {
+        if (tx > 0) {
+            bool ml = sao_eq(tx - 1, ty, tx, ty, cols);
+            cab.encode_bin(OFF_SAO_MERGE_FLAG, ml);
+            if (ml) return;
+        }
+        if (ty > 0) {
+            bool mu = sao_eq(tx, ty - 1, tx, ty, cols);
+            cab.encode_bin(OFF_SAO_MERGE_FLAG, mu);
+            if (mu) return;
+        }
+        for (int cidx = 0; cidx < 3; cidx++) {
+            const int32_t* p = sao_p[cidx] + (ty * cols + tx) * 6;
+            int t = p[0];
+            if (cidx < 2) sao_type_bin(t);
+            if (t == 0) continue;
+            for (int i = 0; i < 4; i++)
+                sao_offset_abs(p[2 + i] < 0 ? -p[2 + i] : p[2 + i]);
+            if (t == 1) {
+                for (int i = 0; i < 4; i++)
+                    if (p[2 + i] != 0) cab.encode_bypass(p[2 + i] < 0);
+                cab.encode_bypass_bins(p[1], 5);
+            } else if (cidx < 2) {
+                cab.encode_bypass_bins(p[1], 2);
+            }
+        }
+    }
+
+    // -- z-scan availability + MV candidates (mirrors common/mv_derive.py) ----
+    int z8(int x, int y) const {
+        int bx = (x & ((1 << log2_ctu) - 1)) >> 3;
+        int by = (y & ((1 << log2_ctu) - 1)) >> 3;
+        int z = 0;
+        for (int b = 0; b < log2_ctu - 3; b++) {
+            z |= ((bx >> b) & 1) << (2 * b);
+            z |= ((by >> b) & 1) << (2 * b + 1);
+        }
+        return z;
+    }
+    bool z_avail(int nx, int ny, int cux, int cuy) const {
+        if (nx < 0 || ny < 0 || nx >= w || ny >= h) return false;
+        int tnx = nx >> log2_ctu, tny = ny >> log2_ctu;
+        int tcx = cux >> log2_ctu, tcy = cuy >> log2_ctu;
+        if (tny != tcy) return tny < tcy;
+        if (tnx != tcx) return tnx < tcx;
+        return z8(nx, ny) < z8(cux, cuy);
+    }
+    bool mv_at(int nx, int ny, int cux, int cuy, int out[2]) const {
+        if (!z_avail(nx, ny, cux, cuy)) return false;
+        const int32_t* m = mv8 + ((ny >> 3) * n8x + (nx >> 3)) * 2;
+        out[0] = m[0]; out[1] = m[1];
+        return true;
+    }
+    int merge_cands(int x0, int y0, int n, int cands[5][2]) const {
+        int a1[2], b1[2], b0[2], a0[2], b2[2];
+        bool ha1 = mv_at(x0 - 1, y0 + n - 1, x0, y0, a1);
+        bool hb1 = mv_at(x0 + n - 1, y0 - 1, x0, y0, b1);
+        bool hb0 = mv_at(x0 + n, y0 - 1, x0, y0, b0);
+        bool ha0 = mv_at(x0 - 1, y0 + n, x0, y0, a0);
+        int cnt = 0;
+        auto neq = [](const int* a, const int* b) {
+            return a[0] != b[0] || a[1] != b[1];
+        };
+        if (ha1) { cands[cnt][0] = a1[0]; cands[cnt][1] = a1[1]; cnt++; }
+        if (hb1 && (!ha1 || neq(b1, a1))) {
+            cands[cnt][0] = b1[0]; cands[cnt][1] = b1[1]; cnt++;
+        }
+        if (hb0 && (!hb1 || neq(b0, b1))) {
+            cands[cnt][0] = b0[0]; cands[cnt][1] = b0[1]; cnt++;
+        }
+        if (ha0 && (!ha1 || neq(a0, a1))) {
+            cands[cnt][0] = a0[0]; cands[cnt][1] = a0[1]; cnt++;
+        }
+        if (cnt < 4) {
+            bool hb2 = mv_at(x0 - 1, y0 - 1, x0, y0, b2);
+            if (hb2 && (!ha1 || neq(b2, a1)) && (!hb1 || neq(b2, b1))) {
+                cands[cnt][0] = b2[0]; cands[cnt][1] = b2[1]; cnt++;
+            }
+        }
+        if (cnt > max_merge) cnt = max_merge;
+        while (cnt < max_merge) { cands[cnt][0] = 0; cands[cnt][1] = 0; cnt++; }
+        return max_merge;
+    }
+    void amvp_cands(int x0, int y0, int n, int cands[2][2]) const {
+        int a[2], b[2];
+        bool ha = mv_at(x0 - 1, y0 + n, x0, y0, a);
+        if (!ha) ha = mv_at(x0 - 1, y0 + n - 1, x0, y0, a);
+        bool hb = mv_at(x0 + n, y0 - 1, x0, y0, b);
+        if (!hb) hb = mv_at(x0 + n - 1, y0 - 1, x0, y0, b);
+        if (!hb) hb = mv_at(x0 - 1, y0 - 1, x0, y0, b);
+        int cnt = 0;
+        if (ha) { cands[cnt][0] = a[0]; cands[cnt][1] = a[1]; cnt++; }
+        if (hb && (!ha || a[0] != b[0] || a[1] != b[1])) {
+            cands[cnt][0] = b[0]; cands[cnt][1] = b[1]; cnt++;
+        }
+        while (cnt < 2) { cands[cnt][0] = 0; cands[cnt][1] = 0; cnt++; }
+    }
+
+    // -- P-slice CU (clauses 7.3.8.5-7.3.8.9) --------------------------------
+    void code_merge_idx(int idx) {
+        if (max_merge <= 1) return;
+        cab.encode_bin(OFF_MERGE_IDX, idx > 0);
+        if (idx > 0)
+            for (int i = 1; i < max_merge - 1; i++) {
+                cab.encode_bypass(idx == i ? 0 : 1);
+                if (idx == i) break;
+            }
+    }
+    void code_eg1(uint32_t symbol) {
+        int count = 1;
+        while (symbol >= (1u << count)) {
+            cab.encode_bypass(1);
+            symbol -= 1u << count;
+            count++;
+        }
+        cab.encode_bypass(0);
+        cab.encode_bypass_bins(symbol, count);
+    }
+    void code_mvd(int mx, int my) {
+        int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
+        cab.encode_bin(OFF_ABS_MVD_GREATER_FLAG, ax > 0);
+        cab.encode_bin(OFF_ABS_MVD_GREATER_FLAG, ay > 0);
+        if (ax > 0) cab.encode_bin(OFF_ABS_MVD_GREATER_FLAG + 1, ax > 1);
+        if (ay > 0) cab.encode_bin(OFF_ABS_MVD_GREATER_FLAG + 1, ay > 1);
+        if (ax > 0) {
+            if (ax > 1) code_eg1(ax - 2);
+            cab.encode_bypass(mx < 0);
+        }
+        if (ay > 0) {
+            if (ay > 1) code_eg1(ay - 2);
+            cab.encode_bypass(my < 0);
+        }
+    }
+    void code_cu_p(int x0, int y0, int l2) {
+        int size = 1 << l2;
+        const int32_t* m = mv8 + ((y0 >> 3) * n8x + (x0 >> 3)) * 2;
+        int mv[2] = {m[0], m[1]};
+        int cstride = w >> 1;
+        bool fy = cbf(cy, w, x0, y0, size);
+        bool fcb = cbf(ccb, cstride, x0 >> 1, y0 >> 1, size >> 1);
+        bool fcr = cbf(ccr, cstride, x0 >> 1, y0 >> 1, size >> 1);
+        bool any = fy || fcb || fcr;
+        int cands[5][2];
+        merge_cands(x0, y0, size, cands);
+        int midx = -1;
+        for (int i = 0; i < max_merge; i++)
+            if (cands[i][0] == mv[0] && cands[i][1] == mv[1]) { midx = i; break; }
+        bool skip = midx >= 0 && !any;
+        int ctx = 0;
+        if (x0 > 0 && skip8[(y0 >> 3) * n8x + ((x0 - 1) >> 3)]) ctx++;
+        if (y0 > 0 && skip8[((y0 - 1) >> 3) * n8x + (x0 >> 3)]) ctx++;
+        cab.encode_bin(OFF_CU_SKIP_FLAG + ctx, skip);
+        int s = size >> 3;
+        for (int j = 0; j < s; j++)
+            for (int i = 0; i < s; i++) {
+                skip8[((y0 >> 3) + j) * n8x + (x0 >> 3) + i] = skip;
+                coded8[((y0 >> 3) + j) * n8x + (x0 >> 3) + i] = 1;
+            }
+        if (skip) { code_merge_idx(midx); return; }
+        cab.encode_bin(OFF_PRED_MODE_FLAG, 0);
+        cab.encode_bin(OFF_PART_MODE, 1);
+        if (midx >= 0) {
+            cab.encode_bin(OFF_MERGE_FLAG, 1);
+            code_merge_idx(midx);
+        } else {
+            cab.encode_bin(OFF_MERGE_FLAG, 0);
+            int ac[2][2];
+            amvp_cands(x0, y0, size, ac);
+            int c0 = (mv[0] > ac[0][0] ? mv[0] - ac[0][0] : ac[0][0] - mv[0]) +
+                     (mv[1] > ac[0][1] ? mv[1] - ac[0][1] : ac[0][1] - mv[1]);
+            int c1 = (mv[0] > ac[1][0] ? mv[0] - ac[1][0] : ac[1][0] - mv[0]) +
+                     (mv[1] > ac[1][1] ? mv[1] - ac[1][1] : ac[1][1] - mv[1]);
+            int mvp = c0 <= c1 ? 0 : 1;
+            code_mvd(mv[0] - ac[mvp][0], mv[1] - ac[mvp][1]);
+            cab.encode_bin(OFF_MVP_FLAG, mvp);
+            cab.encode_bin(OFF_RQT_ROOT_CBF, any ? 1 : 0);
+            if (!any) return;
+        }
+        // inter transform unit: diag scans, cbf_luma inference
+        cab.encode_bin(OFF_CBF_CHROMA, fcb);
+        cab.encode_bin(OFF_CBF_CHROMA, fcr);
+        if (fcb || fcr) cab.encode_bin(OFF_CBF_LUMA + 1, fy);
+        if (fy) residual(cy, w, x0, y0, l2, 0, 0);
+        if ((size >> 1) >= 4) {
+            if (fcb) residual(ccb, cstride, x0 >> 1, y0 >> 1, l2 - 1, 1, 0);
+            if (fcr) residual(ccr, cstride, x0 >> 1, y0 >> 1, l2 - 1, 2, 0);
         }
     }
 
@@ -299,6 +513,8 @@ struct SliceEnc {
                 int sx = x0 + (s & 1) * half, sy = y0 + (s >> 1) * half;
                 if (sx < w && sy < h) cu_tree(sx, sy, l2 - 1);
             }
+        } else if (slice_type == 1) {
+            code_cu_p(x0, y0, l2);
         } else {
             code_cu(x0, y0, l2);
         }
@@ -526,6 +742,33 @@ struct SliceEnc {
 }  // namespace
 
 extern "C" {
+
+// Generic slice-data encoder: slice_type 2 = I (mode8 used), 1 = P
+// (mv8/max_merge used). sao_* may be null. Returns bytes written or -1.
+int encode_slice(int slice_type, const uint8_t* depth8,
+                 const uint8_t* mode8, const int32_t* mv8, int max_merge,
+                 const int32_t* coeff_y, const int32_t* coeff_cb,
+                 const int32_t* coeff_cr,
+                 const int32_t* sao_py, const int32_t* sao_pcb,
+                 const int32_t* sao_pcr,
+                 int w, int h, int log2_ctu, int log2_min_cu,
+                 uint8_t* init_states, int num_ctx,
+                 uint8_t* out, int out_cap,
+                 uint32_t* tail_val, int* tail_bits) {
+    (void)num_ctx;
+    SliceEnc enc(init_states, depth8, mode8, coeff_y, coeff_cb, coeff_cr,
+                 w, h, log2_ctu, log2_min_cu);
+    enc.slice_type = slice_type;
+    enc.mv8 = mv8;
+    enc.max_merge = max_merge;
+    enc.sao_p[0] = sao_py; enc.sao_p[1] = sao_pcb; enc.sao_p[2] = sao_pcr;
+    enc.run();
+    enc.cab.finish(tail_val, tail_bits);
+    int nbytes = (int)enc.cab.out.size();
+    if (nbytes > out_cap) return -1;
+    memcpy(out, enc.cab.out.data(), nbytes);
+    return nbytes;
+}
 
 // Encode the intra slice data. Returns bytes written, or -1 on overflow.
 // tail_val/tail_bits receive the sub-byte CABAC tail (appended by the
