@@ -176,7 +176,8 @@ def write_pps(cfg: EncoderConfig) -> bytes:
 
 def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
                        idr: bool = True, slice_qp: int | None = None,
-                       ref_delta_poc: int = 1, max_merge: int = 2,
+                       ref_delta_poc: int = 1, ref_delta_poc_after: int = 1,
+                       max_merge: int = 2,
                        num_entry_points: int = 0,
                        entry_point_offsets: list[int] | None = None) -> BitWriter:
     """slice_segment_header — clause 7.3.6.1. Returns the open BitWriter so
@@ -192,18 +193,28 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
     if not idr:
         w.write(poc & ((1 << POC_LSB_BITS) - 1), POC_LSB_BITS)
         w.write_flag(0)               # short_term_ref_pic_set_sps_flag -> inline
-        # st_ref_pic_set() (clause 7.3.7): one negative ref at delta 1
+        # st_ref_pic_set() (clause 7.3.7)
         delta_poc = ref_delta_poc if ref_delta_poc else 1
-        w.write_ue(1)                 # num_negative_pics
-        w.write_ue(0)                 # num_positive_pics
-        w.write_ue(delta_poc - 1)     # delta_poc_s0_minus1
-        w.write_flag(1)               # used_by_curr_pic_s0_flag
+        if slice_type == B_SLICE:
+            w.write_ue(1)             # num_negative_pics
+            w.write_ue(1)             # num_positive_pics
+            w.write_ue(delta_poc - 1)     # delta_poc_s0_minus1 (past ref)
+            w.write_flag(1)               # used_by_curr_pic_s0_flag
+            w.write_ue((ref_delta_poc_after or 1) - 1)  # delta_poc_s1_minus1
+            w.write_flag(1)               # used_by_curr_pic_s1_flag
+        else:
+            w.write_ue(1)             # num_negative_pics
+            w.write_ue(0)             # num_positive_pics
+            w.write_ue(delta_poc - 1)
+            w.write_flag(1)
     if cfg.sao:
         w.write_flag(1)               # slice_sao_luma_flag
         w.write_flag(1)               # slice_sao_chroma_flag
     if slice_type != I_SLICE:
         w.write_flag(0)               # num_ref_idx_active_override_flag
-        # ref_pic_lists_modification absent (flag off, 1 ref)
+        # ref_pic_lists_modification absent (flag off, 1 ref/list)
+        if slice_type == B_SLICE:
+            w.write_flag(0)           # mvd_l1_zero_flag
         # cabac_init / collocated / weights absent (features off)
         w.write_ue(5 - max_merge)     # five_minus_max_num_merge_cand
     w.write_se(slice_qp - cfg.qp)     # slice_qp_delta (init_qp = cfg.qp)

@@ -52,6 +52,20 @@ class FrameIntraSyntax:
 
 
 @dataclass
+class FrameBSyntax:
+    """B-frame decisions: inter 2Nx2N CUs, L0+L1 (one ref each)."""
+    depth8: np.ndarray     # (n8y, n8x) uint8
+    mv8: np.ndarray        # (n8y, n8x, 2, 2) int32 qpel per list
+    pf8: np.ndarray        # (n8y, n8x) uint8 pred flags (1 L0, 2 L1, 3 bi)
+    coeff_y: np.ndarray
+    coeff_cb: np.ndarray
+    coeff_cr: np.ndarray
+    poc: int = 0
+    poc_refs: tuple = (0, 0)   # (L0 ref POC, L1 ref POC)
+    max_merge: int = 2
+
+
+@dataclass
 class FramePSyntax:
     """P-frame decisions: all-inter 2Nx2N CUs, single L0 reference."""
     depth8: np.ndarray     # (n8y, n8x) uint8
@@ -95,10 +109,15 @@ class SliceSyntaxEncoder:
         self.n8x = self.w // 8
         self.n8y = self.h // 8
         self.is_p = isinstance(syn, FramePSyntax)
+        self.is_b = isinstance(syn, FrameBSyntax)
         self.sao_params = sao_params   # (p_y, p_cb, p_cr) or None
         if self.is_p:
             from ..common.mv_derive import MvField
             self.field = MvField(self.n8y, self.n8x)
+            self.skip8 = np.zeros((self.n8y, self.n8x), dtype=bool)
+        elif self.is_b:
+            from ..common.mv_derive import MvFieldB
+            self.fieldb = MvFieldB(self.n8y, self.n8x)
             self.skip8 = np.zeros((self.n8y, self.n8x), dtype=bool)
 
     # -- top level -------------------------------------------------------------
@@ -206,6 +225,76 @@ class SliceSyntaxEncoder:
                     self._code_cu_tree(sx, sy, log2_size - 1)
         else:
             self._code_cu(x0, y0, log2_size)
+
+    # -- B-slice coding unit ----------------------------------------------------
+
+    def _code_cu_b(self, x0: int, y0: int, log2_size: int) -> None:
+        from ..common.mv_derive import merge_candidates_b, amvp_candidates_b
+        cab = self.cab
+        syn = self.syn
+        size = 1 << log2_size
+        c8 = (y0 >> 3, x0 >> 3)
+        pf = int(syn.pf8[c8])
+        mv0 = (int(syn.mv8[c8][0][0]), int(syn.mv8[c8][0][1]))
+        mv1 = (int(syn.mv8[c8][1][0]), int(syn.mv8[c8][1][1]))
+        mi = (pf, mv0 if pf & 1 else (0, 0), mv1 if pf & 2 else (0, 0))
+        cbf_y = self._cbf(syn.coeff_y, x0, y0, size)
+        cbf_cb = self._cbf(syn.coeff_cb, x0 >> 1, y0 >> 1, size >> 1)
+        cbf_cr = self._cbf(syn.coeff_cr, x0 >> 1, y0 >> 1, size >> 1)
+        cbf_any = bool(cbf_y or cbf_cb or cbf_cr)
+        mcands = merge_candidates_b(self.fieldb, x0, y0, size, self.w,
+                                    self.h, self.cfg.log2_ctu,
+                                    syn.max_merge)
+        norm = [(c[0], c[1] if c[0] & 1 else (0, 0),
+                 c[2] if c[0] & 2 else (0, 0)) for c in mcands]
+        merge_idx = norm.index(mi) if mi in norm else -1
+        skip = merge_idx >= 0 and not cbf_any
+
+        ctx = 0
+        if x0 > 0 and self.skip8[y0 >> 3, (x0 - 1) >> 3]:
+            ctx += 1
+        if y0 > 0 and self.skip8[(y0 - 1) >> 3, x0 >> 3]:
+            ctx += 1
+        cab.encode_bin(OFF["cu_skip_flag"] + ctx, int(skip))
+        s = size >> 3
+        self.skip8[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s] = skip
+        self.fieldb.set_cu(x0, y0, size, pf, mi[1], mi[2])
+
+        if skip:
+            self._code_merge_idx(merge_idx)
+            return
+        cab.encode_bin(OFF["pred_mode_flag"], 0)
+        cab.encode_bin(OFF["part_mode"], 1)
+        if merge_idx >= 0:
+            cab.encode_bin(OFF["merge_flag"], 1)
+            self._code_merge_idx(merge_idx)
+            assert cbf_any, "merge non-skip requires residual"
+        else:
+            cab.encode_bin(OFF["merge_flag"], 0)
+            # inter_pred_idc (9.3.3.7): bin0 = BI? (ctx=CtDepth);
+            # else bin1 = L1? (ctx 4)
+            depth = self.cfg.log2_ctu - log2_size
+            cab.encode_bin(OFF["inter_pred_idc"] + depth, int(pf == 3))
+            if pf != 3:
+                cab.encode_bin(OFF["inter_pred_idc"] + 4, int(pf == 2))
+            for lx in (0, 1):
+                if not (pf & (1 << lx)):
+                    continue
+                acands = amvp_candidates_b(
+                    self.fieldb, lx, x0, y0, size, self.w, self.h,
+                    self.cfg.log2_ctu, syn.poc, syn.poc_refs)
+                mv = mi[1 + lx]
+                c0 = abs(mv[0] - acands[0][0]) + abs(mv[1] - acands[0][1])
+                c1 = abs(mv[0] - acands[1][0]) + abs(mv[1] - acands[1][1])
+                mvp_idx = 0 if c0 <= c1 else 1
+                self._code_mvd(mv[0] - acands[mvp_idx][0],
+                               mv[1] - acands[mvp_idx][1])
+                cab.encode_bin(OFF["mvp_flag"], mvp_idx)
+            cab.encode_bin(OFF["rqt_root_cbf"], int(cbf_any))
+            if not cbf_any:
+                return
+        self._code_transform_unit_inter(x0, y0, log2_size,
+                                        cbf_y, cbf_cb, cbf_cr)
 
     # -- P-slice coding unit (clauses 7.3.8.5-7.3.8.9) --------------------------
 
@@ -343,6 +432,9 @@ class SliceSyntaxEncoder:
     def _code_cu(self, x0: int, y0: int, log2_size: int) -> None:
         if self.is_p:
             self._code_cu_p(x0, y0, log2_size)
+            return
+        if self.is_b:
+            self._code_cu_b(x0, y0, log2_size)
             return
         cfg = self.cfg
         cab = self.cab

@@ -51,6 +51,8 @@ def parse_args(argv=None):
                    help="constant rate factor mode")
     p.add_argument("--preset", default="medium", choices=sorted(PRESETS))
     p.add_argument("-I", "--keyint", type=int, default=250)
+    p.add_argument("-b", "--bframes", type=int, default=0, choices=(0, 1),
+                   help="B frames between references (IBPBP when 1)")
     p.add_argument("-f", "--frames", type=int, default=0,
                    help="max frames to encode (0 = all)")
     p.add_argument("--no-deblock", action="store_true")
@@ -99,6 +101,9 @@ def main(argv=None) -> int:
         setattr(cfg, k, v)
     if args.no_deblock:
         cfg.deblock = False
+    if args.bframes:
+        cfg.bframes = args.bframes
+        cfg.num_refs = 2
     enc = IntraEncoder(cfg)
     from .enc.ratecontrol import RateControl, TwoPassLog, TwoPassRateControl
     from .enc.lookahead import Lookahead

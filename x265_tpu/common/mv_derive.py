@@ -130,3 +130,182 @@ def amvp_candidates(field: MvField, x0: int, y0: int, size: int, w: int,
     while len(cands) < 2:
         cands.append((0, 0))
     return cands[:2]
+
+
+# =============================================================================
+# B slices: two reference lists (L0 = previous, L1 = following picture)
+# =============================================================================
+
+class MvFieldB:
+    """Per-8x8-cell motion info for a B frame: pred flags + MV per list."""
+
+    def __init__(self, n8y: int, n8x: int) -> None:
+        self.mv = np.zeros((n8y, n8x, 2, 2), dtype=np.int32)  # [list][x,y]
+        self.pf = np.zeros((n8y, n8x), dtype=np.uint8)        # bit0 L0, bit1 L1
+
+    def set_cu(self, x0: int, y0: int, size: int, pf: int,
+               mv0, mv1) -> None:
+        s = size >> 3
+        sl = np.s_[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s]
+        self.pf[sl] = pf
+        self.mv[sl + (0,)] = mv0
+        self.mv[sl + (1,)] = mv1
+
+    def at(self, x: int, y: int):
+        cy, cx = y >> 3, x >> 3
+        return (int(self.pf[cy, cx]),
+                (int(self.mv[cy, cx, 0, 0]), int(self.mv[cy, cx, 0, 1])),
+                (int(self.mv[cy, cx, 1, 0]), int(self.mv[cy, cx, 1, 1])))
+
+
+def _mi_equal(a, b) -> bool:
+    """Motion-info equality (pred flags + MVs; refIdx always 0)."""
+    return a == b
+
+
+def merge_candidates_b(field: MvFieldB, x0: int, y0: int, size: int,
+                       w: int, h: int, log2_ctu: int, max_cands: int = 2
+                       ) -> list[tuple[int, tuple, tuple]]:
+    """B-slice merge list (8.5.3.2.3): spatial A1,B1,B0,A0,(B2) with the
+    same pruning as P, then combined bi-predictive candidates
+    (8.5.3.2.4), then bi zero candidates."""
+    n = size
+
+    def get(nx, ny):
+        if not z_available(nx, ny, x0, y0, w, h, log2_ctu):
+            return None
+        pf, m0, m1 = field.at(nx, ny)
+        return (pf, m0, m1) if pf else None
+
+    a1 = get(x0 - 1, y0 + n - 1)
+    b1 = get(x0 + n - 1, y0 - 1)
+    b0 = get(x0 + n, y0 - 1)
+    a0 = get(x0 - 1, y0 + n)
+    cands: list = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if a0 is not None and a0 != a1:
+        cands.append(a0)
+    if len(cands) < 4:
+        b2 = get(x0 - 1, y0 - 1)
+        if b2 is not None and b2 != a1 and b2 != b1:
+            cands.append(b2)
+    cands = cands[:max_cands]
+    # combined bi-predictive candidates (8.5.3.2.4)
+    comb_order = [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+                  (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2)]
+    norig = len(cands)
+    if norig > 1:
+        for l0i, l1i in comb_order:
+            if len(cands) >= max_cands:
+                break
+            if l0i >= norig or l1i >= norig:
+                continue
+            c0, c1 = cands[l0i], cands[l1i]
+            if not (c0[0] & 1) or not (c1[0] & 2):
+                continue
+            # refs differ by construction (L0/L1 are different pictures)
+            comb = (3, c0[1], c1[2])
+            cands.append(comb)
+    while len(cands) < max_cands:
+        cands.append((3, (0, 0), (0, 0)))
+    return cands[:max_cands]
+
+
+def _scale_mv(mv: tuple[int, int], tb: int, td: int) -> tuple[int, int]:
+    """POC-distance MV scaling (8.5.3.2.8 eq. 8-175..177). Divisions in
+    the spec truncate toward zero."""
+    td = min(max(td, -128), 127)
+    tb = min(max(tb, -128), 127)
+    q = 16384 + (abs(td) >> 1)
+    tx = q // td if td > 0 else -(q // -td)
+    dsf = min(max((tb * tx + 32) >> 6, -4096), 4095)
+
+    def one(v):
+        s = dsf * v
+        return min(max((1 if s >= 0 else -1) * ((abs(s) + 127) >> 8),
+                       -32768), 32767)
+    return one(mv[0]), one(mv[1])
+
+
+def amvp_candidates_b(field: MvFieldB, list_idx: int, x0: int, y0: int,
+                      size: int, w: int, h: int, log2_ctu: int,
+                      poc_cur: int, poc_refs: tuple[int, int]
+                      ) -> list[tuple[int, int]]:
+    """AMVP for list LX in a B slice (8.5.3.2.6/8.5.3.2.7), refIdx 0.
+
+    Cross-list candidates match only if the other list's reference is
+    the same picture (never true here: L0/L1 differ), so the unscaled
+    pass reduces to same-list neighbours; the scaled pass converts the
+    other list's MV by POC distances."""
+    n = size
+    lx = list_idx
+    ly = 1 - lx
+    target_poc = poc_refs[lx]
+
+    def info(nx, ny):
+        if not z_available(nx, ny, x0, y0, w, h, log2_ctu):
+            return None
+        pf, m0, m1 = field.at(nx, ny)
+        if not pf:
+            return None
+        return pf, (m0, m1)
+
+    def unscaled(c):
+        pf, mvs = c
+        if pf & (1 << lx):
+            return mvs[lx]          # same list, same ref (idx 0)
+        return None                 # other list: different POC -> no match
+
+    def scaled(c):
+        pf, mvs = c
+        for li in (lx, ly):
+            if pf & (1 << li):
+                tb = poc_cur - target_poc
+                td = poc_cur - poc_refs[li]
+                if td == tb:
+                    return mvs[li]
+                return _scale_mv(mvs[li], tb, td)
+        return None
+
+    a0 = info(x0 - 1, y0 + n)
+    a1 = info(x0 - 1, y0 + n - 1)
+    b0 = info(x0 + n, y0 - 1)
+    b1 = info(x0 + n - 1, y0 - 1)
+    b2 = info(x0 - 1, y0 - 1)
+
+    mvp_a = None
+    for c in (a0, a1):
+        if c is not None and mvp_a is None:
+            mvp_a = unscaled(c)
+    is_scaled_a = a0 is not None or a1 is not None
+    if mvp_a is None:
+        for c in (a0, a1):
+            if c is not None and mvp_a is None:
+                mvp_a = scaled(c)
+
+    mvp_b = None
+    for c in (b0, b1, b2):
+        if c is not None and mvp_b is None:
+            mvp_b = unscaled(c)
+    if mvp_a is None:
+        mvp_a = mvp_b
+        mvp_b = None
+    if mvp_b is None and not is_scaled_a:
+        # scaled B pass only when neither A neighbour exists (8.5.3.2.7)
+        for c in (b0, b1, b2):
+            if c is not None and mvp_b is None:
+                mvp_b = scaled(c)
+
+    cands: list = []
+    if mvp_a is not None:
+        cands.append(mvp_a)
+    if mvp_b is not None and mvp_b != mvp_a:
+        cands.append(mvp_b)
+    while len(cands) < 2:
+        cands.append((0, 0))
+    return cands[:2]

@@ -67,6 +67,7 @@ class DecodedFrame:
     mode8: np.ndarray | None = None
     mv8: np.ndarray | None = None        # P frames: decoded MV field
     coeff_y: np.ndarray | None = None    # P frames: for bs derivation
+    poc: int = 0
 
 
 def parse_sps(rbsp: bytes) -> SpsInfo:
@@ -150,10 +151,12 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
 
 
 def decode_annexb(stream: bytes) -> list[DecodedFrame]:
+    """Decode a stream; returns frames in DECODE order. Each frame's
+    `poc` attribute gives display order within the coded video sequence."""
     sps: SpsInfo | None = None
     pps: PpsInfo | None = None
     frames: list[DecodedFrame] = []
-    ref: DecodedFrame | None = None
+    dpb: dict[int, DecodedFrame] = {}   # reference pictures by POC
     for nal_type, rbsp in split_annexb(stream):
         if nal_type == NalUnitType.SPS:
             sps = parse_sps(rbsp)
@@ -164,12 +167,15 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
             assert sps is not None and pps is not None
             f = _decode_slice(rbsp, sps, pps, idr=True)
             frames.append(f)
-            ref = f
+            dpb.clear()
+            dpb[0] = f
         elif nal_type in (NalUnitType.TRAIL_R, NalUnitType.TRAIL_N):
-            assert sps is not None and pps is not None and ref is not None
-            f = _decode_slice(rbsp, sps, pps, idr=False, ref=ref)
+            assert sps is not None and pps is not None and dpb
+            is_ref = nal_type == NalUnitType.TRAIL_R
+            f = _decode_slice(rbsp, sps, pps, idr=False, dpb=dpb)
             frames.append(f)
-            ref = f
+            if is_ref:
+                dpb[f.poc] = f
         elif nal_type == NalUnitType.SUFFIX_SEI:
             from ..bitstream.sei import parse_picture_hash_sei, picture_md5
             digests = parse_picture_hash_sei(rbsp)
@@ -188,30 +194,36 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
 
 
 def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
-                  idr: bool, ref: DecodedFrame | None = None
-                  ) -> DecodedFrame:
+                  idr: bool, dpb: dict | None = None) -> DecodedFrame:
     r = BitReader(rbsp)
     assert r.read_flag() == 1      # first_slice_segment_in_pic_flag
     if idr:
         r.read_flag()              # no_output_of_prior_pics
     r.read_ue()                    # pps id
     slice_type = r.read_ue()
-    assert slice_type in (1, 2), "B slices not decodable yet"
+    assert slice_type in (0, 1, 2)
     max_merge = 2
-    if slice_type == 1:            # P
-        r.read(sps.poc_lsb_bits)   # slice_pic_order_cnt_lsb
+    poc = 0
+    delta_s0 = delta_s1 = 1
+    if slice_type != 2:
+        poc = r.read(sps.poc_lsb_bits)   # slice_pic_order_cnt_lsb
         assert r.read_flag() == 0  # short_term_ref_pic_set_sps_flag
         nneg = r.read_ue()
         npos = r.read_ue()
-        assert nneg == 1 and npos == 0, "only 1-ref IPPP streams"
-        r.read_ue()                # delta_poc_s0_minus1
+        assert nneg == 1 and npos in (0, 1)
+        delta_s0 = r.read_ue() + 1
         r.read_flag()              # used_by_curr_pic_s0_flag
+        if npos:
+            delta_s1 = r.read_ue() + 1
+            r.read_flag()          # used_by_curr_pic_s1_flag
     sao_luma = sao_chroma = False
     if sps.sao:
         sao_luma = bool(r.read_flag())
         sao_chroma = bool(r.read_flag())
-    if slice_type == 1:
+    if slice_type != 2:
         assert r.read_flag() == 0  # num_ref_idx_active_override_flag
+        if slice_type == 0:
+            assert r.read_flag() == 0   # mvd_l1_zero_flag
         max_merge = 5 - r.read_ue()  # five_minus_max_num_merge_cand
     qp = pps.init_qp + r.read_se()
     if sps.sao or not pps.deblock_disabled:
@@ -230,15 +242,33 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
                 1 << sps.log2_ctu, qp, sps.bit_depth)
         _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
         return frame
-    dec = PSliceDecoder(sps, pps, qp, data, ref, max_merge, sao=sps.sao)
+    if slice_type == 1:
+        ref = dpb[poc - delta_s0]
+        dec = PSliceDecoder(sps, pps, qp, data, ref, max_merge,
+                            sao=sps.sao)
+        frame = dec.decode()
+        frame.poc = poc
+        if not pps.deblock_disabled:
+            from ..ops.deblock import deblock_luma_np, inter_bs_maps
+            vbs, hbs = inter_bs_maps(frame.depth8, frame.mv8,
+                                     frame.coeff_y, 1 << sps.log2_ctu)
+            frame.y = deblock_luma_np(frame.y, vbs, hbs, qp,
+                                      sps.bit_depth)
+        _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
+        return frame
+    # B slice
+    ref0 = dpb[poc - delta_s0]
+    ref1 = dpb[poc + delta_s1]
+    dec = BSliceDecoder(sps, pps, qp, data, ref0, ref1, max_merge,
+                        (poc - delta_s0, poc + delta_s1), poc,
+                        sao=sps.sao)
     frame = dec.decode()
+    frame.poc = poc
     if not pps.deblock_disabled:
-        from ..ops.deblock import deblock_luma_np, inter_bs_maps
-        vbs, hbs = inter_bs_maps(frame.depth8, frame.mv8, frame.coeff_y,
-                                 1 << sps.log2_ctu)
+        from ..ops.deblock import deblock_luma_np, inter_bs_maps_b
+        vbs, hbs = inter_bs_maps_b(frame.depth8, dec.mvb, dec.pf8,
+                                   frame.coeff_y, 1 << sps.log2_ctu)
         frame.y = deblock_luma_np(frame.y, vbs, hbs, qp, sps.bit_depth)
-        # chroma deblock applies only on bs==2 (intra) edges: none in an
-        # all-inter P frame
     _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
     return frame
 
@@ -899,3 +929,169 @@ class PSliceDecoder:
     _last_position = SliceDecoder._last_position
     _sig_ctx = staticmethod(SliceDecoder._sig_ctx)
     _decode_remaining = SliceDecoder._decode_remaining
+
+
+class BSliceDecoder:
+    """B-slice parser + reconstruction (inter 2Nx2N, L0+L1, one ref
+    each). Candidate derivation reuses common/mv_derive.py's B routines
+    (shared with the encoder — the uni-list P path keeps an independent
+    implementation as the cross-check of the z-availability logic)."""
+
+    def __init__(self, sps: SpsInfo, pps: PpsInfo, qp: int, data: bytes,
+                 ref0: DecodedFrame, ref1: DecodedFrame, max_merge: int,
+                 poc_refs: tuple[int, int], poc: int,
+                 sao: bool = False) -> None:
+        from ..common.mv_derive import MvFieldB
+        self._init_sao(sao)
+        self.sps = sps
+        self.pps = pps
+        self.qp = qp
+        self.max_merge = max_merge
+        self.poc_refs = poc_refs
+        self.poc = poc
+        ctx = ContextSet(0)
+        ctx.states = init_states(0, qp)      # B_SLICE row
+        self.cab = CabacDecoder(data, ctx)
+        self.w, self.h = sps.width, sps.height
+        self.refs = (ref0, ref1)
+        bd = sps.bit_depth
+        self.bd = bd
+        self.y = np.zeros((self.h, self.w), dtype=np.int32)
+        self.cb = np.zeros((self.h // 2, self.w // 2), dtype=np.int32)
+        self.cr = np.zeros((self.h // 2, self.w // 2), dtype=np.int32)
+        n8y, n8x = self.h // 8, self.w // 8
+        self.depth8 = np.zeros((n8y, n8x), dtype=np.uint8)
+        self.field = MvFieldB(n8y, n8x)
+        self.mvb = self.field.mv
+        self.pf8 = self.field.pf
+        self.mv8 = self.field.mv     # (n8y, n8x, 2, 2); alias for decode()
+        self.skip8 = np.zeros((n8y, n8x), dtype=bool)
+        self.coded8 = np.zeros((n8y, n8x), dtype=bool)
+        self.coeff_y = np.zeros((self.h, self.w), dtype=np.int32)
+        self.qp_c = chroma_qp(qp)
+
+    decode = PSliceDecoder.decode
+    _depth_at = PSliceDecoder._depth_at
+    _cu_tree = PSliceDecoder._cu_tree
+    _merge_idx = PSliceDecoder._merge_idx
+    _decode_mvd = PSliceDecoder._decode_mvd
+    _decode_eg1 = PSliceDecoder._decode_eg1
+    _init_sao = SliceDecoder._init_sao
+    _parse_sao = SliceDecoder._parse_sao
+    _residual = SliceDecoder._residual
+    _last_position = SliceDecoder._last_position
+    _sig_ctx = staticmethod(SliceDecoder._sig_ctx)
+    _decode_remaining = SliceDecoder._decode_remaining
+
+    def _cu(self, x0, y0, log2_size):
+        from ..common.mv_derive import merge_candidates_b, amvp_candidates_b
+        cab = self.cab
+        size = 1 << log2_size
+        ctxs = 0
+        if x0 > 0 and self.skip8[y0 >> 3, (x0 - 1) >> 3]:
+            ctxs += 1
+        if y0 > 0 and self.skip8[(y0 - 1) >> 3, x0 >> 3]:
+            ctxs += 1
+        skip = cab.decode_bin(OFF["cu_skip_flag"] + ctxs)
+        s = size >> 3
+        sl = np.s_[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s]
+        d = self.sps.log2_ctu - log2_size
+
+        def norm(c):
+            return (c[0], c[1] if c[0] & 1 else (0, 0),
+                    c[2] if c[0] & 2 else (0, 0))
+
+        if skip:
+            idx = self._merge_idx()
+            mi = norm(merge_candidates_b(
+                self.field, x0, y0, size, self.w, self.h,
+                self.sps.log2_ctu, self.max_merge)[idx])
+            self._finish_cu(x0, y0, size, mi, None, None, None, True,
+                            sl, d)
+            return
+        assert cab.decode_bin(OFF["pred_mode_flag"]) == 0
+        assert cab.decode_bin(OFF["part_mode"]) == 1
+        if cab.decode_bin(OFF["merge_flag"]):
+            idx = self._merge_idx()
+            mi = norm(merge_candidates_b(
+                self.field, x0, y0, size, self.w, self.h,
+                self.sps.log2_ctu, self.max_merge)[idx])
+            root_cbf = 1
+        else:
+            if cab.decode_bin(OFF["inter_pred_idc"] + d):
+                pf = 3
+            else:
+                pf = 2 if cab.decode_bin(OFF["inter_pred_idc"] + 4) else 1
+            mvs = [(0, 0), (0, 0)]
+            for lx in (0, 1):
+                if not (pf & (1 << lx)):
+                    continue
+                mvd = self._decode_mvd()
+                mvp_idx = cab.decode_bin(OFF["mvp_flag"])
+                mvp = amvp_candidates_b(
+                    self.field, lx, x0, y0, size, self.w, self.h,
+                    self.sps.log2_ctu, self.poc, self.poc_refs)[mvp_idx]
+                mvs[lx] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            mi = (pf, mvs[0], mvs[1])
+            root_cbf = cab.decode_bin(OFF["rqt_root_cbf"])
+        cy_ = ccb = ccr = None
+        if root_cbf:
+            cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
+            cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
+            cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1) \
+                if (cbf_cb or cbf_cr) else 1
+            if cbf_y:
+                cy_ = self._residual(log2_size, 0, SCAN_DIAG)
+            if size >> 1 >= 4:
+                if cbf_cb:
+                    ccb = self._residual(log2_size - 1, 1, SCAN_DIAG)
+                if cbf_cr:
+                    ccr = self._residual(log2_size - 1, 2, SCAN_DIAG)
+        self._finish_cu(x0, y0, size, mi, cy_, ccb, ccr, False, sl, d)
+
+    def _finish_cu(self, x0, y0, size, mi, cy_, ccb, ccr, skip, sl, d):
+        from ..ops.interp import (_luma_mc_acc, chroma_mc_acc_np,
+                                  bi_average_np, luma_mc_np, chroma_mc_np)
+        pf, mv0, mv1 = mi
+        self.depth8[sl] = d
+        self.skip8[sl] = skip
+        self.coded8[sl] = True
+        self.field.set_cu(x0, y0, size, pf, mv0, mv1)
+        bd = self.bd
+
+        def pred_plane(plane_sel, x, y, n, luma):
+            accs = []
+            for lx, mv in ((0, mv0), (1, mv1)):
+                if not (pf & (1 << lx)):
+                    continue
+                ref = self.refs[lx]
+                rp = ref.y if luma else plane_sel(ref)
+                if luma:
+                    accs.append(_luma_mc_acc(rp, x, y, n, mv[0], mv[1], bd))
+                else:
+                    accs.append(chroma_mc_acc_np(rp, x, y, n, mv[0],
+                                                 mv[1], bd))
+            if len(accs) == 2:
+                return bi_average_np(accs[0], accs[1], bd)
+            shift1 = bd - 8
+            ts = 12 - shift1
+            out = (accs[0] + (1 << (ts - 1))) >> ts
+            return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)
+
+        pred = pred_plane(None, x0, y0, size, True)
+        resi = 0
+        if cy_ is not None:
+            self.coeff_y[y0:y0 + size, x0:x0 + size] = cy_
+            resi = idct_np(dequant_np(cy_, self.qp, bd), bd)
+        self.y[y0:y0 + size, x0:x0 + size] = np.clip(
+            pred + resi, 0, (1 << bd) - 1)
+        cn = size >> 1
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        for sel, plane, coeff in ((lambda r: r.cb, self.cb, ccb),
+                                  (lambda r: r.cr, self.cr, ccr)):
+            pred_c = pred_plane(sel, cx0, cy0, cn, False)
+            resi_c = 0
+            if coeff is not None:
+                resi_c = idct_np(dequant_np(coeff, self.qp_c, bd), bd)
+            plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
+                pred_c + resi_c, 0, (1 << bd) - 1)

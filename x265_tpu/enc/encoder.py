@@ -149,7 +149,8 @@ class IntraEncoder:
                            bits=len(stream) * 8)
 
     def encode_frame_p(self, y: np.ndarray, cb: np.ndarray,
-                       cr: np.ndarray, qp: int | None = None) -> FrameResult:
+                       cr: np.ndarray, qp: int | None = None,
+                       poc_step: int = 1) -> FrameResult:
         """Encode one P frame against the previous reconstructed
         reference (IPPP low-delay, x265's default P-slice path)."""
         from ..bitstream.ctx_tables import init_states
@@ -188,8 +189,9 @@ class IntraEncoder:
                                        cfg.bit_depth))
             sao_params = (p_y, p_cb, p_cr)
 
-        self.poc += 1
+        self.poc += poc_step
         sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
+                                ref_delta_poc=poc_step,
                                 max_merge=syn.max_merge, slice_qp=qp)
         from ..bitstream.ctx_tables import init_states
         from ..native.entropy_native import encode_slice_native
@@ -212,6 +214,95 @@ class IntraEncoder:
         self.ref = recon
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8)
+
+    def encode_frame_b(self, y: np.ndarray, cb: np.ndarray,
+                       cr: np.ndarray, ref0: ReconFrame, ref1: ReconFrame,
+                       poc: int, poc_refs: tuple[int, int],
+                       qp: int | None = None) -> FrameResult:
+        """Encode one non-reference B frame between two references."""
+        from ..bitstream.ctx_tables import init_states
+        from ..common.params import B_SLICE
+        from .bi_frame import encode_b_frame_arrays
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        w, h = cfg.width_padded, cfg.height_padded
+        yp = pad_plane(np.asarray(y), h, w)
+        cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
+        crp = pad_plane(np.asarray(cr), h // 2, w // 2)
+        syn, recon = encode_b_frame_arrays(yp, cbp, crp, ref0, ref1, cfg,
+                                           poc, poc_refs, qp)
+        if cfg.deblock:
+            from ..ops.deblock import deblock_luma_np, inter_bs_maps_b
+            vbs, hbs = inter_bs_maps_b(syn.depth8, syn.mv8, syn.pf8,
+                                       syn.coeff_y, cfg.ctu_size)
+            recon = ReconFrame(
+                deblock_luma_np(recon.y, vbs, hbs, qp, cfg.bit_depth),
+                recon.cb, recon.cr)
+        sao_params = None
+        if cfg.sao:
+            from ..ops.sao import (choose_sao_params, choose_sao_chroma,
+                                   apply_sao_component_np)
+            p_y = choose_sao_params(yp, recon.y, cfg.ctu_size, qp,
+                                    cfg.bit_depth)
+            p_cb, p_cr = choose_sao_chroma(cbp, recon.cb, crp, recon.cr,
+                                           cfg.ctu_size // 2, qp,
+                                           cfg.bit_depth)
+            recon = ReconFrame(
+                apply_sao_component_np(recon.y, p_y, cfg.ctu_size,
+                                       cfg.bit_depth),
+                apply_sao_component_np(recon.cb, p_cb, cfg.ctu_size // 2,
+                                       cfg.bit_depth),
+                apply_sao_component_np(recon.cr, p_cr, cfg.ctu_size // 2,
+                                       cfg.bit_depth))
+            sao_params = (p_y, p_cb, p_cr)
+        sw = write_slice_header(
+            cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
+            ref_delta_poc=poc - poc_refs[0],
+            ref_delta_poc_after=poc_refs[1] - poc,
+            max_merge=syn.max_merge)
+        syntax = SliceSyntaxEncoder(cfg, syn, B_SLICE, qp,
+                                    sao_params=sao_params)
+        cab = syntax.encode_slice_data()
+        cab.finish_into(sw)
+        sw.align_one()
+        nals = [(NalUnitType.TRAIL_N, sw.get_bytes())]
+        if cfg.hash_sei:
+            from ..bitstream.sei import write_picture_hash_sei
+            nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
+                                               cfg.bit_depth))
+        stream = annexb_stream(nals)
+        self.frame_count += 1
+        return FrameResult(bitstream=stream, recon=recon, syntax=syn,
+                           bits=len(stream) * 8)
+
+    def encode_bgop(self, frames) -> list[FrameResult]:
+        """IBPBP: I, then alternating forward P references with one
+        non-reference B between each pair (display order in, decode
+        order out: results are in DECODE order; FrameResult.syntax.poc
+        gives display position for B frames)."""
+        results = []
+        assert len(frames) >= 1
+        r = self.encode_frame(*frames[0])
+        self.ref = r.recon
+        self.poc = 0
+        results.append(r)
+        i = 1
+        while i < len(frames):
+            if i + 1 < len(frames):
+                # P at display i+1 (decode first), then B at display i
+                prev_ref = self.ref
+                prev_poc = self.poc
+                rp = self.encode_frame_p(*frames[i + 1], poc_step=2)
+                rb = self.encode_frame_b(*frames[i], prev_ref, rp.recon,
+                                         prev_poc + 1,
+                                         (prev_poc, prev_poc + 2))
+                results.extend([rp, rb])
+                i += 2
+            else:
+                r = self.encode_frame_p(*frames[i])
+                results.append(r)
+                i += 1
+        return results
 
     def encode_sequence(self, frames) -> list[FrameResult]:
         """IPPP with keyint + scene-cut frame-type decisions."""

@@ -378,3 +378,48 @@ def deblock_frame(rec_y: jnp.ndarray, rec_cb: jnp.ndarray,
     return (deblock_luma(rec_y, vm * 2, hm * 2, qp, bit_depth),
             deblock_chroma(rec_cb, vm, hm, qpc, bit_depth),
             deblock_chroma(rec_cr, vm, hm, qpc, bit_depth))
+
+
+def inter_bs_maps_b(depth8: np.ndarray, mv8: np.ndarray, pf8: np.ndarray,
+                    coeff_y: np.ndarray, ctu: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Boundary strength for an all-inter B frame (clause 8.7.2.4):
+    bs = 1 on CU boundaries when either side's luma TU has coefficients,
+    the sides use different prediction flags (different reference sets),
+    or any used list's MV difference reaches a full pel."""
+    vmask, hmask = edge_masks_from_depth(depth8, ctu)
+    n8y, n8x = depth8.shape
+    nz8 = coeff_y[:n8y * 8, :n8x * 8].reshape(n8y, 8, n8x, 8)
+    nz8 = np.any(nz8 != 0, axis=(1, 3))
+
+    def orpool(a, k):
+        yy = a.shape[0] // k * k
+        xx = a.shape[1] // k * k
+        p = np.zeros(((a.shape[0] + k - 1) // k, (a.shape[1] + k - 1) // k),
+                     bool)
+        q = a[:yy, :xx].reshape(yy // k, k, xx // k, k).any(axis=(1, 3))
+        p[:q.shape[0], :q.shape[1]] = q
+        return np.repeat(np.repeat(p, k, 0), k, 1)[:a.shape[0], :a.shape[1]]
+
+    cbf8 = np.where(depth8 == 0, orpool(nz8, 4),
+                    np.where(depth8 == 1, orpool(nz8, 2), nz8))
+
+    def bs_of(cP, cQ, pfP, pfQ, mvP, mvQ):
+        diff_pf = pfP != pfQ
+        mvd = np.zeros(cP.shape, bool)
+        for li in range(2):
+            used = (pfP & (1 << li)) != 0
+            d = (np.abs(mvP[..., li, 0] - mvQ[..., li, 0]) >= 4) | \
+                (np.abs(mvP[..., li, 1] - mvQ[..., li, 1]) >= 4)
+            mvd |= used & d
+        return (cP | cQ | diff_pf | mvd).astype(np.int32)
+
+    vbs = np.zeros((n8y, n8x), np.int32)
+    vbs[:, 1:] = bs_of(cbf8[:, :-1], cbf8[:, 1:], pf8[:, :-1], pf8[:, 1:],
+                       mv8[:, :-1], mv8[:, 1:])
+    vbs = vbs * vmask
+    hbs = np.zeros((n8y, n8x), np.int32)
+    hbs[1:, :] = bs_of(cbf8[:-1, :], cbf8[1:, :], pf8[:-1, :], pf8[1:, :],
+                       mv8[:-1, :], mv8[1:, :])
+    hbs = hbs * hmask
+    return vbs, hbs
