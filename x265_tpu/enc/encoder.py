@@ -331,11 +331,24 @@ class IntraEncoder:
         from .intra_recon_tpu import reconstruct_intra_gop_tpu
         cfg = self.cfg
         w, h = cfg.width_padded, cfg.height_padded
-        ys = np.stack([pad_plane(np.asarray(f[0]), h, w) for f in frames])
-        cbs = np.stack([pad_plane(np.asarray(f[1]), h // 2, w // 2)
-                        for f in frames])
-        crs = np.stack([pad_plane(np.asarray(f[2]), h // 2, w // 2)
-                        for f in frames])
+        nf = len(frames)
+        dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+
+        def stack(idx, hh, ww):
+            out = np.empty((nf, hh, ww), dt)
+            for i, f in enumerate(frames):
+                p = np.asarray(f[idx])
+                out[i, :p.shape[0], :p.shape[1]] = p
+                if p.shape[0] < hh:
+                    out[i, p.shape[0]:] = out[i, p.shape[0] - 1]
+                if p.shape[1] < ww:
+                    out[i, :, p.shape[1]:] = out[i, :, p.shape[1] - 1,
+                                                 None]
+            return out
+
+        ys = stack(0, h, w)
+        cbs = stack(1, h // 2, w // 2)
+        crs = stack(2, h // 2, w // 2)
         depth8, mode8 = analyze_intra_gop(ys, cfg.qp, cfg.ctu_size,
                                           cfg.bit_depth)
         syns, recons = reconstruct_intra_gop_tpu(ys, cbs, crs, depth8,

@@ -134,6 +134,7 @@ def _analyze_gop_jit(planes: jnp.ndarray, lam_bits: jnp.ndarray,
     CTU multiples; (h, w) = real (8-aligned) coded size. Returns
     depth8/mode8 (F, Hp/8, Wp/8) on the padded grid."""
     nf, hp, wp = planes.shape
+    planes = planes.astype(jnp.int32)
     sizes = [8, 16, 32]
 
     def per_size(n):
@@ -188,10 +189,15 @@ def analyze_intra_gop(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
     lam = lambda_from_qp(qp)
     hp = (h + ctu_size - 1) // ctu_size * ctu_size
     wp = (w + ctu_size - 1) // ctu_size * ctu_size
-    pl = np.pad(orig_y, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    if hp == h and wp == w:
+        pl = orig_y                      # no host copy
+    else:
+        pl = np.pad(orig_y, ((0, 0), (0, hp - h), (0, wp - w)),
+                    mode="edge")
     lam_bits = jnp.asarray(np.round(lam * _MODE_BITS).astype(np.int32))
     lam_split = jnp.float32(lam * 6.0)
-    d8, m8 = _analyze_gop_jit(jnp.asarray(pl.astype(np.int32)), lam_bits,
+    src_dt = np.uint8 if bit_depth == 8 else np.uint16
+    d8, m8 = _analyze_gop_jit(jnp.asarray(pl.astype(src_dt)), lam_bits,
                               lam_split, h=h, w=w, ctu=ctu_size,
                               bit_depth=bit_depth)
     return (np.asarray(d8)[:, :h // 8, :w // 8],

@@ -11,6 +11,12 @@ z-scan is a statically unrolled 16-step sweep with all three CU sizes
 evaluated masked; control flow becomes tensor select, shapes stay
 static, prediction and transforms run on the MXU.
 
+Storage is CTU-TILED: recon/coefficients live as (num_tiles, ctu, ctu)
+arrays so halo assembly is contiguous axis-0 gathers and each step's
+write-back is a whole-tile scatter. The natural (F, H, W) plane layout
+needed 2D pixel-index scatters, which serialize on the TPU's scatter
+unit and dominated the wavefront's runtime.
+
 Bit-exactness contract: identical recon + coefficients to the
 intra_recon.py host oracle (asserted in tests), which equals the
 validation decoder's output.
@@ -31,8 +37,7 @@ from ..ops.intra import intra_pred_all_modes
 from ..ops.transforms import dct_batch, idct_batch, quant_batch, dequant_batch
 from .intra_recon import ReconFrame
 
-# ext tile geometry for a 32-CTU: 1 halo row/col on top/left, 2*CTU wide
-# top halo for top-right references
+# ext halo geometry (used by the multichip dry-run too)
 EXT_H = 33
 EXT_W = 65
 CEXT_H = 17
@@ -102,8 +107,8 @@ def _substitute(refs: jnp.ndarray, avail: jnp.ndarray,
 def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
                 n, ox, oy, p, qp, bit_depth, w, h, is_luma, ctu):
     """Reconstruct one masked CU (size n at static (ox,oy)) per batch
-    element. ext: (B, EH, EW) halo tile; orig_tile: (B, ctu, ctu);
-    modes/active: (B,). Returns updated (ext, cf_tile)."""
+    element. ext: (B, ctu+1, 2*ctu+1) halo tile; orig_tile: (B, ctu,
+    ctu); modes/active: (B,). Returns updated (ext, cf_tile)."""
     rx, ry, z_ok = _ref_geometry(n, ox, oy, p, ctu)
     eh, ew = ext.shape[1], ext.shape[2]
     exti = (np.clip(ry + 1, 0, eh - 1) * ew +
@@ -141,34 +146,47 @@ def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
     return ext, cf_tile
 
 
-def _diag_step(rec_y, rec_c, cf_y, cf_c, f0s, x0s, y0s, dt, mt,
-               org_y, org_c, *, qp: int, qpc: int, bit_depth: int,
+def _assemble_ext(tiles, ti, ti_top, ti_topright, ti_topleft, ti_left,
+                  n: int):
+    """Build (B, n+1, 2n+1) ext halo tiles from the tiled recon store.
+
+    tiles: (T, n, n) with slot 0 a dummy zero tile for absent
+    neighbours (availability masking makes those values moot)."""
+    own = jnp.take(tiles, ti, axis=0)                    # (B, n, n)
+    top = jnp.take(tiles, ti_top, axis=0)[:, -1, :]      # (B, n)
+    topright = jnp.take(tiles, ti_topright, axis=0)[:, -1, :]
+    topleft = jnp.take(tiles, ti_topleft, axis=0)[:, -1, -1]  # (B,)
+    left = jnp.take(tiles, ti_left, axis=0)[:, :, -1]    # (B, n)
+    b = own.shape[0]
+    ext = jnp.zeros((b, n + 1, 2 * n + 1), jnp.int32)
+    ext = ext.at[:, 0, 0].set(topleft)
+    ext = ext.at[:, 0, 1:n + 1].set(top)
+    ext = ext.at[:, 0, n + 1:].set(topright)
+    ext = ext.at[:, 1:, 0].set(left)
+    ext = ext.at[:, 1:, 1:n + 1].set(own)
+    return ext
+
+
+def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, org_y, org_c,
+               *, qp: int, qpc: int, bit_depth: int,
                w: int, h: int, ctu: int = 32):
-    """One CTU anti-diagonal across the whole frame batch.
-
-    rec_y: (F, Hp, Wp) halo-padded luma; rec_c: (2F, Hp/2, Wp/2) halo-
-    padded chroma (cb frames then cr frames). cf_*: coefficient planes.
-    f0s/x0s/y0s: (B,) frame index + CTU origins; dt/mt: (B, 4, 4).
-    """
-    b = x0s.shape[0]
+    """One CTU anti-diagonal across the whole frame batch (tiled)."""
     half = ctu // 2
-
-    def g(plane3, f0, y0, x0, hh, ww):
-        return jax.vmap(lambda f, yy, xx: jax.lax.dynamic_slice(
-            plane3, (f, yy, xx), (1, hh, ww))[0])(f0, y0, x0)
-
-    nf = rec_y.shape[0]
-    fc = jnp.concatenate([f0s, f0s + nf])            # chroma batch: cb|cr
-    x0c = jnp.concatenate([x0s, x0s]) // 2
-    y0c = jnp.concatenate([y0s, y0s]) // 2
-
-    ext_y = g(rec_y, f0s, y0s, x0s, EXT_H, EXT_W)
-    ext_c = g(rec_c, fc, y0c, x0c, CEXT_H, CEXT_W)
-    oy_t = g(org_y, f0s, y0s, x0s, ctu, ctu)
-    oc_t = g(org_c, fc, y0c, x0c, half, half)
+    x0s, y0s = idx["x0"], idx["y0"]
+    b = x0s.shape[0]
+    ext_y = _assemble_ext(rec_y, idx["self_y"], idx["top_y"],
+                          idx["topright_y"], idx["topleft_y"],
+                          idx["left_y"], ctu)
+    ext_c = _assemble_ext(rec_c, idx["self_c"], idx["top_c"],
+                          idx["topright_c"], idx["topleft_c"],
+                          idx["left_c"], half)
+    oy_t = jnp.take(org_y, idx["self_o"], axis=0)
+    oc_t = jnp.take(org_c, idx["self_oc"], axis=0)
     cfy_t = jnp.zeros((b, ctu, ctu), jnp.int32)
     cfc_t = jnp.zeros((2 * b, half, half), jnp.int32)
 
+    x0c = jnp.concatenate([x0s, x0s]) // 2
+    y0c = jnp.concatenate([y0s, y0s]) // 2
     cw, chh = w // 2, h // 2
     for p in range(16):
         ox, oy = _zpos(p)
@@ -186,58 +204,80 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, f0s, x0s, y0s, dt, mt,
                 qp, bit_depth, w, h, True, ctu)
             act2 = jnp.concatenate([act, act])
             ext_c, cfc_t = _process_cu(
-                ext_c, cfc_t, oc_t, x0c * 1, y0c * 1, m2, act2, n >> 1,
+                ext_c, cfc_t, oc_t, x0c, y0c, m2, act2, n >> 1,
                 cox >> 1, coy >> 1, p, qpc, bit_depth, cw, chh, False,
                 ctu // 2)
 
-    def scat(plane3, tile, f0, y0, x0, hh, ww, off):
-        bb = tile.shape[0]
-        fs = f0[:, None, None] + jnp.zeros((bb, hh, ww), jnp.int32)
-        ys = y0[:, None, None] + off + \
-            jax.lax.broadcasted_iota(jnp.int32, (bb, hh, ww), 1)
-        xs = x0[:, None, None] + off + \
-            jax.lax.broadcasted_iota(jnp.int32, (bb, hh, ww), 2)
-        return plane3.at[fs, ys, xs].set(tile, mode="drop")
-
-    rec_y = scat(rec_y, ext_y[:, 1:, 1:1 + ctu], f0s, y0s, x0s,
-                 ctu, ctu, 1)
-    rec_c = scat(rec_c, ext_c[:, 1:, 1:1 + half], fc, y0c, x0c,
-                 half, half, 1)
-    cf_y = scat(cf_y, cfy_t, f0s, y0s, x0s, ctu, ctu, 0)
-    cf_c = scat(cf_c, cfc_t, fc, y0c, x0c, half, half, 0)
+    # whole-tile writes (axis-0 scatter; masked batch lanes target the
+    # slot-0 dummy, which is never read as real data)
+    rec_y = rec_y.at[idx["self_y"]].set(ext_y[:, 1:, 1:1 + ctu])
+    rec_c = rec_c.at[idx["self_c"]].set(ext_c[:, 1:, 1:1 + half])
+    cf_y = cf_y.at[idx["self_y"]].set(cfy_t)
+    cf_c = cf_c.at[idx["self_c"]].set(cfc_t)
     return rec_y, rec_c, cf_y, cf_c
 
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "w", "h",
                                    "ctu"),
          donate_argnums=(0, 1, 2, 3))
-def _recon_scan(rec_y, rec_c, cf_y, cf_c, f0s, x0a, y0a, dta, mta,
-                org_y, org_c, qp, qpc, *, bit_depth: int,
+def _recon_scan(rec_y, rec_c, cf_y, cf_c, idxs, dta, mta, org_y, org_c,
+                *, qp: int, qpc: int, bit_depth: int,
                 w: int, h: int, ctu: int = 32):
-    # qp static here on purpose: the wavefront scan is the largest jit
-    # in the encoder and dynamic-shift quantization costs ~2x on TPU;
-    # intra frames are rare under rate control, so per-QP compiles are
-    # cheap and cached
     """Whole-GOP wavefront as one lax.scan over diagonals — a single
-    device dispatch for the batch (x265 analog: the entire WPP frame
-    compress across all frame threads, frameencoder.cpp:850-880)."""
+    device dispatch for the batch. qp static on purpose: this is the
+    largest jit and dynamic-shift quant costs ~2x; intra frames are
+    rare under rate control, so per-QP compiles are cheap and cached."""
 
     def body(carry, xs):
         ry, rc, fy, fc = carry
-        x0s, y0s, dt, mt = xs
-        out = _diag_step(ry, rc, fy, fc, f0s, x0s, y0s, dt, mt,
-                         org_y, org_c, qp=qp, qpc=qpc,
-                         bit_depth=bit_depth, w=w, h=h, ctu=ctu)
+        idx, dt, mt = xs
+        out = _diag_step(ry, rc, fy, fc, idx, dt, mt, org_y, org_c,
+                         qp=qp, qpc=qpc, bit_depth=bit_depth, w=w, h=h,
+                         ctu=ctu)
         return out, ()
 
     carry = (rec_y, rec_c, cf_y, cf_c)
-    carry, _ = jax.lax.scan(body, carry, (x0a, y0a, dta, mta))
+    carry, _ = jax.lax.scan(body, carry, (idxs, dta, mta))
     return carry
+
+
+@partial(jax.jit, static_argnames=("nf", "ncy", "ncx", "ctu"))
+def _tile_device(y2d, c2d, *, nf: int, ncy: int, ncx: int, ctu: int):
+    """(F*Hp, Wp) planes -> (F*nct, ctu, ctu) tiles on device."""
+    half = ctu // 2
+    hp, wp = ncy * ctu, ncx * ctu
+    y = y2d.reshape(nf, ncy, ctu, ncx, ctu).transpose(0, 1, 3, 2, 4) \
+        .reshape(-1, ctu, ctu)
+    c = c2d.reshape(2 * nf, ncy, half, ncx, half) \
+        .transpose(0, 1, 3, 2, 4).reshape(-1, half, half)
+    return y, c
+
+
+@partial(jax.jit, static_argnames=("nf", "ncy", "ncx", "ctu", "bit_depth"))
+def _finalize(rec_y, rec_c, cf_y, cf_c, *, nf: int, ncy: int, ncx: int,
+              ctu: int, bit_depth: int):
+    """Device-side untile + downcast for transfer: the tunnel's D2H
+    speed is layout-sensitive (2D ~30-44 MB/s vs 3D-planar ~0.4 MB/s),
+    so emit (F*Hp, Wp) 2D arrays in the smallest exact dtype."""
+    half = ctu // 2
+    nct = ncy * ncx
+    hp, wp = ncy * ctu, ncx * ctu
+    rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
+
+    def untile(tiles, count, m):
+        return tiles[1:1 + count].reshape(-1, ncy, ncx, m, m) \
+            .transpose(0, 1, 3, 2, 4).reshape(count // nct * ncy * m,
+                                              ncx * m)
+
+    return (untile(rec_y, nf * nct, ctu).astype(rdt),
+            untile(rec_c, 2 * nf * nct, half).astype(rdt),
+            untile(cf_y, nf * nct, ctu).astype(jnp.int16),
+            untile(cf_c, 2 * nf * nct, half).astype(jnp.int16))
 
 
 @lru_cache(maxsize=None)
 def _wavefront_schedule(ncx: int, ncy: int, ctu: int):
-    """Static (ndiag, bmax) CTU-origin schedule + tile gather indices."""
+    """Static wavefront: per diagonal, the (cx, cy) cells on it."""
     ndiag = (ncx - 1) + 2 * (ncy - 1) + 1
     diags = []
     bmax = 0
@@ -246,18 +286,7 @@ def _wavefront_schedule(ncx: int, ncy: int, ctu: int):
                  if 0 <= d - 2 * cy < ncx]
         diags.append(cells)
         bmax = max(bmax, len(cells))
-    far = 1 << 20
-    x0a = np.full((ndiag, bmax), far, np.int32)
-    y0a = np.full((ndiag, bmax), far, np.int32)
-    cell_idx = np.zeros((ndiag, bmax), np.int32)   # cy*ncx+cx (clamped)
-    valid = np.zeros((ndiag, bmax), bool)
-    for d, cells in enumerate(diags):
-        for j, (cx, cy) in enumerate(cells):
-            x0a[d, j] = cx * ctu
-            y0a[d, j] = cy * ctu
-            cell_idx[d, j] = cy * ncx + cx
-            valid[d, j] = True
-    return ndiag, bmax, x0a, y0a, cell_idx, valid
+    return ndiag, bmax, diags
 
 
 def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
@@ -271,28 +300,43 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     assert cfg.ctu_size == 32, "device wavefront currently tuned for CTU32"
     nf, h, w = orig_y.shape
     ctu = cfg.ctu_size
+    half = ctu // 2
     ncx = (w + ctu - 1) // ctu
     ncy = (h + ctu - 1) // ctu
+    nct = ncy * ncx
     qp_frame = cfg.qp if qp is None else qp
     qpc = chroma_qp(qp_frame)
 
-    rec_y = jnp.zeros((nf, h + 1 + EXT_H, w + 1 + EXT_W), jnp.int32)
-    rec_c = jnp.zeros((2 * nf, h // 2 + 1 + CEXT_H, w // 2 + 1 + CEXT_W),
-                      jnp.int32)
-    cf_y = jnp.zeros((nf, h, w), jnp.int32)
-    cf_c = jnp.zeros((2 * nf, h // 2, w // 2), jnp.int32)
+    # tiled stores: slot 0 is the dummy tile for absent neighbours
+    rec_y = jnp.zeros((nf * nct + 1, ctu, ctu), jnp.int32)
+    rec_c = jnp.zeros((2 * nf * nct + 1, half, half), jnp.int32)
+    cf_y = jnp.zeros((nf * nct + 1, ctu, ctu), jnp.int32)
+    cf_c = jnp.zeros((2 * nf * nct + 1, half, half), jnp.int32)
 
     def _pad_ctu(p: np.ndarray, mult: int) -> np.ndarray:
         ph = (p.shape[1] + mult - 1) // mult * mult
         pw = (p.shape[2] + mult - 1) // mult * mult
+        if ph == p.shape[1] and pw == p.shape[2]:
+            return p
         return np.pad(p, ((0, 0), (0, ph - p.shape[1]),
                           (0, pw - p.shape[2])), mode="edge")
 
-    org_y = jnp.asarray(_pad_ctu(orig_y, ctu).astype(np.int32))
-    org_c = jnp.asarray(_pad_ctu(
-        np.concatenate([orig_cb, orig_cr]), ctu // 2).astype(np.int32))
+    # upload 2D uint planes (fast layout, no host transpose); tile on
+    # device — host memcpy on this machine runs at ~100 MB/s
+    src_dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+    ypad = _pad_ctu(orig_y, ctu)
+    cpad = _pad_ctu(np.concatenate([orig_cb, orig_cr]), half)
+    if ypad.dtype != src_dt:
+        ypad = ypad.astype(src_dt)
+    if cpad.dtype != src_dt:
+        cpad = cpad.astype(src_dt)
+    hp0, wp0 = ypad.shape[1:]
+    y2d = jnp.asarray(ypad.reshape(nf * hp0, wp0))
+    c2d = jnp.asarray(cpad.reshape(2 * nf * (hp0 // 2), wp0 // 2))
+    org_y, org_c = _tile_device(y2d, c2d, nf=nf, ncy=ncy, ncx=ncx,
+                                ctu=ctu)
 
-    # per-CTU decision tiles (F, ncy*ncx, 4, 4), vectorized
+    # per-CTU decision tiles, vectorized
     n8 = ctu // 8
     n8y, n8x = depth8.shape[1:]
     dpad = np.full((nf, ncy * n8, ncx * n8), 2, np.uint8)
@@ -300,44 +344,92 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     dpad[:, :n8y, :n8x] = depth8
     mpad[:, :n8y, :n8x] = mode8
     dt_all = dpad.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
-        .reshape(nf, ncy * ncx, n8, n8).astype(np.int32)
+        .reshape(nf, nct, n8, n8).astype(np.int32)
     mt_all = mpad.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
-        .reshape(nf, ncy * ncx, n8, n8).astype(np.int32)
+        .reshape(nf, nct, n8, n8).astype(np.int32)
 
-    ndiag, bmax, x0a, y0a, cell_idx, valid = _wavefront_schedule(
-        ncx, ncy, ctu)
-    # batch layout: b = f * bmax + j
-    x0b = np.broadcast_to(x0a[:, None, :], (ndiag, nf, bmax)) \
-        .reshape(ndiag, nf * bmax)
-    y0b = np.broadcast_to(y0a[:, None, :], (ndiag, nf, bmax)) \
-        .reshape(ndiag, nf * bmax)
-    f0s = np.broadcast_to(np.arange(nf, dtype=np.int32)[:, None],
-                          (nf, bmax)).reshape(-1)
-    dta = dt_all[:, cell_idx]                     # (F, ndiag, bmax, 4, 4)
-    mta = mt_all[:, cell_idx]
-    dta = np.where(valid[None, :, :, None, None], dta, 2) \
-        .transpose(1, 0, 2, 3, 4).reshape(ndiag, nf * bmax, n8, n8)
-    mta = np.where(valid[None, :, :, None, None], mta, 1) \
-        .transpose(1, 0, 2, 3, 4).reshape(ndiag, nf * bmax, n8, n8)
+    ndiag, bmax, diags = _wavefront_schedule(ncx, ncy, ctu)
+    sched = _gop_schedule(ncx, ncy, ctu, nf, n8)
+    idxs, dta_sel, mta_sel = sched
+    dta = dt_all.reshape(nf * nct, n8, n8)[dta_sel]
+    mta = mt_all.reshape(nf * nct, n8, n8)[mta_sel]
+    # masked lanes (self_o == 0 marker handled via valid mask baked into
+    # the schedule): force their decision tiles to all-CU8
+    invalid = idxs["x0"] >= (1 << 20)
+    dta = np.where(invalid[..., None, None], 2, dta)
+    mta = np.where(invalid[..., None, None], 1, mta)
 
+    idxs_j = {k: jnp.asarray(v) for k, v in idxs.items()}
     rec_y, rec_c, cf_y, cf_c = _recon_scan(
-        rec_y, rec_c, cf_y, cf_c, jnp.asarray(f0s), jnp.asarray(x0b),
-        jnp.asarray(y0b), jnp.asarray(dta), jnp.asarray(mta),
-        org_y, org_c, qp=int(qp_frame), qpc=int(qpc),
+        rec_y, rec_c, cf_y, cf_c, idxs_j, jnp.asarray(dta),
+        jnp.asarray(mta), org_y, org_c, qp=int(qp_frame), qpc=int(qpc),
         bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu)
 
-    rec_y_np = np.asarray(rec_y[:, 1:h + 1, 1:w + 1])
-    rec_c_np = np.asarray(rec_c[:, 1:h // 2 + 1, 1:w // 2 + 1])
-    cf_y_np = np.asarray(cf_y)
-    cf_c_np = np.asarray(cf_c)
+    # device-side untile + downcast, then 2D transfers (fast layout)
+    hp, wp = ncy * ctu, ncx * ctu
+    ry2, rc2, cfy2, cfc2 = _finalize(rec_y, rec_c, cf_y, cf_c, nf=nf,
+                                     ncy=ncy, ncx=ncx, ctu=ctu,
+                                     bit_depth=cfg.bit_depth)
+    ry_np = np.asarray(ry2).reshape(nf, hp, wp)[:, :h, :w].astype(np.int32)
+    cfy_np = np.asarray(cfy2).reshape(nf, hp, wp)[:, :h, :w] \
+        .astype(np.int32)
+    rc_np = np.asarray(rc2).reshape(2 * nf, hp // 2, wp // 2) \
+        [:, :h // 2, :w // 2].astype(np.int32)
+    cfc_np = np.asarray(cfc2).reshape(2 * nf, hp // 2, wp // 2) \
+        [:, :h // 2, :w // 2].astype(np.int32)
+
     syns, recons = [], []
     for f in range(nf):
         syns.append(FrameIntraSyntax(
-            depth8=depth8[f], mode8=mode8[f], coeff_y=cf_y_np[f],
-            coeff_cb=cf_c_np[f], coeff_cr=cf_c_np[nf + f]))
-        recons.append(ReconFrame(rec_y_np[f], rec_c_np[f],
-                                 rec_c_np[nf + f]))
+            depth8=depth8[f], mode8=mode8[f], coeff_y=cfy_np[f],
+            coeff_cb=cfc_np[f], coeff_cr=cfc_np[nf + f]))
+        recons.append(ReconFrame(ry_np[f], rc_np[f], rc_np[nf + f]))
     return syns, recons
+
+
+@lru_cache(maxsize=None)
+def _gop_schedule(ncx: int, ncy: int, ctu: int, nf: int, n8: int):
+    """Static per-diagonal index arrays for the tiled wavefront."""
+    nct = ncy * ncx
+    ndiag, bmax, diags = _wavefront_schedule(ncx, ncy, ctu)
+    B = nf * bmax
+    far = 1 << 20
+
+    def tid(f, cy, cx):
+        if cy < 0 or cx < 0 or cy >= ncy or cx >= ncx:
+            return 0
+        return 1 + f * nct + cy * ncx + cx
+
+    names = ["x0", "y0", "self_y", "top_y", "topright_y", "topleft_y",
+             "left_y", "self_o"]
+    idxs = {k: np.zeros((ndiag, B), np.int32) for k in names}
+    idxs["x0"][:] = far
+    idxs["y0"][:] = far
+    dsel = np.zeros((ndiag, B), np.int64)
+    for d, cells in enumerate(diags):
+        for f in range(nf):
+            for j, (cx, cy) in enumerate(cells):
+                bi = f * bmax + j
+                idxs["x0"][d, bi] = cx * ctu
+                idxs["y0"][d, bi] = cy * ctu
+                idxs["self_y"][d, bi] = tid(f, cy, cx)
+                idxs["top_y"][d, bi] = tid(f, cy - 1, cx)
+                idxs["topright_y"][d, bi] = tid(f, cy - 1, cx + 1)
+                idxs["topleft_y"][d, bi] = tid(f, cy - 1, cx - 1)
+                idxs["left_y"][d, bi] = tid(f, cy, cx - 1)
+                idxs["self_o"][d, bi] = f * nct + cy * ncx + cx
+                dsel[d, bi] = f * nct + cy * ncx + cx
+    for key_src, key_dst in (("self_y", "self_c"), ("top_y", "top_c"),
+                             ("topright_y", "topright_c"),
+                             ("topleft_y", "topleft_c"),
+                             ("left_y", "left_c")):
+        base = idxs[key_src]
+        cb_idx = np.where(base > 0, base, 0)
+        cr_idx = np.where(base > 0, base + nf * nct, 0)
+        idxs[key_dst] = np.concatenate([cb_idx, cr_idx], axis=1)
+    oc = idxs["self_o"]
+    idxs["self_oc"] = np.concatenate([oc, oc + nf * nct], axis=1)
+    return idxs, dsel, dsel.copy()
 
 
 def reconstruct_intra_frame_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,

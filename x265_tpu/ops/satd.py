@@ -57,31 +57,36 @@ def sa8d_block_np(a: np.ndarray, b: np.ndarray) -> int:
 
 # --- JAX batched ---------------------------------------------------------------
 
-def _hadamard_j(n: int) -> jnp.ndarray:
-    return jnp.asarray(hadamard(n), dtype=jnp.float32)
+def _fwht_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Fast Walsh-Hadamard (Sylvester order) along the last axis —
+    log2(n) add/sub stages on the VPU instead of batched tiny matmuls,
+    which the MXU pads to 128x128 tiles at ~0.4%% utilization."""
+    n = x.shape[-1]
+    if n == 1:
+        return x
+    a = _fwht_last(x[..., : n // 2])
+    b = _fwht_last(x[..., n // 2:])
+    return jnp.concatenate([a + b, a - b], axis=-1)
+
+
+def _hadamard_2d(d: jnp.ndarray) -> jnp.ndarray:
+    """H @ D @ H^T for (..., n, n) via separable butterflies (integer)."""
+    t = _fwht_last(d)
+    t = _fwht_last(jnp.swapaxes(t, -1, -2))
+    return jnp.swapaxes(t, -1, -2)
 
 
 def satd4_batch(diff: jnp.ndarray) -> jnp.ndarray:
     """diff: (..., 4, 4) int32 -> (...,) int32 SATD (x265 norm)."""
-    h = _hadamard_j(4)
-    d = diff.astype(jnp.float32)
-    t = jnp.einsum("ij,...jk,lk->...il", h, d, h,
-                   preferred_element_type=jnp.float32)
-    s = jnp.sum(jnp.abs(t), axis=(-2, -1)).astype(jnp.int32)
+    t = _hadamard_2d(diff.astype(jnp.int32))
+    s = jnp.sum(jnp.abs(t), axis=(-2, -1))
     return (s + 1) >> 1
 
 
 def sa8d_batch(diff: jnp.ndarray) -> jnp.ndarray:
-    """diff: (..., 8, 8) int32 -> (...,) int32 SA8D (x265 norm).
-
-    Exact: |diff| < 2^11 (12-bit video), Hadamard8 output < 2^17, f32
-    matmul of +-1 weights is exact well past 2^24.
-    """
-    h = _hadamard_j(8)
-    d = diff.astype(jnp.float32)
-    t = jnp.einsum("ij,...jk,lk->...il", h, d, h,
-                   preferred_element_type=jnp.float32)
-    s = jnp.sum(jnp.abs(t), axis=(-2, -1)).astype(jnp.int32)
+    """diff: (..., 8, 8) int32 -> (...,) int32 SA8D (x265 norm)."""
+    t = _hadamard_2d(diff.astype(jnp.int32))
+    s = jnp.sum(jnp.abs(t), axis=(-2, -1))
     return (s + 2) >> 2
 
 

@@ -101,13 +101,20 @@ def _exact_matmul_tx(t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     t: (n, n) int32 with |t| < 128 (bf16-exact); x: (b, n, m) int32 with
     |x| < 2^16 (so hi-limb magnitude < 256 stays bf16-exact and each
     limb accumulation stays below 2^24). Returns (b, n, m) int32.
+
+    The batch is FLATTENED into one (n, n) @ (n, b*m) dot: XLA lowers a
+    batched einsum into b tiny MXU matmuls (each padded to 128x128),
+    which is ~100x slower than a single wide dot.
     """
+    b, n, m = x.shape
     tf = t.astype(jnp.float32)
     hi, lo = _split_limbs(x)
-    dot = lambda a: jnp.einsum(
-        "ik,bkm->bim", tf, a.astype(jnp.float32),
-        preferred_element_type=jnp.float32)
-    # dot(a)[b, i, m] = sum_k t[i, k] * a[b, k, m]
+
+    def dot(a):
+        wide = jnp.swapaxes(a, 0, 1).reshape(n, b * m).astype(jnp.float32)
+        y = jnp.dot(tf, wide, preferred_element_type=jnp.float32)
+        return jnp.swapaxes(y.reshape(n, b, m), 0, 1)
+
     hi_d = dot(hi).astype(jnp.int32)
     lo_d = dot(lo).astype(jnp.int32)
     return (hi_d << 8) + lo_d
