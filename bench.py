@@ -51,11 +51,13 @@ def main() -> None:
     enc = IntraEncoder(cfg)
     frames = [synth_1080p(i % 3) for i in range(gop)]
 
-    enc.encode_gop(frames)    # warmup / compile
+    # recon stays on device: the bitstream is the product (x265 likewise
+    # only dumps recon on --recon)
+    enc.encode_gop(frames, need_recon=False)    # warmup / compile
     t0 = time.perf_counter()
     total_bits = 0
     for _ in range(iters):
-        for res in enc.encode_gop(frames):
+        for res in enc.encode_gop(frames, need_recon=False):
             total_bits += res.bits
     dt = time.perf_counter() - t0
     fps = gop * iters / dt

@@ -320,8 +320,8 @@ class IntraEncoder:
         return results
 
     def encode_gop(self, frames: list[tuple[np.ndarray, np.ndarray,
-                                            np.ndarray]]
-                   ) -> list[FrameResult]:
+                                            np.ndarray]],
+                   need_recon: bool = True) -> list[FrameResult]:
         """Encode a batch of frames through the GOP-batched device
         pipeline: fused analysis + one wavefront scan for all frames
         (the frame-threads analog, SURVEY.md §2.5), then per-frame
@@ -351,8 +351,8 @@ class IntraEncoder:
         crs = stack(2, h // 2, w // 2)
         depth8, mode8 = analyze_intra_gop(ys, cfg.qp, cfg.ctu_size,
                                           cfg.bit_depth)
-        syns, recons = reconstruct_intra_gop_tpu(ys, cbs, crs, depth8,
-                                                 mode8, cfg)
+        syns, recons = reconstruct_intra_gop_tpu(
+            ys, cbs, crs, depth8, mode8, cfg, need_recon=need_recon)
         if cfg.deblock:
             import jax.numpy as jnp
             from ..ops.deblock import deblock_frame

@@ -292,7 +292,8 @@ def _wavefront_schedule(ncx: int, ncy: int, ctu: int):
 def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                               orig_cr: np.ndarray, depth8: np.ndarray,
                               mode8: np.ndarray, cfg: EncoderConfig,
-                              qp: int | None = None
+                              qp: int | None = None,
+                              need_recon: bool = True
                               ) -> tuple[list[FrameIntraSyntax],
                                          list[ReconFrame]]:
     """Reconstruct a batch of frames. orig_y: (F, H, W) padded planes;
@@ -370,20 +371,25 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     ry2, rc2, cfy2, cfc2 = _finalize(rec_y, rec_c, cf_y, cf_c, nf=nf,
                                      ncy=ncy, ncx=ncx, ctu=ctu,
                                      bit_depth=cfg.bit_depth)
-    ry_np = np.asarray(ry2).reshape(nf, hp, wp)[:, :h, :w].astype(np.int32)
-    cfy_np = np.asarray(cfy2).reshape(nf, hp, wp)[:, :h, :w] \
-        .astype(np.int32)
-    rc_np = np.asarray(rc2).reshape(2 * nf, hp // 2, wp // 2) \
-        [:, :h // 2, :w // 2].astype(np.int32)
+    # int16 end-to-end: the native CABAC consumes int16 coefficients
+    cfy_np = np.asarray(cfy2).reshape(nf, hp, wp)[:, :h, :w]
     cfc_np = np.asarray(cfc2).reshape(2 * nf, hp // 2, wp // 2) \
-        [:, :h // 2, :w // 2].astype(np.int32)
+        [:, :h // 2, :w // 2]
+    if need_recon:
+        ry_np = np.asarray(ry2).reshape(nf, hp, wp)[:, :h, :w] \
+            .astype(np.int32)
+        rc_np = np.asarray(rc2).reshape(2 * nf, hp // 2, wp // 2) \
+            [:, :h // 2, :w // 2].astype(np.int32)
 
     syns, recons = [], []
     for f in range(nf):
         syns.append(FrameIntraSyntax(
             depth8=depth8[f], mode8=mode8[f], coeff_y=cfy_np[f],
             coeff_cb=cfc_np[f], coeff_cr=cfc_np[nf + f]))
-        recons.append(ReconFrame(ry_np[f], rc_np[f], rc_np[nf + f]))
+        if need_recon:
+            recons.append(ReconFrame(ry_np[f], rc_np[f], rc_np[nf + f]))
+        else:
+            recons.append(None)
     return syns, recons
 
 

@@ -252,7 +252,7 @@ inline int intra_scan_idx(int mode, int log2_size, bool luma) {
 struct SliceEnc {
     Cabac cab;
     const uint8_t *depth8, *mode8;
-    const int32_t *cy, *ccb, *ccr;
+    const int16_t *cy, *ccb, *ccr;
     int w, h, n8x, n8y, log2_ctu, log2_min_cu;
     // P-slice state
     int slice_type = 2;
@@ -262,7 +262,7 @@ struct SliceEnc {
     std::vector<uint8_t> skip8, coded8;
 
     SliceEnc(uint8_t* states, const uint8_t* d8, const uint8_t* m8,
-             const int32_t* y, const int32_t* cb, const int32_t* cr,
+             const int16_t* y, const int16_t* cb, const int16_t* cr,
              int w_, int h_, int l2ctu, int l2min)
         : cab(states), depth8(d8), mode8(m8), cy(y), ccb(cb), ccr(cr),
           w(w_), h(h_), n8x(w_ / 8), n8y(h_ / 8),
@@ -566,7 +566,7 @@ struct SliceEnc {
         transform_unit(x0, y0, l2, mode);
     }
 
-    bool cbf(const int32_t* plane, int stride, int x, int y, int size) const {
+    bool cbf(const int16_t* plane, int stride, int x, int y, int size) const {
         for (int j = 0; j < size; j++)
             for (int i = 0; i < size; i++)
                 if (plane[(y + j) * stride + x + i]) return true;
@@ -644,7 +644,7 @@ struct SliceEnc {
         if (gy > 3) cab.encode_bypass_bins(ly - MIN_IN_GROUP[gy], (gy >> 1) - 1);
     }
 
-    void residual(const int32_t* plane, int stride, int bx, int by, int l2,
+    void residual(const int16_t* plane, int stride, int bx, int by, int l2,
                   int cidx, int scan_idx) {
         int n = 1 << l2;
         const std::vector<int>& scan = S.full[scan_idx][l2 - 2];
@@ -747,8 +747,8 @@ extern "C" {
 // (mv8/max_merge used). sao_* may be null. Returns bytes written or -1.
 int encode_slice(int slice_type, const uint8_t* depth8,
                  const uint8_t* mode8, const int32_t* mv8, int max_merge,
-                 const int32_t* coeff_y, const int32_t* coeff_cb,
-                 const int32_t* coeff_cr,
+                 const int16_t* coeff_y, const int16_t* coeff_cb,
+                 const int16_t* coeff_cr,
                  const int32_t* sao_py, const int32_t* sao_pcb,
                  const int32_t* sao_pcr,
                  int w, int h, int log2_ctu, int log2_min_cu,
@@ -774,8 +774,8 @@ int encode_slice(int slice_type, const uint8_t* depth8,
 // tail_val/tail_bits receive the sub-byte CABAC tail (appended by the
 // Python BitWriter before rbsp trailing bits).
 int encode_intra_slice(const uint8_t* depth8, const uint8_t* mode8,
-                       const int32_t* coeff_y, const int32_t* coeff_cb,
-                       const int32_t* coeff_cr, int w, int h,
+                       const int16_t* coeff_y, const int16_t* coeff_cb,
+                       const int16_t* coeff_cr, int w, int h,
                        int log2_ctu, int log2_min_cu,
                        uint8_t* init_states, int num_ctx,
                        uint8_t* out, int out_cap,
