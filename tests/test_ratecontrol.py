@@ -78,3 +78,14 @@ def test_two_pass_hits_target():
             / qp_to_qscale(qp) / (1.0 if t == "P" else 1.0)
     target = 100e3 / 25 * 50
     assert abs(est - target) / target < 0.25, (est, target)
+
+
+def test_encoder_stats():
+    cfg = EncoderConfig(width=64, height=64, qp=30, bframes=1, num_refs=2)
+    enc = IntraEncoder(cfg)
+    frames = moving_sequence(64, 64, 3, seed=2)
+    enc.encode_bgop(frames)
+    st = enc.get_stats()
+    assert st["frames"] == 3
+    assert st["count_by_type"] == {"I": 1, "P": 1, "B": 1}
+    assert st["kbps"] > 0 and 0 < st["avg_qp"] <= 51

@@ -33,6 +33,35 @@ def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 @dataclass
+class EncoderStats:
+    """Global encode statistics (the x265_stats analog, x265.h:655)."""
+    frame_count: int = 0
+    total_bits: int = 0
+    qp_sum: int = 0
+    count_by_type: dict = field(default_factory=lambda: {"I": 0, "P": 0,
+                                                         "B": 0})
+    bits_by_type: dict = field(default_factory=lambda: {"I": 0, "P": 0,
+                                                        "B": 0})
+
+    def add(self, ftype: str, bits: int, qp: int) -> None:
+        self.frame_count += 1
+        self.total_bits += bits
+        self.qp_sum += qp
+        self.count_by_type[ftype] += 1
+        self.bits_by_type[ftype] += bits
+
+    def summary(self, fps: float = 25.0) -> dict:
+        n = max(self.frame_count, 1)
+        return {
+            "frames": self.frame_count,
+            "kbps": self.total_bits * fps / n / 1000.0,
+            "avg_qp": self.qp_sum / n,
+            "count_by_type": dict(self.count_by_type),
+            "bits_by_type": dict(self.bits_by_type),
+        }
+
+
+@dataclass
 class FrameResult:
     bitstream: bytes            # Annex-B access unit (headers for frame 0)
     recon: ReconFrame
@@ -49,6 +78,12 @@ class IntraEncoder:
         self.frame_count = 0
         self.ref: ReconFrame | None = None   # last reference (post-filter)
         self.poc = 0
+        self.stats = EncoderStats()
+
+    def get_stats(self) -> dict:
+        """Encode-session summary (x265_encoder_get_stats analog)."""
+        fps = self.cfg.fps_num / max(self.cfg.fps_den, 1)
+        return self.stats.summary(fps)
 
     def headers(self) -> list[tuple[NalUnitType, bytes]]:
         cfg = self.cfg
@@ -145,6 +180,7 @@ class IntraEncoder:
                                                cfg.bit_depth))
         stream = annexb_stream(nals)
         self.frame_count += 1
+        self.stats.add("I", len(stream) * 8, qp)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8)
 
@@ -212,6 +248,7 @@ class IntraEncoder:
         stream = annexb_stream(nals)
         self.frame_count += 1
         self.ref = recon
+        self.stats.add("P", len(stream) * 8, qp)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8)
 
@@ -272,6 +309,7 @@ class IntraEncoder:
                                                cfg.bit_depth))
         stream = annexb_stream(nals)
         self.frame_count += 1
+        self.stats.add("B", len(stream) * 8, qp)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8)
 
