@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("-f", "--frames", type=int, default=0,
                    help="max frames to encode (0 = all)")
     p.add_argument("--no-deblock", action="store_true")
+    p.add_argument("--sao", action="store_true",
+                   help="enable sample adaptive offset")
+    p.add_argument("--hash", dest="hash_sei", action="store_true",
+                   help="emit decoded-picture-hash SEI (MD5)")
     p.add_argument("--recon", help="write reconstructed video (.y4m)")
     p.add_argument("--csv", help="per-frame stats CSV")
     p.add_argument("--all-intra", action="store_true",
@@ -101,6 +105,10 @@ def main(argv=None) -> int:
         setattr(cfg, k, v)
     if args.no_deblock:
         cfg.deblock = False
+    if args.sao:
+        cfg.sao = True
+    if args.hash_sei:
+        cfg.hash_sei = True
     if args.bframes:
         cfg.bframes = args.bframes
         cfg.num_refs = 2
