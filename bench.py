@@ -1,18 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark: 1080p all-intra encode throughput on one TPU chip.
+"""Benchmark: 1080p encode throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the driver's north star is x265 at medium preset on 8 CPU
-cores for 1080p (BASELINE.md). x265's tree publishes no absolute fps
-(SURVEY.md §6); until a measured x265 build lands in-repo we use
-40 fps as the documented proxy for "x265 8-core 1080p medium"
-(typical published figures for that configuration).
+Default config is BASELINE.md config 2 (low-delay IPPP, single ref,
+fixed QP) through the fused P-GOP device pipeline (enc/pgop_tpu.py):
+one device dispatch per GOP covering ME + mode decision + MC +
+transform + recon + deblock for every P frame, then native C++ CABAC
+per frame. Set BENCH_MODE=intra for the round-1 all-intra metric.
 
-Pipeline measured end-to-end per frame: device intra analysis (all 35
-modes x all CU sizes) + device wavefront reconstruction + native CABAC
-slice coding + NAL packaging. This is a complete, decodable bitstream
-per frame (the in-repo spec decoder verifies it in tests/).
+Baselines are MEASURED from the reference built in-repo (see
+BASELINE_MEASURED.md): x265 no-asm on this 4-core machine, extrapolated
+x7 (x4 asm, x1.75 for 8 cores) to the north-star "x265 8-core" config:
+  - IPPP medium no-sao: 9.05 fps measured -> 63 fps extrapolated
+  - all-intra medium:   1.02 fps measured -> 7.1 fps extrapolated
 """
 
 import json
@@ -30,43 +31,82 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from x265_tpu.common.params import EncoderConfig  # noqa: E402
 from x265_tpu.enc import IntraEncoder  # noqa: E402
 
-BASELINE_FPS = 40.0   # documented proxy: x265 medium, 8 cores, 1080p
+# measured x265 (no-asm, 4-core) x 7 extrapolation; BASELINE_MEASURED.md
+BASELINE_IPPP_FPS = 63.0
+BASELINE_INTRA_FPS = 7.1
 
 
-def synth_1080p(seed: int):
+def synth_1080p(seed: int, shift: int = 0):
     rng = np.random.default_rng(seed)
     h, w = 1080, 1920
     yy, xx = np.mgrid[0:h, 0:w]
     y = ((xx * 3 + yy * 2 + (xx * yy >> 9)) % 256).astype(np.int32)
     y = np.clip(y + rng.integers(-10, 10, (h, w)), 0, 255).astype(np.uint8)
+    if shift:
+        y = np.roll(y, shift, axis=1)
     cb = np.clip(128 + (xx[::2, ::2] >> 4), 0, 255).astype(np.uint8)
     cr = np.clip(128 - (yy[::2, ::2] >> 4), 0, 255).astype(np.uint8)
     return y, cb, cr
 
 
-def main() -> None:
+def bench_intra() -> None:
     gop = int(os.environ.get("BENCH_GOP", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     cfg = EncoderConfig(width=1920, height=1080, qp=32)
     enc = IntraEncoder(cfg)
     frames = [synth_1080p(i % 3) for i in range(gop)]
-
-    # recon stays on device: the bitstream is the product (x265 likewise
-    # only dumps recon on --recon)
     enc.encode_gop(frames, need_recon=False)    # warmup / compile
     t0 = time.perf_counter()
-    total_bits = 0
     for _ in range(iters):
-        for res in enc.encode_gop(frames, need_recon=False):
-            total_bits += res.bits
+        enc.encode_gop(frames, need_recon=False)
     dt = time.perf_counter() - t0
     fps = gop * iters / dt
     print(json.dumps({
         "metric": "intra_1080p_fps",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / BASELINE_INTRA_FPS, 3),
     }))
+
+
+def bench_ippp() -> None:
+    """IPPP low-delay: I + (gop-1) P frames via the fused device scan."""
+    gop = int(os.environ.get("BENCH_GOP", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    cfg = EncoderConfig(width=1920, height=1080, qp=32, deblock=True,
+                        sao=False)
+    enc = IntraEncoder(cfg)
+    frames = [synth_1080p(i % 3, shift=2 * i) for i in range(gop)]
+
+    def run():
+        enc.frame_count = 1          # skip re-emitting headers
+        enc.poc = 0
+        r0 = enc.encode_gop([frames[0]], need_recon=True)[0]
+        enc.ref = r0.recon
+        rs = enc.encode_pgop(frames[1:], need_recon=False)
+        return r0.bits + sum(r.bits for r in rs)
+
+    run()                            # warmup / compile
+    t0 = time.perf_counter()
+    bits = 0
+    for _ in range(iters):
+        bits += run()
+    dt = time.perf_counter() - t0
+    fps = gop * iters / dt
+    print(json.dumps({
+        "metric": "ippp_1080p_fps",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_IPPP_FPS, 3),
+    }))
+
+
+def main() -> None:
+    mode = os.environ.get("BENCH_MODE", "ippp")
+    if mode == "intra":
+        bench_intra()
+    else:
+        bench_ippp()
 
 
 if __name__ == "__main__":

@@ -74,6 +74,7 @@ class FramePSyntax:
     coeff_cb: np.ndarray
     coeff_cr: np.ndarray
     max_merge: int = 2
+    sao_params: tuple | None = None   # (p_y, p_cb, p_cr) per-CTU params
 
 
 def derive_mpm(cand_a: int, cand_b: int) -> list[int]:

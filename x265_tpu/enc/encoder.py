@@ -357,6 +357,59 @@ class IntraEncoder:
             results.append(r)
         return results
 
+    def encode_pgop(self, frames, qp: int | None = None,
+                    need_recon: bool = True) -> list[FrameResult]:
+        """Fused IPPP GOP: every P frame's ME + mode decision + MC +
+        transform + recon + deblock runs as ONE device dispatch
+        (lax.scan over the chain; enc/pgop_tpu.py), then per-frame
+        native CABAC. The frame-pipeline analog of x265's N
+        FrameEncoder threads (frameencoder.cpp:427)."""
+        from ..bitstream.ctx_tables import init_states
+        from ..native.entropy_native import encode_slice_native
+        from .pgop_tpu import encode_pgop_tpu
+        assert self.ref is not None, "no reference: encode an I frame first"
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        w, h = cfg.width_padded, cfg.height_padded
+        nf = len(frames)
+        oy = np.stack([pad_plane(np.asarray(f[0]), h, w) for f in frames])
+        ocb = np.stack([pad_plane(np.asarray(f[1]), h // 2, w // 2)
+                        for f in frames])
+        ocr = np.stack([pad_plane(np.asarray(f[2]), h // 2, w // 2)
+                        for f in frames])
+        want_recon = need_recon or cfg.hash_sei
+        syns, recons, last_ref = encode_pgop_tpu(
+            oy, ocb, ocr, self.ref, cfg, qp, need_recon=want_recon)
+        results = []
+        for i, syn in enumerate(syns):
+            recon = recons[i]
+            sao_params = syn.sao_params
+            self.poc += 1
+            sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
+                                    ref_delta_poc=1,
+                                    max_merge=syn.max_merge, slice_qp=qp)
+            payload, tail_val, tail_bits = encode_slice_native(
+                1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
+                w, h, cfg.log2_ctu, cfg.log2_min_cu,
+                init_states(P_SLICE, qp), mv8=syn.mv8,
+                max_merge=syn.max_merge, sao_params=sao_params)
+            sw.write_bytes(payload)
+            if tail_bits:
+                sw.write(tail_val, tail_bits)
+            sw.align_one()
+            nals = [(NalUnitType.TRAIL_R, sw.get_bytes())]
+            if cfg.hash_sei:
+                from ..bitstream.sei import write_picture_hash_sei
+                nals.append(write_picture_hash_sei(
+                    recon.y, recon.cb, recon.cr, cfg.bit_depth))
+            stream = annexb_stream(nals)
+            self.frame_count += 1
+            self.stats.add("P", len(stream) * 8, qp)
+            results.append(FrameResult(bitstream=stream, recon=recon,
+                                       syntax=syn, bits=len(stream) * 8))
+        self.ref = last_ref
+        return results
+
     def encode_gop(self, frames: list[tuple[np.ndarray, np.ndarray,
                                             np.ndarray]],
                    need_recon: bool = True) -> list[FrameResult]:

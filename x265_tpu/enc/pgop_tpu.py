@@ -1,0 +1,555 @@
+"""Fused P-GOP device pipeline: the whole IPPP chain as ONE dispatch.
+
+TPU-first recast of x265's frame-pipeline parallelism for inter frames
+(reference: source/encoder/frameencoder.cpp compressFrame steady-state,
+source/encoder/analysis.cpp compressInterCU_rd0_4): the serial
+dependency of an IPPP chain is frame k -> frame k+1 through the
+reconstructed reference, so the chain is expressed as a `lax.scan`
+whose carry is the reference picture and whose body does, entirely on
+device: dense hierarchical ME (every block of every size at once) ->
+bottom-up depth argmin -> dense MC + transform + quant + recon,
+composed by depth masks -> in-loop deblock with data-dependent
+boundary strengths. The host sees ONE device dispatch per GOP and
+downloads only the decision fields + int16 coefficients in
+transfer-friendly 2D layouts (this machine's D2H is layout-sensitive).
+
+Round-1 did this per frame with host round-trips between every stage
+and composed planes with host np.where (inter_frame.py); this module
+replaces that path for GOP encoding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bitstream.syntax import FramePSyntax
+from ..common.params import EncoderConfig
+from ..common.tables import chroma_qp, lambda_from_qp, lambda2_from_qp
+from ..ops.deblock import BETA_TABLE, TC_TABLE, _luma_filter_batch
+from ..ops.interp import mc_block_batch
+from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
+from ..ops.me import (DIAMOND, _block_origins, _downsample4, _mv_bits,
+                      _sad_at)
+from ..ops.satd import sa8d_nxn_batch
+from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
+    dequant_batch
+from .intra_recon import ReconFrame
+
+SIZES = (8, 16, 32)
+
+
+# =============================================================================
+# motion estimation (in-graph versions of ops/me.py, fori-rolled)
+# =============================================================================
+
+def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
+                          radius: int = 8, blk: int = 4):
+    """Full search on 1/4-res planes as a fori_loop over candidates
+    (one dynamic_slice body instead of (2r+1)^2 unrolled shifts)."""
+    h, w = cur4.shape
+    hh, ww = h // blk * blk, w // blk * blk
+    cur = cur4[:hh, :ww].astype(jnp.int32)
+    by, bx = hh // blk, ww // blk
+    pad = jnp.pad(ref4.astype(jnp.int32),
+                  ((radius, radius), (radius, radius)), mode="edge")
+    ncand = (2 * radius + 1) ** 2
+
+    def body(i, state):
+        best_cost, best_mv = state
+        dy = i // (2 * radius + 1) - radius
+        dx = i % (2 * radius + 1) - radius
+        sh = jax.lax.dynamic_slice(pad, (dy + radius, dx + radius),
+                                   (h, w))[:hh, :ww]
+        ad = jnp.abs(cur - sh)
+        sad = ad.reshape(by, blk, bx, blk).sum(axis=(1, 3))
+        cost = sad + (jnp.abs(dx) + jnp.abs(dy))
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        mv = jnp.stack([dx, dy]).astype(jnp.int32)
+        best_mv = jnp.where(better[..., None], mv[None, None], best_mv)
+        return best_cost, best_mv
+
+    init = (jnp.full((by, bx), 1 << 30, jnp.int32),
+            jnp.zeros((by, bx, 2), jnp.int32))
+    cost, mv = jax.lax.fori_loop(0, ncand, body, init)
+    return mv, cost
+
+
+def _refine_size_t(cur, ref, seed_mv, lam, n, iters, bit_depth):
+    """Integer diamond + qpel SATD refinement, traced (ops/me.py
+    refine_size without the jit wrapper so it inlines into the scan)."""
+    h, w = cur.shape
+    x0s, y0s, by, bx = _block_origins(h, w, n)
+    cur_blocks = cur.reshape(by, n, bx, n).transpose(0, 2, 1, 3) \
+        .reshape(-1, n, n).astype(jnp.int32)
+    mvx = seed_mv[:, 0]
+    mvy = seed_mv[:, 1]
+    cost = _sad_at(cur_blocks, ref, x0s, y0s, mvx, mvy, n) + \
+        lam * _mv_bits(mvx * 4, mvy * 4)
+    seeds2 = seed_mv.reshape(by, bx, 2)
+    cands = [jnp.zeros_like(seeds2),
+             jnp.roll(seeds2, 1, axis=1),
+             jnp.roll(seeds2, 1, axis=0),
+             jnp.roll(seeds2, (1, -1), axis=(0, 1))]
+    for cand in cands:
+        cx = cand[..., 0].reshape(-1)
+        cy = cand[..., 1].reshape(-1)
+        c = _sad_at(cur_blocks, ref, x0s, y0s, cx, cy, n) + \
+            lam * _mv_bits(cx * 4, cy * 4)
+        better = c < cost
+        cost = jnp.where(better, c, cost)
+        mvx = jnp.where(better, cx, mvx)
+        mvy = jnp.where(better, cy, mvy)
+
+    def diamond_round(state):
+        mvx, mvy, cost = state
+        for dx, dy in DIAMOND:
+            cx = mvx + dx
+            cy = mvy + dy
+            c = _sad_at(cur_blocks, ref, x0s, y0s, cx, cy, n) + \
+                lam * _mv_bits(cx * 4, cy * 4)
+            better = c < cost
+            cost = jnp.where(better, c, cost)
+            mvx = jnp.where(better, cx, mvx)
+            mvy = jnp.where(better, cy, mvy)
+        return mvx, mvy, cost
+
+    mvx, mvy, cost = jax.lax.fori_loop(
+        0, iters, lambda _, s: diamond_round(s), (mvx, mvy, cost))
+    for _ in range(2):
+        field = jnp.stack([mvx, mvy], axis=1).reshape(by, bx, 2)
+        for sh, ax in [(1, 0), (-1, 0), (1, 1), (-1, 1)]:
+            cand = jnp.roll(field, sh, axis=ax)
+            cx = cand[..., 0].reshape(-1)
+            cy = cand[..., 1].reshape(-1)
+            c = _sad_at(cur_blocks, ref, x0s, y0s, cx, cy, n) + \
+                lam * _mv_bits(cx * 4, cy * 4)
+            better = c < cost
+            cost = jnp.where(better, c, cost)
+            mvx = jnp.where(better, cx, mvx)
+            mvy = jnp.where(better, cy, mvy)
+        mvx, mvy, cost = jax.lax.fori_loop(
+            0, 2, lambda _, s: diamond_round(s), (mvx, mvy, cost))
+    mvqx = mvx * 4
+    mvqy = mvy * 4
+    scost = sa8d_nxn_batch(
+        cur_blocks - mc_block_batch(ref, x0s, y0s, mvqx, mvqy, n,
+                                    is_luma=True, bit_depth=bit_depth),
+        n) + lam * _mv_bits(mvqx, mvqy)
+    for step in (2, 1):
+        for dx, dy in DIAMOND + [(1, 1), (1, -1), (-1, 1), (-1, -1)]:
+            cx = mvqx + dx * step
+            cy = mvqy + dy * step
+            pred = mc_block_batch(ref, x0s, y0s, cx, cy, n, is_luma=True,
+                                  bit_depth=bit_depth)
+            c = sa8d_nxn_batch(cur_blocks - pred, n) + \
+                lam * _mv_bits(cx, cy)
+            better = c < scost
+            scost = jnp.where(better, c, scost)
+            mvqx = jnp.where(better, cx, mvqx)
+            mvqy = jnp.where(better, cy, mvqy)
+    return jnp.stack([mvqx, mvqy], axis=1), scost
+
+
+# =============================================================================
+# depth decision (device version of inter_frame.py's bottom-up argmin)
+# =============================================================================
+
+def _depth_decision(costs: dict, mvs: dict, lam: float,
+                    real_h: int, real_w: int, h: int, w: int):
+    """Bottom-up split-vs-keep argmin over ME costs (+ header bits).
+    Returns depth8 (n8y, n8x) i32 and mv8 (n8y, n8x, 2) i32 on the
+    padded grid. Static over-the-edge masking forces splits at ragged
+    borders (partial CUs can't be chosen whole)."""
+    hdr_bits = 6.0
+    big = jnp.float32(1e18)
+    cost = {}
+    for n in SIZES:
+        by, bx = h // n, w // n
+        c = costs[n].reshape(by, bx).astype(jnp.float32) + lam * hdr_bits
+        ys, xs = np.mgrid[0:by, 0:bx]
+        over = ((ys + 1) * n > real_h) | ((xs + 1) * n > real_w)
+        cost[n] = jnp.where(jnp.asarray(over), big, c)
+    agg = jnp.where(cost[8] >= big, 0.0, cost[8])
+    by16, bx16 = h // 16, w // 16
+    ch16 = agg.reshape(by16, 2, bx16, 2).sum(axis=(1, 3)) + lam * 4.0
+    keep16 = cost[16] <= ch16
+    agg16 = jnp.where(keep16, cost[16], ch16)
+    agg16 = jnp.where(agg16 >= big, 0.0, agg16)
+    by32, bx32 = h // 32, w // 32
+    ch32 = agg16.reshape(by32, 2, bx32, 2).sum(axis=(1, 3)) + lam * 4.0
+    keep32 = cost[32] <= ch32
+
+    n8y, n8x = h // 8, w // 8
+    rep = lambda a, k: jnp.repeat(jnp.repeat(a, k, 0), k, 1)
+    k32 = rep(keep32, 4)[:n8y, :n8x]
+    k16 = rep(keep16, 2)[:n8y, :n8x]
+    depth8 = jnp.where(k32, 0, jnp.where(k16, 1, 2)).astype(jnp.int32)
+
+    def up_mv(n, k):
+        by, bx = h // n, w // n
+        return rep(mvs[n].reshape(by, bx, 2), k)[:n8y, :n8x]
+
+    mv8 = jnp.where(k32[..., None], up_mv(32, 4),
+                    jnp.where(k16[..., None], up_mv(16, 2), up_mv(8, 1)))
+    return depth8, mv8.astype(jnp.int32)
+
+
+# =============================================================================
+# dense MC reconstruction (device compose; inter_frame.py recast)
+# =============================================================================
+
+def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mv8, depth8, qp, qpc,
+                  bit_depth):
+    """Dense MC + residual coding at every CU size, composed by depth
+    masks, entirely on device. Returns recon + coeff planes."""
+    h, w = oy.shape
+    maxv = (1 << bit_depth) - 1
+
+    def blocks_of(plane, nn):
+        bby, bbx = plane.shape[0] // nn, plane.shape[1] // nn
+        return plane.reshape(bby, nn, bbx, nn).transpose(0, 2, 1, 3) \
+            .reshape(-1, nn, nn).astype(jnp.int32)
+
+    def to_plane(blocks, nn, hh, ww):
+        bby, bbx = hh // nn, ww // nn
+        return blocks.reshape(bby, bbx, nn, nn).transpose(0, 2, 1, 3) \
+            .reshape(hh, ww)
+
+    def one_plane(orig, ref, nn, x0, y0, mvx, mvy, qqp, is_luma):
+        pred = mc_block_batch(ref, x0, y0, mvx, mvy, nn, is_luma=is_luma,
+                              bit_depth=bit_depth)
+        ob = blocks_of(orig, nn)
+        resi = ob - pred
+        coefs = quant_batch(dct_batch(resi, nn, bit_depth), nn, qqp,
+                            bit_depth, intra=False)
+        cbf = jnp.any(coefs != 0, axis=(1, 2))
+        r = idct_batch(dequant_batch(coefs, nn, qqp, bit_depth), nn,
+                       bit_depth)
+        rec = jnp.where(cbf[:, None, None], jnp.clip(pred + r, 0, maxv),
+                        pred)
+        coefs = jnp.where(cbf[:, None, None], coefs, 0)
+        return rec, coefs
+
+    planes = {}
+    for n in SIZES:
+        by, bx = h // n, w // n
+        s = n // 8
+        grid = mv8[::s, ::s][:by, :bx]
+        mvx = grid[..., 0].reshape(-1)
+        mvy = grid[..., 1].reshape(-1)
+        x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
+        y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
+        cn = n >> 1
+        rec_y, cf_y = one_plane(oy, ry, n, x0s, y0s, mvx, mvy, qp, True)
+        rec_cb, cf_cb = one_plane(ocb, rcb, cn, x0s // 2, y0s // 2,
+                                  mvx, mvy, qpc, False)
+        rec_cr, cf_cr = one_plane(ocr, rcr, cn, x0s // 2, y0s // 2,
+                                  mvx, mvy, qpc, False)
+        planes[n] = (to_plane(rec_y, n, h, w), to_plane(cf_y, n, h, w),
+                     to_plane(rec_cb, cn, h // 2, w // 2),
+                     to_plane(cf_cb, cn, h // 2, w // 2),
+                     to_plane(rec_cr, cn, h // 2, w // 2),
+                     to_plane(cf_cr, cn, h // 2, w // 2))
+
+    size_of_depth = {0: 32, 1: 16, 2: 8}
+    out = [jnp.zeros_like(p) for p in planes[8]]
+    for d, n in size_of_depth.items():
+        m8 = depth8 == d
+        mpx = jnp.repeat(jnp.repeat(m8, 8, 0), 8, 1)
+        mpx_c = jnp.repeat(jnp.repeat(m8, 4, 0), 4, 1)
+        ps = planes[n]
+        for i, (mask, p) in enumerate(
+                [(mpx, ps[0]), (mpx, ps[1]), (mpx_c, ps[2]),
+                 (mpx_c, ps[3]), (mpx_c, ps[4]), (mpx_c, ps[5])]):
+            out[i] = jnp.where(mask, p, out[i])
+    return out   # rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr
+
+
+# =============================================================================
+# in-graph deblock with data-dependent boundary strengths
+# =============================================================================
+
+def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int):
+    """Traced boundary-strength maps (ops/deblock.inter_bs_maps recast):
+    bs = 1 on CU boundaries where either side's TU has coefficients or
+    the MV difference reaches a full pel."""
+    n8y, n8x = depth8.shape
+    nz8 = cf_y[:n8y * 8, :n8x * 8].reshape(n8y, 8, n8x, 8)
+    nz8 = jnp.any(nz8 != 0, axis=(1, 3))
+
+    def orpool(a, k):
+        yy = a.shape[0] // k * k
+        xx = a.shape[1] // k * k
+        q = a[:yy, :xx].reshape(yy // k, k, xx // k, k).any(axis=(1, 3))
+        r = jnp.repeat(jnp.repeat(q, k, 0), k, 1)
+        return jnp.pad(r, ((0, a.shape[0] - r.shape[0]),
+                           (0, a.shape[1] - r.shape[1])))
+
+    cbf8 = jnp.where(depth8 == 0, orpool(nz8, 4),
+                     jnp.where(depth8 == 1, orpool(nz8, 2), nz8))
+
+    # CU-boundary masks (edge_masks_from_depth, traced): cell (i,k) has
+    # a left/top CU edge iff its pixel coordinate is a multiple of the
+    # covering CU's size
+    size = (ctu >> depth8).astype(jnp.int32)
+    xs = (jnp.arange(n8x) * 8)[None, :]
+    ys = (jnp.arange(n8y) * 8)[:, None]
+    vmask = (xs % size) == 0
+    vmask = vmask.at[:, 0].set(False)
+    hmask = (ys % size) == 0
+    hmask = hmask.at[0, :].set(False)
+
+    def bs_of(mP, mQ, mvP, mvQ):
+        mvd = (jnp.abs(mvP[..., 0] - mvQ[..., 0]) >= 4) | \
+              (jnp.abs(mvP[..., 1] - mvQ[..., 1]) >= 4)
+        return (mP | mQ | mvd).astype(jnp.int32)
+
+    vbs = jnp.zeros((n8y, n8x), jnp.int32)
+    vbs = vbs.at[:, 1:].set(bs_of(cbf8[:, :-1], cbf8[:, 1:],
+                                  mv8[:, :-1], mv8[:, 1:]))
+    vbs = vbs * vmask
+    hbs = jnp.zeros((n8y, n8x), jnp.int32)
+    hbs = hbs.at[1:, :].set(bs_of(cbf8[:-1, :], cbf8[1:, :],
+                                  mv8[:-1, :], mv8[1:, :]))
+    hbs = hbs * hmask
+    return vbs, hbs
+
+
+def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
+                   qp: int, bit_depth: int = 8) -> jnp.ndarray:
+    """Luma deblock with TRACED bs maps (ops/deblock.deblock_luma takes
+    static numpy maps; inter bs depends on coded data)."""
+    h, w = plane.shape
+    shift = bit_depth - 8
+    beta = int(BETA_TABLE[min(max(qp, 0), 51)]) << shift
+    maxv = (1 << bit_depth) - 1
+    tc_by_bs = jnp.asarray(np.array(
+        [0] + [int(TC_TABLE[min(max(qp + 2 * (b - 1), 0), 53)]) << shift
+               for b in (1, 2)], dtype=np.int32))
+    if beta == 0 or w < 16:
+        return plane
+
+    def vpass(pl, bs_cells):
+        hh, ww = pl.shape
+        ne = ww // 8 - 1
+        if ne <= 0:
+            return pl
+        idx = (np.arange(1, ww // 8)[:, None] * 8 - 4 +
+               np.arange(8)[None, :]).astype(np.int32)
+        g = jnp.take(pl, jnp.asarray(idx), axis=1)
+        seg = g.reshape(hh // 4, 4, ne, 8).transpose(0, 2, 1, 3)
+        bs_seg = jnp.repeat(bs_cells[:, 1:], 2, axis=0)[:hh // 4]
+        act = bs_seg > 0
+        tcs = jnp.take(tc_by_bs, jnp.clip(bs_seg, 0, 2))
+        out = _luma_filter_batch(seg, act, tcs, beta, maxv)
+        out = out.transpose(0, 2, 1, 3).reshape(hh, ne, 8)
+        return pl.at[:, jnp.asarray(idx)].set(out)
+
+    pl = vpass(plane, vbs)
+    pl = vpass(pl.T, hbs.T).T
+    return pl
+
+
+# =============================================================================
+# the fused GOP scan
+# =============================================================================
+
+@partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
+                                   "real_w", "ctu", "deblock", "sao",
+                                   "me_iters", "need_recon"))
+def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
+               qp: int, qpc: int, bit_depth: int, real_h: int,
+               real_w: int, ctu: int, deblock: bool, sao: bool,
+               me_iters: int, need_recon: bool):
+    """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
+    ref_*: initial reference planes (the I frame recon, post-filter).
+    Returns per-frame stacked decision fields + coefficients + SAO
+    params (+ recon) in transfer-friendly dtypes, and the final
+    reference planes.
+
+    In-loop filters run on the CODED-size crop (static slice): the
+    ragged-edge padding rows/cols are not picture samples, so deblock
+    edges at y=real_h / x=real_w and SAO classification across the
+    coded border must not exist (the decoder filters the coded frame
+    only). The filtered crop is edge-re-padded for the next frame's
+    reference."""
+    lam = float(lambda_from_qp(qp))
+    lam2 = float(lambda2_from_qp(qp))
+    hp, wp = orig_y.shape[1:]
+    rh, rw = real_h, real_w
+
+    def body(carry, xs):
+        ry, rcb, rcr = carry
+        oy8, ocb8, ocr8 = xs
+        oy = oy8.astype(jnp.int32)
+        ocb = ocb8.astype(jnp.int32)
+        ocr = ocr8.astype(jnp.int32)
+        h, w = oy.shape
+
+        # --- dense hierarchical ME
+        cmv, _ = _coarse_search_rolled(_downsample4(oy), _downsample4(ry))
+        cby, cbx = cmv.shape[:2]
+        lam_i = jnp.int32(round(lam))
+        costs, mvs = {}, {}
+        for n in SIZES:
+            by, bx = h // n, w // n
+            iy = jnp.clip((jnp.arange(by) * n + n // 2) // 16, 0, cby - 1)
+            ix = jnp.clip((jnp.arange(bx) * n + n // 2) // 16, 0, cbx - 1)
+            seed = (cmv[iy[:, None], ix[None, :]] * 4).reshape(-1, 2)
+            mv, cost = _refine_size_t(oy, ry, seed, lam_i, n, me_iters,
+                                      bit_depth)
+            costs[n] = cost
+            mvs[n] = mv
+
+        depth8, mv8 = _depth_decision(costs, mvs, lam, real_h, real_w,
+                                      h, w)
+
+        # --- dense MC + residual coding, composed on device
+        rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr = _mc_recon_all(
+            oy, ocb, ocr, ry, rcb, rcr, mv8, depth8, qp, qpc, bit_depth)
+
+        # --- in-loop filters on the coded-size crop
+        ry_c = rec_y[:rh, :rw]
+        rcb_c = rec_cb[:rh // 2, :rw // 2]
+        rcr_c = rec_cr[:rh // 2, :rw // 2]
+        if deblock:
+            # luma only: all-inter P has bs<=1 and chroma filters only
+            # bs==2 edges (clause 8.7.2.4)
+            vbs, hbs = _inter_bs_maps_t(
+                depth8[:rh // 8, :rw // 8], mv8[:rh // 8, :rw // 8],
+                cf_y[:rh, :rw], ctu)
+            ry_c = deblock_luma_t(ry_c, vbs, hbs, qp, bit_depth)
+        ncty = (rh + ctu - 1) // ctu
+        nctx = (rw + ctu - 1) // ctu
+        if sao:
+            p_y = choose_sao_t(oy[:rh, :rw], ry_c, ctu, qp, bit_depth,
+                               lam2)
+            p_cb, p_cr = choose_sao_chroma_t(
+                ocb[:rh // 2, :rw // 2], rcb_c, ocr[:rh // 2, :rw // 2],
+                rcr_c, ctu // 2, qp, bit_depth, lam2)
+            ry_c = apply_sao_t(ry_c, p_y, ctu, bit_depth)
+            rcb_c = apply_sao_t(rcb_c, p_cb, ctu // 2, bit_depth)
+            rcr_c = apply_sao_t(rcr_c, p_cr, ctu // 2, bit_depth)
+        else:
+            p_y = jnp.zeros((ncty, nctx, 6), jnp.int32)
+            p_cb = jnp.zeros((ncty, nctx, 6), jnp.int32)
+            p_cr = jnp.zeros((ncty, nctx, 6), jnp.int32)
+
+        # --- re-pad the filtered picture as the next reference
+        rec_y = jnp.pad(ry_c, ((0, hp - rh), (0, wp - rw)), mode="edge")
+        rec_cb = jnp.pad(rcb_c, ((0, (hp - rh) // 2), (0, (wp - rw) // 2)),
+                         mode="edge")
+        rec_cr = jnp.pad(rcr_c, ((0, (hp - rh) // 2), (0, (wp - rw) // 2)),
+                         mode="edge")
+
+        rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
+        outs = (depth8.astype(jnp.uint8), mv8.astype(jnp.int16),
+                cf_y.astype(jnp.int16), cf_cb.astype(jnp.int16),
+                cf_cr.astype(jnp.int16),
+                jnp.stack([p_y, p_cb, p_cr]).astype(jnp.int8))
+        if need_recon:
+            outs = outs + (rec_y.astype(rdt), rec_cb.astype(rdt),
+                           rec_cr.astype(rdt))
+        return (rec_y, rec_cb, rec_cr), outs
+
+    carry, outs = jax.lax.scan(
+        body, (ref_y.astype(jnp.int32), ref_cb.astype(jnp.int32),
+               ref_cr.astype(jnp.int32)),
+        (orig_y, orig_cb, orig_cr))
+    f = orig_y.shape[0]
+    # 2D layouts for the tunnel (3D-planar D2H is ~100x slower here)
+    cf_y2 = outs[2].reshape(f * hp, wp)
+    cf_c2 = jnp.concatenate([outs[3], outs[4]]).reshape(
+        2 * f * (hp // 2), wp // 2)
+    res = (outs[0], outs[1], cf_y2, cf_c2, outs[5])
+    if need_recon:
+        rec_y2 = outs[6].reshape(f * hp, wp)
+        rec_c2 = jnp.concatenate([outs[7], outs[8]]).reshape(
+            2 * f * (hp // 2), wp // 2)
+        res = res + (rec_y2, rec_c2)
+    rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
+    final_ref = tuple(p.astype(rdt) for p in carry)
+    return res, final_ref
+
+
+def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
+                    orig_cr: np.ndarray, ref: ReconFrame,
+                    cfg: EncoderConfig, qp: int | None = None,
+                    need_recon: bool = True, me_iters: int = 8
+                    ) -> tuple[list[FramePSyntax], list[ReconFrame | None],
+                               ReconFrame]:
+    """Encode F consecutive P frames against a running reference.
+
+    orig_y: (F, H, W) planes at the coded (8-aligned) size; ref is the
+    post-filter recon of the preceding frame. Returns per-frame syntax
+    (cropped to coded size), per-frame recon (or None), and the final
+    reference for chaining."""
+    f, h, w = orig_y.shape
+    hp = (h + 31) // 32 * 32
+    wp = (w + 31) // 32 * 32
+    qp = cfg.qp if qp is None else qp
+    qpc = chroma_qp(qp)
+    src_dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+
+    def padp(p, ph, pw):
+        pads = ((0, 0), (0, ph - p.shape[-2]), (0, pw - p.shape[-1]))
+        if p.ndim == 2:
+            pads = pads[1:]
+        return np.pad(p, pads, mode="edge").astype(src_dt)
+
+    oy = jnp.asarray(padp(orig_y, hp, wp).reshape(f * hp, wp)) \
+        .reshape(f, hp, wp)
+    ocb = jnp.asarray(padp(orig_cb, hp // 2, wp // 2)
+                      .reshape(f * (hp // 2), wp // 2)) \
+        .reshape(f, hp // 2, wp // 2)
+    ocr = jnp.asarray(padp(orig_cr, hp // 2, wp // 2)
+                      .reshape(f * (hp // 2), wp // 2)) \
+        .reshape(f, hp // 2, wp // 2)
+    ry = jnp.asarray(padp(np.asarray(ref.y), hp, wp))
+    rcb = jnp.asarray(padp(np.asarray(ref.cb), hp // 2, wp // 2))
+    rcr = jnp.asarray(padp(np.asarray(ref.cr), hp // 2, wp // 2))
+
+    res, final_ref = _pgop_scan(
+        ry, rcb, rcr, oy, ocb, ocr, qp=int(qp), qpc=int(qpc),
+        bit_depth=cfg.bit_depth, real_h=h, real_w=w, ctu=cfg.ctu_size,
+        deblock=cfg.deblock, sao=cfg.sao, me_iters=me_iters,
+        need_recon=need_recon)
+
+    depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
+    mv8 = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]
+    cf_y = np.asarray(res[2]).reshape(f, hp, wp)[:, :h, :w]
+    cf_c = np.asarray(res[3]).reshape(2 * f, hp // 2, wp // 2) \
+        [:, :h // 2, :w // 2]
+    sao_all = np.asarray(res[4]).astype(np.int32)   # (F, 3, ncty, nctx, 6)
+    if need_recon:
+        ry_np = np.asarray(res[5]).reshape(f, hp, wp)[:, :h, :w]
+        rc_np = np.asarray(res[6]).reshape(2 * f, hp // 2, wp // 2) \
+            [:, :h // 2, :w // 2]
+
+    syns, recons = [], []
+    for i in range(f):
+        syns.append(FramePSyntax(
+            depth8=depth8[i].astype(np.uint8),
+            mv8=mv8[i],
+            coeff_y=cf_y[i].astype(np.int32),
+            coeff_cb=cf_c[i].astype(np.int32),
+            coeff_cr=cf_c[f + i].astype(np.int32)))
+        syns[-1].sao_params = (
+            (sao_all[i, 0], sao_all[i, 1], sao_all[i, 2])
+            if cfg.sao else None)
+        if need_recon:
+            recons.append(ReconFrame(ry_np[i].astype(np.int32),
+                                     rc_np[i].astype(np.int32),
+                                     rc_np[f + i].astype(np.int32)))
+        else:
+            recons.append(None)
+    fr = [np.asarray(p) for p in final_ref]
+    last_ref = ReconFrame(fr[0][:h, :w].astype(np.int32),
+                          fr[1][:h // 2, :w // 2].astype(np.int32),
+                          fr[2][:h // 2, :w // 2].astype(np.int32))
+    return syns, recons, last_ref

@@ -95,7 +95,7 @@ def edge_masks_from_depth(depth8: np.ndarray, ctu: int
 def _luma_edge_np(get, put, tc: int, beta: int, maxv: int) -> None:
     """Filter one 4-line luma edge segment. get(side, line) returns the
     sample [p3..p0 | q0..q3] as ints; put(side, line, v) writes."""
-    p = [[get(3 - j, r) for j in range(4)] for r in range(4)]   # p[r][0]=p3
+    p = [[get(j, r) for j in range(4)] for r in range(4)]       # p[r][0]=p3
     q = [[get(4 + j, r) for j in range(4)] for r in range(4)]   # q[r][0]=q0
     dp0 = abs(p[0][1] - 2 * p[0][2] + p[0][3])
     dp3 = abs(p[3][1] - 2 * p[3][2] + p[3][3])
