@@ -62,7 +62,7 @@ def test_native_p_slice_matches_python():
         1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
         cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
         cfg.log2_min_cu, init_states(1, 31), mv8=syn.mv8,
-        max_merge=syn.max_merge)
+        max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding)
     assert nat == py_bytes and (tv, tb) == py_tail
 
 
@@ -108,5 +108,5 @@ def test_native_sao_slice_matches_python():
         2, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
         cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
         cfg.log2_min_cu, init_states(I_SLICE, qp), mode8=syn.mode8,
-        sao_params=sao)
+        sign_hiding=cfg.sign_hiding, sao_params=sao)
     assert nat == py_bytes and (tv, tb) == cab._tail

@@ -70,12 +70,12 @@ def test_pgop_ragged_roundtrip():
                                       err_msg=f"frame {i} cr")
 
 
-def test_pgop_matches_host_path():
-    """The fused scan reproduces the per-frame host path bit-exactly
-    (same math, same decision order)."""
+def test_pgop_chain_matches_single_frame_calls():
+    """One fused N-frame scan must be bit-exact with N chained
+    single-frame dispatches (validates the scan's reference carry)."""
     h, w = 64, 64
     frames = _clip(3, h, w, seed=3)
-    cfg = EncoderConfig(width=w, height=h, qp=32, deblock=True, sao=False)
+    cfg = EncoderConfig(width=w, height=h, qp=32, deblock=True, sao=True)
 
     enc_a = IntraEncoder(cfg)
     r0 = enc_a.encode_frame(*frames[0])
@@ -87,9 +87,9 @@ def test_pgop_matches_host_path():
     r0b = enc_b.encode_frame(*frames[0])
     enc_b.ref = r0b.recon
     enc_b.poc = 0
-    host = [enc_b.encode_frame_p(*f) for f in frames[1:]]
+    single = [enc_b.encode_frame_p(*f) for f in frames[1:]]
 
-    for i, (a, b) in enumerate(zip(fused, host)):
+    for i, (a, b) in enumerate(zip(fused, single)):
         np.testing.assert_array_equal(a.syntax.depth8, b.syntax.depth8,
                                       err_msg=f"frame {i} depth8")
         np.testing.assert_array_equal(a.syntax.mv8, b.syntax.mv8,

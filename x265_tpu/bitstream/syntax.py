@@ -49,6 +49,7 @@ class FrameIntraSyntax:
     coeff_y: np.ndarray    # (H, W) int32, TUs laid out at their position
     coeff_cb: np.ndarray   # (H/2, W/2) int32
     coeff_cr: np.ndarray   # (H/2, W/2) int32
+    cmode8: np.ndarray | None = None   # chroma pred mode; None = DM
 
 
 @dataclass
@@ -460,10 +461,19 @@ class SliceSyntaxEncoder:
                 if mode > m:
                     rem -= 1
             cab.encode_bypass_bins(rem, 5)
-        # intra_chroma_pred_mode: DM ('0')
-        cab.encode_bin(OFF["intra_chroma_pred_mode"], 0)
+        # intra_chroma_pred_mode (clause 8.4.3 candidate list): '0' =
+        # DM; '1' + 2 bypass bins = index into [planar, ver, hor, dc]
+        # with the luma-mode entry substituted by angular-34
+        cmode = mode if self.syn.cmode8 is None else \
+            int(self.syn.cmode8[y0 >> 3, x0 >> 3])
+        if cmode == mode:
+            cab.encode_bin(OFF["intra_chroma_pred_mode"], 0)
+        else:
+            cand = [34 if c == mode else c for c in (0, 26, 10, 1)]
+            cab.encode_bin(OFF["intra_chroma_pred_mode"], 1)
+            cab.encode_bypass_bins(cand.index(cmode), 2)
         # transform tree: TU == CU (max_transform_hierarchy_depth_intra = 0)
-        self._code_transform_unit(x0, y0, log2_size, mode)
+        self._code_transform_unit(x0, y0, log2_size, mode, cmode)
 
     # -- transform tree / unit (clauses 7.3.8.8, 7.3.8.10) ----------------------
 
@@ -471,7 +481,8 @@ class SliceSyntaxEncoder:
         return int(np.any(coeff[y:y + size, x:x + size]))
 
     def _code_transform_unit(self, x0: int, y0: int, log2_size: int,
-                             luma_mode: int) -> None:
+                             luma_mode: int,
+                             chroma_mode: int | None = None) -> None:
         cab = self.cab
         syn = self.syn
         size = 1 << log2_size
@@ -489,7 +500,8 @@ class SliceSyntaxEncoder:
             scan = intra_scan_idx(luma_mode, log2_size, True)
             self.code_residual(blk, log2_size, 0, scan)
         if csize >= 4:
-            cscan = intra_scan_idx(luma_mode, log2_size - 1, False)
+            cm = luma_mode if chroma_mode is None else chroma_mode
+            cscan = intra_scan_idx(cm, log2_size - 1, False)
             if cbf_cb:
                 self.code_residual(syn.coeff_cb[cy:cy + csize, cx:cx + csize],
                                    log2_size - 1, 1, cscan)
@@ -581,8 +593,13 @@ class SliceSyntaxEncoder:
             if first_g2 >= 0:
                 cab.encode_bin(gtr2_base + ctx_set,
                                int(abs_levels[first_g2] > 2))
-            # sign bits (sign-data-hiding handled upstream by quant when on)
-            for s in signs:
+            # sign bits; with sign-data-hiding the sign of the
+            # coefficient at firstSigScanPos (last in coding order) is
+            # inferred from sum-of-levels parity (clause 7.4.9.11) —
+            # the quant stage enforced the parity upstream
+            hidden = self.cfg.sign_hiding and len(sig_pos) > 0 and \
+                (sig_pos[0] - sig_pos[-1] > 3)
+            for s in (signs[:-1] if hidden else signs):
                 cab.encode_bypass(s)
             # remaining levels
             rice = 0

@@ -51,7 +51,7 @@ class EncoderConfig:
     # tools
     hash_sei: bool = False       # emit decoded-picture-hash SEI (MD5)
     rdoq: bool = False
-    sign_hiding: bool = False
+    sign_hiding: bool = True   # x265 default (param.cpp:208)
     wpp: bool = False
 
     # analysis

@@ -452,8 +452,12 @@ class SliceDecoder:
             for m in sorted(mpm):
                 if mode >= m:
                     mode += 1
-        chroma_dm = cab.decode_bin(OFF["intra_chroma_pred_mode"])
-        assert chroma_dm == 0, "only DM chroma mode emitted"
+        if cab.decode_bin(OFF["intra_chroma_pred_mode"]):
+            cand = [34 if c == mode else c for c in (0, 26, 10, 1)]
+            idx = (cab.decode_bypass() << 1) | cab.decode_bypass()
+            cmode = cand[idx]
+        else:
+            cmode = mode                    # DM
         d = self.sps.log2_ctu - log2_size
         self.depth8[y0 >> 3:(y0 + size) >> 3, x0 >> 3:(x0 + size) >> 3] = d
         self.mode8[y0 >> 3:(y0 + size) >> 3, x0 >> 3:(x0 + size) >> 3] = mode
@@ -468,13 +472,14 @@ class SliceDecoder:
             coeff_y = self._residual(log2_size, 0, scan)
         csize = size >> 1
         if csize >= 4:
-            cscan = intra_scan_idx(mode, log2_size - 1, False)
+            cscan = intra_scan_idx(cmode, log2_size - 1, False)
             if cbf_cb:
                 coeff_cb = self._residual(log2_size - 1, 1, cscan)
             if cbf_cr:
                 coeff_cr = self._residual(log2_size - 1, 2, cscan)
 
-        self._reconstruct(x0, y0, log2_size, mode, coeff_y, coeff_cb, coeff_cr)
+        self._reconstruct(x0, y0, log2_size, mode, coeff_y, coeff_cb,
+                          coeff_cr, cmode)
 
     # -- reconstruction (clauses 8.4.4, 8.6) --------------------------------------
 
@@ -494,7 +499,10 @@ class SliceDecoder:
 
     def _reconstruct(self, x0: int, y0: int, log2_size: int, mode: int,
                      cy_: np.ndarray | None, ccb: np.ndarray | None,
-                     ccr: np.ndarray | None) -> None:
+                     ccr: np.ndarray | None,
+                     cmode: int | None = None) -> None:
+        if cmode is None:
+            cmode = mode
         n = 1 << log2_size
         bd = self.bd
         # luma
@@ -518,7 +526,7 @@ class SliceDecoder:
         for plane, coeff, qp in ((self.cb, ccb, self.qp_cb),
                                  (self.cr, ccr, self.qp_cr)):
             refs_c = canonical_refs(plane, cx0, cy0, cn, avc, bd)
-            pred_c = intra_pred_np(refs_c, mode, cn, is_luma=False,
+            pred_c = intra_pred_np(refs_c, cmode, cn, is_luma=False,
                                    bit_depth=bd)
             resi_c = 0
             if coeff is not None:
@@ -602,8 +610,12 @@ class SliceDecoder:
             g2 = 0
             if first_g2 >= 0:
                 g2 = cab.decode_bin(gtr2_base + ctx_set)
-            signs = [cab.decode_bypass() for _ in range(nsig)]
+            hidden = self.pps.sign_hiding and nsig > 0 and \
+                (sig_pos[0] - sig_pos[-1] > 3)
+            signs = [cab.decode_bypass()
+                     for _ in range(nsig - 1 if hidden else nsig)]
             rice = 0
+            abs_lv = []
             for j, pos in enumerate(sig_pos):
                 if j < gtr1_coded:
                     if j == first_g2:
@@ -617,7 +629,12 @@ class SliceDecoder:
                     lvl = base + self._decode_remaining(rice)
                     if lvl > (3 << rice):
                         rice = min(rice + 1, 4)
-                levels[pos] = -lvl if signs[j] else lvl
+                abs_lv.append(lvl)
+            if hidden:
+                # hidden sign = parity of the CG's sum of abs levels
+                signs.append(sum(abs_lv) & 1)
+            for j, pos in enumerate(sig_pos):
+                levels[pos] = -abs_lv[j] if signs[j] else abs_lv[j]
         out = np.zeros(n * n, dtype=np.int32)
         out[scan] = levels[np.arange(n * n)]
         return out.reshape(n, n)

@@ -21,7 +21,8 @@ from ..common.tables import chroma_qp, lambda_from_qp
 from ..ops.interp import mc_block_batch, bi_average
 from ..ops.me import motion_search_frame
 from ..ops.satd import sa8d_nxn_batch
-from ..ops.transforms import dct_batch, idct_batch, quant_batch, dequant_batch
+from ..ops.transforms import (dct_batch, idct_batch, quant_batch,
+    dequant_batch, sign_hide_batch)
 from .intra_recon import ReconFrame
 
 
@@ -45,10 +46,10 @@ def _bi_cost_size(orig_y, ref0_y, ref1_y, mv0grid, mv1grid, *, n: int,
     return sa8d_nxn_batch(ob - pred, n).reshape(by, bx)
 
 
-@partial(jax.jit, static_argnames=("n", "bit_depth"))
+@partial(jax.jit, static_argnames=("n", "bit_depth", "sign_hiding"))
 def _b_recon_size(orig_y, orig_cb, orig_cr, r0y, r0cb, r0cr, r1y, r1cb,
                   r1cr, mv0grid, mv1grid, pfgrid, qp, qpc, *, n: int,
-                  bit_depth: int):
+                  bit_depth: int, sign_hiding: bool = False):
     """Dense recon for every n-block with per-block pred choice."""
     h, w = orig_y.shape
     by, bx = h // n, w // n
@@ -88,8 +89,14 @@ def _b_recon_size(orig_y, orig_cb, orig_cr, r0y, r0cb, r0cr, r1y, r1cb,
                                    uni(a1)))
         ob = blocks_of(orig, nn)
         resi = ob - pred
-        coefs = quant_batch(dct_batch(resi, nn, bit_depth), nn, qqp,
-                            bit_depth, intra=False)
+        if sign_hiding:
+            coefs, du = quant_batch(dct_batch(resi, nn, bit_depth), nn,
+                                    qqp, bit_depth, intra=False,
+                                    with_rem=True)
+            coefs = sign_hide_batch(coefs, nn, 0, du)
+        else:
+            coefs = quant_batch(dct_batch(resi, nn, bit_depth), nn, qqp,
+                                bit_depth, intra=False)
         cbf = jnp.any(coefs != 0, axis=(1, 2))
         r = idct_batch(dequant_batch(coefs, nn, qqp, bit_depth), nn,
                        bit_depth)
@@ -214,7 +221,8 @@ def encode_b_frame_arrays(orig_y, orig_cb, orig_cr, ref0: ReconFrame,
             jnp.asarray(ocr.astype(np.int32)), r0j[0], r0j[1], r0j[2],
             r1j[0], r1j[1], r1j[2], jnp.asarray(g0), jnp.asarray(g1),
             jnp.asarray(gpf.astype(np.int32)), jnp.int32(qp),
-            jnp.int32(qpc), n=n, bit_depth=cfg.bit_depth)
+            jnp.int32(qpc), n=n, bit_depth=cfg.bit_depth,
+            sign_hiding=cfg.sign_hiding)
 
     rec_y = np.zeros((h, w), np.int32)
     cf_y = np.zeros((h, w), np.int32)

@@ -20,7 +20,8 @@ from ..bitstream.headers import write_vps, write_sps, write_pps, \
 from ..bitstream.nal import NalUnitType, annexb_stream
 from ..bitstream.syntax import SliceSyntaxEncoder, FrameIntraSyntax
 from ..common.params import EncoderConfig, I_SLICE, P_SLICE
-from .intra_analysis import analyze_intra_frame, analyze_intra_gop
+from .intra_analysis import (analyze_intra_frame, analyze_intra_gop,
+                             analyze_chroma_modes)
 from .intra_recon import reconstruct_intra_frame, ReconFrame
 
 
@@ -106,13 +107,16 @@ class IntraEncoder:
 
         depth8, mode8 = analyze_intra_frame(yp, qp, cfg.ctu_size,
                                             cfg.bit_depth)
+        cmode8 = analyze_chroma_modes(cbp, crp, depth8, mode8, qp,
+                                      cfg.bit_depth)
         if use_device_recon:
             from .intra_recon_tpu import reconstruct_intra_frame_tpu
-            syn, recon = reconstruct_intra_frame_tpu(yp, cbp, crp, depth8,
-                                                     mode8, cfg, qp)
+            syn, recon = reconstruct_intra_frame_tpu(
+                yp, cbp, crp, depth8, mode8, cfg, qp, cmode8=cmode8)
         else:
             syn, recon = reconstruct_intra_frame(yp, cbp, crp, depth8,
-                                                 mode8, cfg, qp)
+                                                 mode8, cfg, qp,
+                                                 cmode8=cmode8)
         if cfg.deblock:
             # in-loop filter on the output/reference picture (intra
             # prediction inside the frame used the unfiltered recon)
@@ -158,6 +162,7 @@ class IntraEncoder:
                 2, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
                 w, h, cfg.log2_ctu, cfg.log2_min_cu,
                 init_states(I_SLICE, qp), mode8=syn.mode8,
+                sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8,
                 sao_params=sao_params)
             sw.write_bytes(payload)
             if tail_bits:
@@ -188,69 +193,10 @@ class IntraEncoder:
                        cr: np.ndarray, qp: int | None = None,
                        poc_step: int = 1) -> FrameResult:
         """Encode one P frame against the previous reconstructed
-        reference (IPPP low-delay, x265's default P-slice path)."""
-        from ..bitstream.ctx_tables import init_states
-        from .inter_frame import encode_p_frame_arrays
-        assert self.ref is not None, "no reference: encode an I frame first"
-        cfg = self.cfg
-        qp = cfg.qp if qp is None else qp
-        w, h = cfg.width_padded, cfg.height_padded
-        yp = pad_plane(np.asarray(y), h, w)
-        cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
-        crp = pad_plane(np.asarray(cr), h // 2, w // 2)
-        syn, recon = encode_p_frame_arrays(yp, cbp, crp, self.ref, cfg, qp)
-        if cfg.deblock:
-            from ..ops.deblock import deblock_luma_np, inter_bs_maps
-            vbs, hbs = inter_bs_maps(syn.depth8, syn.mv8, syn.coeff_y,
-                                     cfg.ctu_size)
-            recon = ReconFrame(
-                deblock_luma_np(recon.y, vbs, hbs, qp, cfg.bit_depth),
-                recon.cb, recon.cr)
-
-        sao_params = None
-        if cfg.sao:
-            from ..ops.sao import (choose_sao_params, choose_sao_chroma,
-                                   apply_sao_component_np)
-            p_y = choose_sao_params(yp, recon.y, cfg.ctu_size, qp,
-                                    cfg.bit_depth)
-            p_cb, p_cr = choose_sao_chroma(cbp, recon.cb, crp, recon.cr,
-                                           cfg.ctu_size // 2, qp,
-                                           cfg.bit_depth)
-            recon = ReconFrame(
-                apply_sao_component_np(recon.y, p_y, cfg.ctu_size,
-                                       cfg.bit_depth),
-                apply_sao_component_np(recon.cb, p_cb, cfg.ctu_size // 2,
-                                       cfg.bit_depth),
-                apply_sao_component_np(recon.cr, p_cr, cfg.ctu_size // 2,
-                                       cfg.bit_depth))
-            sao_params = (p_y, p_cb, p_cr)
-
-        self.poc += poc_step
-        sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
-                                ref_delta_poc=poc_step,
-                                max_merge=syn.max_merge, slice_qp=qp)
-        from ..bitstream.ctx_tables import init_states
-        from ..native.entropy_native import encode_slice_native
-        payload, tail_val, tail_bits = encode_slice_native(
-            1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
-            w, h, cfg.log2_ctu, cfg.log2_min_cu,
-            init_states(P_SLICE, qp), mv8=syn.mv8,
-            max_merge=syn.max_merge, sao_params=sao_params)
-        sw.write_bytes(payload)
-        if tail_bits:
-            sw.write(tail_val, tail_bits)
-        sw.align_one()
-        nals = [(NalUnitType.TRAIL_R, sw.get_bytes())]
-        if cfg.hash_sei:
-            from ..bitstream.sei import write_picture_hash_sei
-            nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
-                                               cfg.bit_depth))
-        stream = annexb_stream(nals)
-        self.frame_count += 1
-        self.ref = recon
-        self.stats.add("P", len(stream) * 8, qp)
-        return FrameResult(bitstream=stream, recon=recon, syntax=syn,
-                           bits=len(stream) * 8)
+        reference (IPPP low-delay). Thin wrapper over the fused
+        device GOP path with a chain of length 1."""
+        return self.encode_pgop([(y, cb, cr)], qp=qp,
+                                poc_step=poc_step)[0]
 
     def encode_frame_b(self, y: np.ndarray, cb: np.ndarray,
                        cr: np.ndarray, ref0: ReconFrame, ref1: ReconFrame,
@@ -347,9 +293,13 @@ class IntraEncoder:
         from .lookahead import Lookahead
         la = Lookahead(self.cfg)
         results = []
+        # CQP I-frame offset (x265 ipratio 1.4 ~= -3 QP, param.cpp):
+        # a finer keyframe pays back across every frame that references
+        # it; slice QP is signalled per slice so this is free syntax-wise
+        qp_i = max(self.cfg.qp - 3, 0)
         for y, cb, cr in frames:
             if la.decide(y) == "I":
-                r = self.encode_frame(y, cb, cr)
+                r = self.encode_frame(y, cb, cr, qp=qp_i)
                 self.ref = r.recon
                 self.poc = 0
             else:
@@ -358,7 +308,8 @@ class IntraEncoder:
         return results
 
     def encode_pgop(self, frames, qp: int | None = None,
-                    need_recon: bool = True) -> list[FrameResult]:
+                    need_recon: bool = True,
+                    poc_step: int = 1) -> list[FrameResult]:
         """Fused IPPP GOP: every P frame's ME + mode decision + MC +
         transform + recon + deblock runs as ONE device dispatch
         (lax.scan over the chain; enc/pgop_tpu.py), then per-frame
@@ -384,15 +335,16 @@ class IntraEncoder:
         for i, syn in enumerate(syns):
             recon = recons[i]
             sao_params = syn.sao_params
-            self.poc += 1
+            self.poc += poc_step
             sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
-                                    ref_delta_poc=1,
+                                    ref_delta_poc=poc_step,
                                     max_merge=syn.max_merge, slice_qp=qp)
             payload, tail_val, tail_bits = encode_slice_native(
                 1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
                 w, h, cfg.log2_ctu, cfg.log2_min_cu,
                 init_states(P_SLICE, qp), mv8=syn.mv8,
-                max_merge=syn.max_merge, sao_params=sao_params)
+                max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
+                sao_params=sao_params)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)
@@ -418,7 +370,7 @@ class IntraEncoder:
         (the frame-threads analog, SURVEY.md §2.5), then per-frame
         native CABAC."""
         from ..bitstream.ctx_tables import init_states
-        from ..native.entropy_native import encode_intra_slice_native
+        from ..native.entropy_native import encode_slice_native
         from .intra_recon_tpu import reconstruct_intra_gop_tpu
         cfg = self.cfg
         w, h = cfg.width_padded, cfg.height_padded
@@ -442,8 +394,13 @@ class IntraEncoder:
         crs = stack(2, h // 2, w // 2)
         depth8, mode8 = analyze_intra_gop(ys, cfg.qp, cfg.ctu_size,
                                           cfg.bit_depth)
+        cmode8 = np.stack([
+            analyze_chroma_modes(cbs[f], crs[f], depth8[f], mode8[f],
+                                 cfg.qp, cfg.bit_depth)
+            for f in range(nf)])
         syns, recons = reconstruct_intra_gop_tpu(
-            ys, cbs, crs, depth8, mode8, cfg, need_recon=need_recon)
+            ys, cbs, crs, depth8, mode8, cfg, need_recon=need_recon,
+            cmode8=cmode8)
         if cfg.deblock:
             import jax.numpy as jnp
             from ..ops.deblock import deblock_frame
@@ -455,10 +412,11 @@ class IntraEncoder:
         results = []
         for f, syn in enumerate(syns):
             sw = write_slice_header(cfg, I_SLICE, idr=True)
-            payload, tail_val, tail_bits = encode_intra_slice_native(
-                syn.depth8, syn.mode8, syn.coeff_y, syn.coeff_cb,
-                syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
-                init_states(I_SLICE, cfg.qp))
+            payload, tail_val, tail_bits = encode_slice_native(
+                2, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
+                w, h, cfg.log2_ctu, cfg.log2_min_cu,
+                init_states(I_SLICE, cfg.qp), mode8=syn.mode8,
+                sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)

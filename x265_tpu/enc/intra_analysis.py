@@ -181,6 +181,66 @@ def _analyze_gop_jit(planes: jnp.ndarray, lam_bits: jnp.ndarray,
     return depth8, mode8
 
 
+# chroma candidate list (clause 8.4.3): planar/ver/hor/dc; an entry
+# equal to the luma mode is replaced by angular-34
+CHROMA_CAND = np.array([0, 26, 10, 1], dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("n", "bit_depth"))
+def _chroma_costs_device(cbp: jnp.ndarray, crp: jnp.ndarray, n: int,
+                         bit_depth: int = 8) -> jnp.ndarray:
+    """Joint cb+cr SATD of all 35 chroma prediction modes per n-block
+    (orig-pixel references, like the luma analysis). Returns (B, 35)."""
+    cb = cbp.astype(jnp.int32)
+    cr = crp.astype(jnp.int32)
+    costs = 0
+    for pl in (cb, cr):
+        blocks = extract_blocks(pl, n)
+        refs = gather_refs_device(pl, n, bit_depth)
+        preds = intra_pred_all_modes(refs, n, is_luma=False,
+                                     bit_depth=bit_depth)
+        costs = costs + sa8d_nxn_batch(preds - blocks[:, None], n)
+    return costs
+
+
+def analyze_chroma_modes(orig_cb: np.ndarray, orig_cr: np.ndarray,
+                         depth8: np.ndarray, mode8: np.ndarray, qp: int,
+                         bit_depth: int = 8) -> np.ndarray:
+    """Chroma intra mode decision per chosen CU (x265
+    estIntraPredChromaQT analog, search.cpp:1698): DM vs the 4-entry
+    candidate list, SATD + signalling bits. Returns cmode8 (n8y, n8x)
+    uint8 of ACTUAL chroma prediction modes."""
+    h2, w2 = orig_cb.shape
+    n8y, n8x = depth8.shape
+    lam = lambda_from_qp(qp)
+    cost8 = []
+    for n in (32, 16, 8):             # depth 0, 1, 2
+        cn = n // 2
+        hp = (h2 + cn - 1) // cn * cn
+        wp = (w2 + cn - 1) // cn * cn
+        pcb = np.pad(orig_cb, ((0, hp - h2), (0, wp - w2)), mode="edge")
+        pcr = np.pad(orig_cr, ((0, hp - h2), (0, wp - w2)), mode="edge")
+        c = np.asarray(_chroma_costs_device(
+            jnp.asarray(pcb.astype(np.int32)),
+            jnp.asarray(pcr.astype(np.int32)), cn, bit_depth))
+        c = c.reshape(hp // cn, wp // cn, 35)
+        s = n // 8
+        cost8.append(np.repeat(np.repeat(c, s, 0), s, 1)[:n8y, :n8x])
+    allc = np.stack(cost8)                        # (3, n8y, n8x, 35)
+    c8 = np.take_along_axis(
+        allc, depth8[None, ..., None].astype(np.int64), 0)[0]
+    m = mode8.astype(np.int64)
+    cand = np.broadcast_to(CHROMA_CAND, (n8y, n8x, 4)).copy() \
+        .astype(np.int64)
+    cand = np.where(cand == m[..., None], 34, cand)
+    dm_cost = np.take_along_axis(c8, m[..., None], -1)[..., 0] + lam * 1
+    cand_cost = np.take_along_axis(c8, cand, -1) + lam * 3
+    bj = cand_cost.argmin(-1)
+    best_cc = np.take_along_axis(cand_cost, bj[..., None], -1)[..., 0]
+    best_cm = np.take_along_axis(cand, bj[..., None], -1)[..., 0]
+    return np.where(dm_cost <= best_cc, m, best_cm).astype(np.uint8)
+
+
 def analyze_intra_gop(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
                       bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """GOP analysis: orig_y (F, H, W) 8-aligned planes. Returns

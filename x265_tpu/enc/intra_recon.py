@@ -17,9 +17,10 @@ import numpy as np
 
 from ..bitstream.syntax import FrameIntraSyntax
 from ..common.params import EncoderConfig
-from ..common.tables import chroma_qp
+from ..common.tables import chroma_qp, intra_scan_idx
 from ..ops.intra_np import canonical_refs, filter_refs, intra_pred_np
-from ..ops.transforms import dct_np, idct_np, quant_np, dequant_np
+from ..ops.transforms import (dct_np, idct_np, quant_np, dequant_np,
+                              sign_hide_np)
 
 
 @dataclass
@@ -47,7 +48,8 @@ def _avail_mask(mask: np.ndarray, x0: int, y0: int, n: int) -> np.ndarray:
 def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
                             orig_cr: np.ndarray, depth8: np.ndarray,
                             mode8: np.ndarray, cfg: EncoderConfig,
-                            qp: int | None = None
+                            qp: int | None = None,
+                            cmode8: np.ndarray | None = None
                             ) -> tuple[FrameIntraSyntax, ReconFrame]:
     h, w = orig_y.shape
     bd = cfg.bit_depth
@@ -69,6 +71,7 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
     def do_cu(x0: int, y0: int, log2_size: int) -> None:
         n = 1 << log2_size
         mode = int(mode8[y0 >> 3, x0 >> 3])
+        cmode = mode if cmode8 is None else int(cmode8[y0 >> 3, x0 >> 3])
         # luma
         av = _avail_mask(dec_y, x0, y0, n)
         refs = canonical_refs(rec_y, x0, y0, n, av, bd)
@@ -76,8 +79,14 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
         pred = intra_pred_np(refs, mode, n, is_luma=True, bit_depth=bd,
                              filtered=filt)
         resi = orig_y[y0:y0 + n, x0:x0 + n].astype(np.int32) - pred
-        coefs = quant_np(dct_np(resi, bd, dst=(log2_size == 2)), qp, bd,
-                         intra=True)
+        if cfg.sign_hiding:
+            coefs, du = quant_np(dct_np(resi, bd, dst=(log2_size == 2)),
+                                 qp, bd, intra=True, with_rem=True)
+            coefs = sign_hide_np(coefs, intra_scan_idx(mode, log2_size,
+                                                       True), du)
+        else:
+            coefs = quant_np(dct_np(resi, bd, dst=(log2_size == 2)), qp,
+                             bd, intra=True)
         if np.any(coefs):
             coeff_y[y0:y0 + n, x0:x0 + n] = coefs
             r = idct_np(dequant_np(coefs, qp, bd), bd, dst=(log2_size == 2))
@@ -94,10 +103,18 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
         for op, rp, cp in ((orig_cb, rec_cb, coeff_cb),
                            (orig_cr, rec_cr, coeff_cr)):
             refs_c = canonical_refs(rp, cx0, cy0, cn, avc, bd)
-            pred_c = intra_pred_np(refs_c, mode, cn, is_luma=False,
+            pred_c = intra_pred_np(refs_c, cmode, cn, is_luma=False,
                                    bit_depth=bd)
             resi_c = op[cy0:cy0 + cn, cx0:cx0 + cn].astype(np.int32) - pred_c
-            coefs_c = quant_np(dct_np(resi_c, bd), qpc, bd, intra=True)
+            if cfg.sign_hiding:
+                coefs_c, du_c = quant_np(dct_np(resi_c, bd), qpc, bd,
+                                         intra=True, with_rem=True)
+                coefs_c = sign_hide_np(
+                    coefs_c, intra_scan_idx(cmode, log2_size - 1, False),
+                    du_c)
+            else:
+                coefs_c = quant_np(dct_np(resi_c, bd), qpc, bd,
+                                   intra=True)
             if np.any(coefs_c):
                 cp[cy0:cy0 + cn, cx0:cx0 + cn] = coefs_c
                 r = idct_np(dequant_np(coefs_c, qpc, bd), bd)
@@ -128,5 +145,6 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
             walk(cx * ctu, cy * ctu, log2_ctu)
 
     syn = FrameIntraSyntax(depth8=depth8, mode8=mode8, coeff_y=coeff_y,
-                           coeff_cb=coeff_cb, coeff_cr=coeff_cr)
+                           coeff_cb=coeff_cb, coeff_cr=coeff_cr,
+                           cmode8=cmode8)
     return syn, ReconFrame(rec_y, rec_cb, rec_cr)

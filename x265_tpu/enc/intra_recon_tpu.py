@@ -34,7 +34,8 @@ from ..bitstream.syntax import FrameIntraSyntax
 from ..common.params import EncoderConfig
 from ..common.tables import chroma_qp
 from ..ops.intra import intra_pred_all_modes
-from ..ops.transforms import dct_batch, idct_batch, quant_batch, dequant_batch
+from ..ops.transforms import (dct_batch, idct_batch, quant_batch,
+                              dequant_batch, sign_hide_batch)
 from .intra_recon import ReconFrame
 
 # ext halo geometry (used by the multichip dry-run too)
@@ -105,7 +106,8 @@ def _substitute(refs: jnp.ndarray, avail: jnp.ndarray,
 
 
 def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
-                n, ox, oy, p, qp, bit_depth, w, h, is_luma, ctu):
+                n, ox, oy, p, qp, bit_depth, w, h, is_luma, ctu,
+                sign_hiding=False):
     """Reconstruct one masked CU (size n at static (ox,oy)) per batch
     element. ext: (B, ctu+1, 2*ctu+1) halo tile; orig_tile: (B, ctu,
     ctu); modes/active: (B,). Returns updated (ext, cf_tile)."""
@@ -128,8 +130,22 @@ def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
         preds, modes[:, None, None, None], axis=1)[:, 0]  # (B,n,n)
     orig = orig_tile[:, oy:oy + n, ox:ox + n].astype(jnp.int32)
     resi = orig - pred
-    coefs = quant_batch(dct_batch(resi, n, bit_depth), n, qp, bit_depth,
-                        intra=True)
+    if sign_hiding:
+        coefs, du = quant_batch(dct_batch(resi, n, bit_depth), n, qp,
+                                bit_depth, intra=True, with_rem=True)
+        if (is_luma and n <= 8) or (not is_luma and n == 4):
+            # mode-dependent scan (clause 7.4.9.11): luma 4x4/8x8 and
+            # chroma 4x4 TBs use HOR/VER scans for near-vertical/
+            # horizontal modes
+            sel = jnp.where((modes >= 6) & (modes <= 14), 2,
+                            jnp.where((modes >= 22) & (modes <= 30), 1,
+                                      0)).astype(jnp.int32)
+        else:
+            sel = 0
+        coefs = sign_hide_batch(coefs, n, sel, du)
+    else:
+        coefs = quant_batch(dct_batch(resi, n, bit_depth), n, qp,
+                            bit_depth, intra=True)
     cbf = jnp.any(coefs != 0, axis=(1, 2))
     r = idct_batch(dequant_batch(coefs, n, qp, bit_depth), n, bit_depth)
     maxv = (1 << bit_depth) - 1
@@ -167,9 +183,9 @@ def _assemble_ext(tiles, ti, ti_top, ti_topright, ti_topleft, ti_left,
     return ext
 
 
-def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, org_y, org_c,
+def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, ct, org_y, org_c,
                *, qp: int, qpc: int, bit_depth: int,
-               w: int, h: int, ctu: int = 32):
+               w: int, h: int, ctu: int = 32, sign_hiding: bool = False):
     """One CTU anti-diagonal across the whole frame batch (tiled)."""
     half = ctu // 2
     x0s, y0s = idx["x0"], idx["y0"]
@@ -192,7 +208,8 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, org_y, org_c,
         ox, oy = _zpos(p)
         d = dt[:, oy >> 3, ox >> 3]
         m = mt[:, oy >> 3, ox >> 3].astype(jnp.int32)
-        m2 = jnp.concatenate([m, m])
+        cm = ct[:, oy >> 3, ox >> 3].astype(jnp.int32)
+        cm2 = jnp.concatenate([cm, cm])
         plans = [(8, ox, oy, d == 2)]
         if p % 4 == 0:
             plans.append((16, (ox >> 4) << 4, (oy >> 4) << 4, d == 1))
@@ -201,12 +218,12 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, org_y, org_c,
         for n, cox, coy, act in plans:
             ext_y, cfy_t = _process_cu(
                 ext_y, cfy_t, oy_t, x0s, y0s, m, act, n, cox, coy, p,
-                qp, bit_depth, w, h, True, ctu)
+                qp, bit_depth, w, h, True, ctu, sign_hiding)
             act2 = jnp.concatenate([act, act])
             ext_c, cfc_t = _process_cu(
-                ext_c, cfc_t, oc_t, x0c, y0c, m2, act2, n >> 1,
+                ext_c, cfc_t, oc_t, x0c, y0c, cm2, act2, n >> 1,
                 cox >> 1, coy >> 1, p, qpc, bit_depth, cw, chh, False,
-                ctu // 2)
+                ctu // 2, sign_hiding)
 
     # whole-tile writes (axis-0 scatter; masked batch lanes target the
     # slot-0 dummy, which is never read as real data)
@@ -218,11 +235,11 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, org_y, org_c,
 
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "w", "h",
-                                   "ctu"),
+                                   "ctu", "sign_hiding"),
          donate_argnums=(0, 1, 2, 3))
-def _recon_scan(rec_y, rec_c, cf_y, cf_c, idxs, dta, mta, org_y, org_c,
-                *, qp: int, qpc: int, bit_depth: int,
-                w: int, h: int, ctu: int = 32):
+def _recon_scan(rec_y, rec_c, cf_y, cf_c, idxs, dta, mta, cta, org_y,
+                org_c, *, qp: int, qpc: int, bit_depth: int,
+                w: int, h: int, ctu: int = 32, sign_hiding: bool = False):
     """Whole-GOP wavefront as one lax.scan over diagonals — a single
     device dispatch for the batch. qp static on purpose: this is the
     largest jit and dynamic-shift quant costs ~2x; intra frames are
@@ -230,14 +247,14 @@ def _recon_scan(rec_y, rec_c, cf_y, cf_c, idxs, dta, mta, org_y, org_c,
 
     def body(carry, xs):
         ry, rc, fy, fc = carry
-        idx, dt, mt = xs
-        out = _diag_step(ry, rc, fy, fc, idx, dt, mt, org_y, org_c,
+        idx, dt, mt, ct = xs
+        out = _diag_step(ry, rc, fy, fc, idx, dt, mt, ct, org_y, org_c,
                          qp=qp, qpc=qpc, bit_depth=bit_depth, w=w, h=h,
-                         ctu=ctu)
+                         ctu=ctu, sign_hiding=sign_hiding)
         return out, ()
 
     carry = (rec_y, rec_c, cf_y, cf_c)
-    carry, _ = jax.lax.scan(body, carry, (idxs, dta, mta))
+    carry, _ = jax.lax.scan(body, carry, (idxs, dta, mta, cta))
     return carry
 
 
@@ -293,7 +310,8 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                               orig_cr: np.ndarray, depth8: np.ndarray,
                               mode8: np.ndarray, cfg: EncoderConfig,
                               qp: int | None = None,
-                              need_recon: bool = True
+                              need_recon: bool = True,
+                              cmode8: np.ndarray | None = None
                               ) -> tuple[list[FrameIntraSyntax],
                                          list[ReconFrame]]:
     """Reconstruct a batch of frames. orig_y: (F, H, W) padded planes;
@@ -342,11 +360,15 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     n8y, n8x = depth8.shape[1:]
     dpad = np.full((nf, ncy * n8, ncx * n8), 2, np.uint8)
     mpad = np.ones((nf, ncy * n8, ncx * n8), np.uint8)
+    cpad2 = np.ones((nf, ncy * n8, ncx * n8), np.uint8)
     dpad[:, :n8y, :n8x] = depth8
     mpad[:, :n8y, :n8x] = mode8
+    cpad2[:, :n8y, :n8x] = mode8 if cmode8 is None else cmode8
     dt_all = dpad.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
         .reshape(nf, nct, n8, n8).astype(np.int32)
     mt_all = mpad.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
+        .reshape(nf, nct, n8, n8).astype(np.int32)
+    ct_all = cpad2.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
         .reshape(nf, nct, n8, n8).astype(np.int32)
 
     ndiag, bmax, diags = _wavefront_schedule(ncx, ncy, ctu)
@@ -354,17 +376,21 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     idxs, dta_sel, mta_sel = sched
     dta = dt_all.reshape(nf * nct, n8, n8)[dta_sel]
     mta = mt_all.reshape(nf * nct, n8, n8)[mta_sel]
+    cta = ct_all.reshape(nf * nct, n8, n8)[mta_sel]
     # masked lanes (self_o == 0 marker handled via valid mask baked into
     # the schedule): force their decision tiles to all-CU8
     invalid = idxs["x0"] >= (1 << 20)
     dta = np.where(invalid[..., None, None], 2, dta)
     mta = np.where(invalid[..., None, None], 1, mta)
+    cta = np.where(invalid[..., None, None], 1, cta)
 
     idxs_j = {k: jnp.asarray(v) for k, v in idxs.items()}
     rec_y, rec_c, cf_y, cf_c = _recon_scan(
         rec_y, rec_c, cf_y, cf_c, idxs_j, jnp.asarray(dta),
-        jnp.asarray(mta), org_y, org_c, qp=int(qp_frame), qpc=int(qpc),
-        bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu)
+        jnp.asarray(mta), jnp.asarray(cta), org_y, org_c,
+        qp=int(qp_frame), qpc=int(qpc),
+        bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu,
+        sign_hiding=cfg.sign_hiding)
 
     # device-side untile + downcast, then 2D transfers (fast layout)
     hp, wp = ncy * ctu, ncx * ctu
@@ -385,7 +411,8 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     for f in range(nf):
         syns.append(FrameIntraSyntax(
             depth8=depth8[f], mode8=mode8[f], coeff_y=cfy_np[f],
-            coeff_cb=cfc_np[f], coeff_cr=cfc_np[nf + f]))
+            coeff_cb=cfc_np[f], coeff_cr=cfc_np[nf + f],
+            cmode8=None if cmode8 is None else cmode8[f]))
         if need_recon:
             recons.append(ReconFrame(ry_np[f], rc_np[f], rc_np[nf + f]))
         else:
@@ -441,9 +468,11 @@ def _gop_schedule(ncx: int, ncy: int, ctu: int, nf: int, n8: int):
 def reconstruct_intra_frame_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                                 orig_cr: np.ndarray, depth8: np.ndarray,
                                 mode8: np.ndarray, cfg: EncoderConfig,
-                                qp: int | None = None
+                                qp: int | None = None,
+                                cmode8: np.ndarray | None = None
                                 ) -> tuple[FrameIntraSyntax, ReconFrame]:
     syns, recons = reconstruct_intra_gop_tpu(
         orig_y[None], orig_cb[None], orig_cr[None], depth8[None],
-        mode8[None], cfg, qp)
+        mode8[None], cfg, qp,
+        cmode8=None if cmode8 is None else cmode8[None])
     return syns[0], recons[0]

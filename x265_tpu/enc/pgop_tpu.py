@@ -14,8 +14,8 @@ downloads only the decision fields + int16 coefficients in
 transfer-friendly 2D layouts (this machine's D2H is layout-sensitive).
 
 Round-1 did this per frame with host round-trips between every stage
-and composed planes with host np.where (inter_frame.py); this module
-replaces that path for GOP encoding.
+and composed planes with host np.where; this module is now the only
+P-frame path (encode_frame_p delegates here with a chain of 1).
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ from ..ops.me import (DIAMOND, _block_origins, _downsample4, _mv_bits,
                       _sad_at)
 from ..ops.satd import sa8d_nxn_batch
 from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
-    dequant_batch
+    dequant_batch, sign_hide_batch
 from .intra_recon import ReconFrame
 
 SIZES = (8, 16, 32)
@@ -156,32 +156,66 @@ def _refine_size_t(cur, ref, seed_mv, lam, n, iters, bit_depth):
 
 
 # =============================================================================
-# depth decision (device version of inter_frame.py's bottom-up argmin)
+# leaf-RDO depth decision: true recon SSE + estimated bits
+# (the rd0-4 discipline of analysis.cpp:1146 — distortion is measured
+# on the actual reconstruction of every candidate size, bits are
+# estimated from MVD binarization + a coefficient-bits proxy)
 # =============================================================================
 
-def _depth_decision(costs: dict, mvs: dict, lam: float,
-                    real_h: int, real_w: int, h: int, w: int):
-    """Bottom-up split-vs-keep argmin over ME costs (+ header bits).
-    Returns depth8 (n8y, n8x) i32 and mv8 (n8y, n8x, 2) i32 on the
-    padded grid. Static over-the-edge masking forces splits at ragged
+def _mvd_bits_est(mv_field: jnp.ndarray) -> jnp.ndarray:
+    """Per-block MVD signalling estimate (bits), using the left
+    neighbour as the AMVP-predictor proxy. mv_field: (by, bx, 2)."""
+    pred = jnp.roll(mv_field, 1, axis=1).at[:, 0].set(0)
+    d = mv_field - pred
+
+    def comp(v):
+        a = jnp.abs(v).astype(jnp.float32)
+        # abs_mvd_greater0 + greater1 + EG1 remainder + sign
+        return 1.0 + jnp.where(
+            a > 0, 2.0 + jnp.where(
+                a > 1, 2.0 * jnp.ceil(jnp.log2((a - 1.0) / 2.0 + 1.0))
+                + 2.0, 0.0), 0.0)
+
+    return comp(d[..., 0]) + comp(d[..., 1])
+
+
+def _coeff_bits_est(cf: jnp.ndarray, by: int, bx: int, k: int
+                    ) -> jnp.ndarray:
+    """Coefficient-bits proxy per k x k block of the plane: sig-flag
+    cost per nonzero + level magnitude cost + cbf/lastpos overhead."""
+    a = jnp.abs(cf[:by * k, :bx * k]).astype(jnp.float32)
+    nnz = (a > 0).astype(jnp.float32).reshape(by, k, bx, k).sum((1, 3))
+    slog = jnp.ceil(jnp.log2(a + 1.0)).reshape(by, k, bx, k).sum((1, 3))
+    return jnp.where(nnz > 0, 1.4 * nnz + 1.2 * slog + 5.0, 0.0)
+
+
+def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
+                       real_h: int, real_w: int, h: int, w: int):
+    """Bottom-up split-vs-keep argmin over true RD costs. Returns
+    depth8 (n8y, n8x) i32 and mv8 (n8y, n8x, 2) i32 on the padded
+    grid. Static over-the-edge masking forces splits at ragged
     borders (partial CUs can't be chosen whole)."""
-    hdr_bits = 6.0
+    hdr_bits = 5.0           # merge/pred/part/cbf flags for 2Nx2N inter
+    split_bits = 3.0
     big = jnp.float32(1e18)
     cost = {}
     for n in SIZES:
         by, bx = h // n, w // n
-        c = costs[n].reshape(by, bx).astype(jnp.float32) + lam * hdr_bits
+        c = sse[n].astype(jnp.float32) + \
+            lam2 * (bits[n].astype(jnp.float32) + hdr_bits)
         ys, xs = np.mgrid[0:by, 0:bx]
         over = ((ys + 1) * n > real_h) | ((xs + 1) * n > real_w)
         cost[n] = jnp.where(jnp.asarray(over), big, c)
     agg = jnp.where(cost[8] >= big, 0.0, cost[8])
     by16, bx16 = h // 16, w // 16
-    ch16 = agg.reshape(by16, 2, bx16, 2).sum(axis=(1, 3)) + lam * 4.0
+    ch16 = agg.reshape(by16, 2, bx16, 2).sum(axis=(1, 3)) + \
+        lam2 * split_bits
     keep16 = cost[16] <= ch16
     agg16 = jnp.where(keep16, cost[16], ch16)
     agg16 = jnp.where(agg16 >= big, 0.0, agg16)
     by32, bx32 = h // 32, w // 32
-    ch32 = agg16.reshape(by32, 2, bx32, 2).sum(axis=(1, 3)) + lam * 4.0
+    ch32 = agg16.reshape(by32, 2, bx32, 2).sum(axis=(1, 3)) + \
+        lam2 * split_bits
     keep32 = cost[32] <= ch32
 
     n8y, n8x = h // 8, w // 8
@@ -203,10 +237,12 @@ def _depth_decision(costs: dict, mvs: dict, lam: float,
 # dense MC reconstruction (device compose; inter_frame.py recast)
 # =============================================================================
 
-def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mv8, depth8, qp, qpc,
-                  bit_depth):
-    """Dense MC + residual coding at every CU size, composed by depth
-    masks, entirely on device. Returns recon + coeff planes."""
+def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp, qpc,
+                  bit_depth, sign_hiding, real_h, real_w):
+    """Dense MC + residual coding at EVERY CU size with that size's
+    own MV field, leaf-RDO depth decision from the true recon SSE +
+    estimated bits, then device compose. Returns
+    (rec/cf planes..., depth8, mv8)."""
     h, w = oy.shape
     maxv = (1 << bit_depth) - 1
 
@@ -225,8 +261,14 @@ def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mv8, depth8, qp, qpc,
                               bit_depth=bit_depth)
         ob = blocks_of(orig, nn)
         resi = ob - pred
-        coefs = quant_batch(dct_batch(resi, nn, bit_depth), nn, qqp,
-                            bit_depth, intra=False)
+        if sign_hiding:
+            coefs, du = quant_batch(dct_batch(resi, nn, bit_depth), nn,
+                                    qqp, bit_depth, intra=False,
+                                    with_rem=True)
+            coefs = sign_hide_batch(coefs, nn, 0, du)  # inter: diag scan
+        else:
+            coefs = quant_batch(dct_batch(resi, nn, bit_depth), nn, qqp,
+                                bit_depth, intra=False)
         cbf = jnp.any(coefs != 0, axis=(1, 2))
         r = idct_batch(dequant_batch(coefs, nn, qqp, bit_depth), nn,
                        bit_depth)
@@ -235,11 +277,16 @@ def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mv8, depth8, qp, qpc,
         coefs = jnp.where(cbf[:, None, None], coefs, 0)
         return rec, coefs
 
+    def blk_sum(plane, by, bx, k):
+        return plane[:by * k, :bx * k].astype(jnp.float32) \
+            .reshape(by, k, bx, k).sum((1, 3))
+
     planes = {}
+    sse = {}
+    bits = {}
     for n in SIZES:
         by, bx = h // n, w // n
-        s = n // 8
-        grid = mv8[::s, ::s][:by, :bx]
+        grid = mvs[n].reshape(by, bx, 2)
         mvx = grid[..., 0].reshape(-1)
         mvy = grid[..., 1].reshape(-1)
         x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
@@ -255,6 +302,18 @@ def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mv8, depth8, qp, qpc,
                      to_plane(cf_cb, cn, h // 2, w // 2),
                      to_plane(rec_cr, cn, h // 2, w // 2),
                      to_plane(cf_cr, cn, h // 2, w // 2))
+        # leaf RD cost inputs: true recon SSE (luma + chroma) and
+        # estimated bits (MVD binarization + coefficient proxy)
+        sse[n] = blk_sum((planes[n][0] - oy) ** 2, by, bx, n) + \
+            blk_sum((planes[n][2] - ocb) ** 2, by, bx, cn) + \
+            blk_sum((planes[n][4] - ocr) ** 2, by, bx, cn)
+        bits[n] = _mvd_bits_est(grid) + \
+            _coeff_bits_est(planes[n][1], by, bx, n) + \
+            _coeff_bits_est(planes[n][3], by, bx, cn) + \
+            _coeff_bits_est(planes[n][5], by, bx, cn)
+
+    depth8, mv8 = _rd_depth_decision(sse, bits, mvs, lam2, real_h,
+                                     real_w, h, w)
 
     size_of_depth = {0: 32, 1: 16, 2: 8}
     out = [jnp.zeros_like(p) for p in planes[8]]
@@ -267,7 +326,7 @@ def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mv8, depth8, qp, qpc,
                 [(mpx, ps[0]), (mpx, ps[1]), (mpx_c, ps[2]),
                  (mpx_c, ps[3]), (mpx_c, ps[4]), (mpx_c, ps[5])]):
             out[i] = jnp.where(mask, p, out[i])
-    return out   # rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr
+    return out + [depth8, mv8]
 
 
 # =============================================================================
@@ -361,11 +420,12 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
                                    "real_w", "ctu", "deblock", "sao",
-                                   "me_iters", "need_recon"))
+                                   "sign_hiding", "me_iters",
+                                   "need_recon"))
 def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
                qp: int, qpc: int, bit_depth: int, real_h: int,
                real_w: int, ctu: int, deblock: bool, sao: bool,
-               me_iters: int, need_recon: bool):
+               sign_hiding: bool, me_iters: int, need_recon: bool):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -406,12 +466,11 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
             costs[n] = cost
             mvs[n] = mv
 
-        depth8, mv8 = _depth_decision(costs, mvs, lam, real_h, real_w,
-                                      h, w)
-
-        # --- dense MC + residual coding, composed on device
-        rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr = _mc_recon_all(
-            oy, ocb, ocr, ry, rcb, rcr, mv8, depth8, qp, qpc, bit_depth)
+        # --- dense MC + residual coding at every size, leaf-RDO depth
+        # decision from true recon SSE + estimated bits, device compose
+        (rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8) = \
+            _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp,
+                          qpc, bit_depth, sign_hiding, real_h, real_w)
 
         # --- in-loop filters on the coded-size crop
         ry_c = rec_y[:rh, :rw]
@@ -517,8 +576,8 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     res, final_ref = _pgop_scan(
         ry, rcb, rcr, oy, ocb, ocr, qp=int(qp), qpc=int(qpc),
         bit_depth=cfg.bit_depth, real_h=h, real_w=w, ctu=cfg.ctu_size,
-        deblock=cfg.deblock, sao=cfg.sao, me_iters=me_iters,
-        need_recon=need_recon)
+        deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
+        me_iters=me_iters, need_recon=need_recon)
 
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
     mv8 = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]

@@ -258,6 +258,8 @@ struct SliceEnc {
     int slice_type = 2;
     const int32_t* mv8 = nullptr;
     int max_merge = 2;
+    int sign_hiding = 0;
+    const uint8_t* cmode8 = nullptr;   // chroma pred mode; null = DM
     const int32_t* sao_p[3] = {nullptr, nullptr, nullptr};
     std::vector<uint8_t> skip8, coded8;
 
@@ -562,8 +564,21 @@ struct SliceEnc {
             for (int i = 2; i >= 0; i--) if (mode > srt[i]) rem--;
             cab.encode_bypass_bins(rem, 5);
         }
-        cab.encode_bin(OFF_INTRA_CHROMA_PRED_MODE, 0);  // DM
-        transform_unit(x0, y0, l2, mode);
+        // intra_chroma_pred_mode: '0' = DM; '1' + 2 bypass bins =
+        // index into [planar, ver, hor, dc] with the luma-mode entry
+        // substituted by angular-34 (clause 8.4.3)
+        int cmode = cmode8 ? cmode8[(y0 >> 3) * n8x + (x0 >> 3)] : mode;
+        if (cmode == mode) {
+            cab.encode_bin(OFF_INTRA_CHROMA_PRED_MODE, 0);
+        } else {
+            int cand[4] = {0, 26, 10, 1};
+            for (int i = 0; i < 4; i++) if (cand[i] == mode) cand[i] = 34;
+            int idx = 0;
+            while (idx < 4 && cand[idx] != cmode) idx++;
+            cab.encode_bin(OFF_INTRA_CHROMA_PRED_MODE, 1);
+            cab.encode_bypass_bins(idx, 2);
+        }
+        transform_unit(x0, y0, l2, mode, cmode);
     }
 
     bool cbf(const int16_t* plane, int stride, int x, int y, int size) const {
@@ -573,7 +588,9 @@ struct SliceEnc {
         return false;
     }
 
-    void transform_unit(int x0, int y0, int l2, int mode) {
+    void transform_unit(int x0, int y0, int l2, int mode,
+                        int cmode = -1) {
+        if (cmode < 0) cmode = mode;
         int size = 1 << l2;
         int cx = x0 >> 1, cy_ = y0 >> 1, cs = size >> 1, cstride = w >> 1;
         bool fcb = cbf(ccb, cstride, cx, cy_, cs);
@@ -585,7 +602,7 @@ struct SliceEnc {
         if (fy)
             residual(cy, w, x0, y0, l2, 0, intra_scan_idx(mode, l2, true));
         if (cs >= 4) {
-            int csc = intra_scan_idx(mode, l2 - 1, false);
+            int csc = intra_scan_idx(cmode, l2 - 1, false);
             if (fcb) residual(ccb, cstride, cx, cy_, l2 - 1, 1, csc);
             if (fcr) residual(ccr, cstride, cx, cy_, l2 - 1, 2, csc);
         }
@@ -722,7 +739,14 @@ struct SliceEnc {
                 if (lvl < 0) lvl = -lvl;
                 cab.encode_bin(gtr2_base + ctx_set, lvl > 2);
             }
-            for (int j = 0; j < nsig; j++)
+            // sign-data-hiding: the sign of the coefficient at
+            // firstSigScanPos (last coded here) is inferred from the
+            // CG's sum-of-levels parity (clause 7.4.9.11); the quant
+            // stage enforced the parity upstream
+            bool hidden = sign_hiding && nsig > 0 &&
+                          (sig_pos[0] - sig_pos[nsig - 1] > 3);
+            int nsign = hidden ? nsig - 1 : nsig;
+            for (int j = 0; j < nsign; j++)
                 cab.encode_bypass(levels[sig_pos[j]] < 0);
             int rice = 0;
             for (int j = 0; j < nsig; j++) {
@@ -747,6 +771,7 @@ extern "C" {
 // (mv8/max_merge used). sao_* may be null. Returns bytes written or -1.
 int encode_slice(int slice_type, const uint8_t* depth8,
                  const uint8_t* mode8, const int32_t* mv8, int max_merge,
+                 int sign_hiding, const uint8_t* cmode8,
                  const int16_t* coeff_y, const int16_t* coeff_cb,
                  const int16_t* coeff_cr,
                  const int32_t* sao_py, const int32_t* sao_pcb,
@@ -761,6 +786,8 @@ int encode_slice(int slice_type, const uint8_t* depth8,
     enc.slice_type = slice_type;
     enc.mv8 = mv8;
     enc.max_merge = max_merge;
+    enc.sign_hiding = sign_hiding;
+    enc.cmode8 = cmode8;
     enc.sao_p[0] = sao_py; enc.sao_p[1] = sao_pcb; enc.sao_p[2] = sao_pcr;
     enc.run();
     enc.cab.finish(tail_val, tail_bits);

@@ -13,13 +13,15 @@ exact and the int32 recombination reproduces the integer result.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..common.tables import (
     DCT_MATRICES, DST4, QUANT_SCALES, INV_QUANT_SCALES,
-    MAX_TR_DYNAMIC_RANGE, QUANT_SHIFT, transform_shift,
+    MAX_TR_DYNAMIC_RANGE, QUANT_SHIFT, scan_order, transform_shift,
 )
 
 
@@ -60,17 +62,28 @@ def idct_np(coef: np.ndarray, bit_depth: int = 8, dst: bool = False) -> np.ndarr
 
 
 def quant_np(coef: np.ndarray, qp: int, bit_depth: int = 8,
-             intra: bool = True) -> np.ndarray:
-    """Scalar quantization (encoder side, x265 quant.cpp lineage)."""
+             intra: bool = True, with_rem: bool = False):
+    """Scalar quantization (encoder side, x265 quant.cpp lineage).
+    with_rem additionally returns the sub-step rounding remainder
+    deltaU (x265 quant.cpp:230), used by sign-bit hiding to pick the
+    cheapest parity adjustment."""
     n = coef.shape[-1]
     log2n = n.bit_length() - 1
     per, rem = qp // 6, qp % 6
     qbits = QUANT_SHIFT + per + transform_shift(log2n, bit_depth)
     add = (171 if intra else 85) << (qbits - 9)
     scale = int(QUANT_SCALES[rem])
-    level = (np.abs(coef.astype(np.int64)) * scale + add) >> qbits
+    a = np.abs(coef.astype(np.int64)) * scale
+    level = (a + add) >> qbits
     level = np.clip(level, 0, 32767)
-    return (np.sign(coef) * level).astype(np.int32)
+    out = (np.sign(coef) * level).astype(np.int32)
+    if not with_rem:
+        return out
+    # signed remainder vs the chosen level, WITHOUT the rounding offset
+    # (HM/x265 deltaU): >0 means the true value is above level*step
+    # (raising is good), <0 means rounding overshot (lowering is good)
+    delta_u = ((a - (level << qbits)) >> (qbits - 8)).astype(np.int32)
+    return out, delta_u
 
 
 def dequant_np(level: np.ndarray, qp: int, bit_depth: int = 8) -> np.ndarray:
@@ -150,9 +163,10 @@ def idct_batch(coef: jnp.ndarray, size: int, bit_depth: int = 8,
 
 
 def quant_batch(coef: jnp.ndarray, size: int, qp, bit_depth: int = 8,
-                intra: bool = True) -> jnp.ndarray:
+                intra: bool = True, with_rem: bool = False):
     """Quantize (B, N, N) int32 coeffs. size is static; qp may be a
-    python int or a traced scalar (per-frame rate control)."""
+    python int or a traced scalar (per-frame rate control). with_rem
+    additionally returns the deltaU rounding remainders."""
     log2n = size.bit_length() - 1
     qp = jnp.asarray(qp, dtype=jnp.int32)
     per, rem = qp // 6, qp % 6
@@ -160,10 +174,126 @@ def quant_batch(coef: jnp.ndarray, size: int, qp, bit_depth: int = 8,
     add = jnp.left_shift(jnp.int32(171 if intra else 85), qbits - 9)
     scale = jnp.take(jnp.asarray(QUANT_SCALES), rem)
     # abs(coef) <= 32767, scale <= 26214 -> product < 2^31: int32 safe
-    a = jnp.abs(coef)
-    level = jnp.right_shift(a * scale + add, qbits)
+    a = jnp.abs(coef) * scale
+    level = jnp.right_shift(a + add, qbits)
     level = jnp.clip(level, 0, 32767)
-    return jnp.sign(coef) * level
+    out = jnp.sign(coef) * level
+    if not with_rem:
+        return out
+    # signed remainder WITHOUT the rounding offset (HM/x265 deltaU)
+    delta_u = jnp.right_shift(a - jnp.left_shift(level, qbits),
+                              qbits - 8)
+    return out, delta_u
+
+
+# =============================================================================
+# sign-bit hiding (encoder-side parity enforcement; x265 quant.cpp:247
+# signBitHidingHDQ behavior, decoder rule clause 7.4.9.11/9.3.4.3)
+# =============================================================================
+
+@lru_cache(maxsize=None)
+def _cg_perm(scan_idx: int) -> np.ndarray:
+    """Raster position (0..15) per within-CG scan position."""
+    xy = scan_order(scan_idx, 2)
+    return (xy[:, 1] * 4 + xy[:, 0]).astype(np.int32)
+
+
+def sign_hide_np(blk: np.ndarray, scan_idx: int,
+                 delta_u: np.ndarray) -> np.ndarray:
+    """Enforce the hidden-sign parity on one quantized NxN block: in
+    every 4x4 CG where lastSigScanPos - firstSigScanPos > 3, the sign
+    of the coefficient at firstSigScanPos is inferred by the decoder
+    from sum-of-abs-levels parity. When the parity disagrees, adjust
+    one |level| by +-1, choosing the position/direction with minimal
+    rounding-error cost from the quant remainders (x265
+    signBitHidingHDQ, quant.cpp:247): lowering costs deltaU, raising
+    costs -deltaU. Levels of 1 at the first/last significant position
+    may not be lowered (that would move the inferred position)."""
+    n = blk.shape[-1]
+    out = blk.copy()
+    perm = _cg_perm(scan_idx)
+    for cy in range(max(n // 4, 1)):
+        for cx in range(max(n // 4, 1)):
+            sl = (slice(cy * 4, cy * 4 + 4), slice(cx * 4, cx * 4 + 4))
+            cg = out[sl].reshape(-1)
+            lv = cg[perm].copy()
+            du = delta_u[sl].reshape(-1)[perm]
+            nz = np.nonzero(lv)[0]
+            if len(nz) == 0 or nz[-1] - nz[0] <= 3:
+                continue
+            first, last = nz[0], nz[-1]
+            neg = 1 if lv[first] < 0 else 0
+            if (int(np.abs(lv).sum()) & 1) == neg:
+                continue
+            big = 1 << 30
+            sig = lv != 0
+            can_lower = sig & (np.abs(lv) < 32768) & \
+                ((np.abs(lv) >= 2) |
+                 ((np.arange(16) != first) & (np.arange(16) != last)))
+            can_raise = sig & (np.abs(lv) < 32767)
+            lower_cost = np.where(can_lower, du, big)
+            raise_cost = np.where(can_raise, -du, big)
+            costs = np.concatenate([lower_cost, raise_cost])
+            k = int(np.argmin(costs))
+            pos, d = (k, -1) if k < 16 else (k - 16, 1)
+            lv[pos] += d if lv[pos] > 0 else -d
+            cg[perm] = lv
+            out[sl] = cg.reshape(4, 4)
+    return out
+
+
+def sign_hide_batch(coefs: jnp.ndarray, size: int, scan_sel,
+                    delta_u: jnp.ndarray) -> jnp.ndarray:
+    """Batched sign-hiding parity fix (see sign_hide_np). coefs /
+    delta_u: (B, N, N); scan_sel: per-block scan index (B,) int32 in
+    {0, 1, 2} (traced) or a python int for a uniform scan."""
+    b = coefs.shape[0]
+    n = size
+    ncgs = max(n // 4, 1)
+
+    def to_cg(a):
+        return a.reshape(b, ncgs, 4, ncgs, 4).transpose(0, 1, 3, 2, 4) \
+            .reshape(b, ncgs * ncgs, 16)
+
+    cg = to_cg(coefs)
+    perms = jnp.asarray(np.stack([_cg_perm(s) for s in range(3)]))
+    if isinstance(scan_sel, int):
+        perm = jnp.broadcast_to(perms[scan_sel], (b, 16))
+    else:
+        perm = perms[scan_sel]                              # (B, 16)
+    lv = jnp.take_along_axis(cg, perm[:, None, :], axis=2)  # scan order
+    du = jnp.take_along_axis(to_cg(delta_u), perm[:, None, :], axis=2)
+    nzm = lv != 0
+    iota = jnp.arange(16, dtype=jnp.int32)
+    first = jnp.min(jnp.where(nzm, iota, 16), axis=-1)
+    last = jnp.max(jnp.where(nzm, iota, -1), axis=-1)
+    hidden = (last - first) > 3
+    sumabs = jnp.abs(lv).sum(-1)
+    firstval = jnp.take_along_axis(
+        lv, jnp.clip(first, 0, 15)[..., None], -1)[..., 0]
+    neg = (firstval < 0).astype(jnp.int32)
+    fix = hidden & ((sumabs & 1) != neg)
+
+    big = jnp.int32(1 << 30)
+    io = iota[None, None, :]
+    can_lower = nzm & (jnp.abs(lv) < 32768) & \
+        ((jnp.abs(lv) >= 2) |
+         ((io != first[..., None]) & (io != last[..., None])))
+    can_raise = nzm & (jnp.abs(lv) < 32767)
+    lower_cost = jnp.where(can_lower, du, big)
+    raise_cost = jnp.where(can_raise, -du, big)
+    costs = jnp.concatenate([lower_cost, raise_cost], axis=-1)  # 32
+    k = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+    pos = jnp.where(k < 16, k, k - 16)
+    d = jnp.where(k < 16, -1, 1)
+    tgt = jnp.take_along_axis(lv, pos[..., None], -1)[..., 0]
+    newv = tgt + jnp.where(tgt > 0, d, -d)
+    sel = fix[..., None] & (io == pos[..., None])
+    lv = jnp.where(sel, newv[..., None], lv)
+    inv = jnp.argsort(perm, axis=-1)
+    cg2 = jnp.take_along_axis(lv, inv[:, None, :], axis=2)
+    return cg2.reshape(b, ncgs, ncgs, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(b, n, n)
 
 
 def dequant_batch(level: jnp.ndarray, size: int, qp,
