@@ -178,10 +178,17 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
                        idr: bool = True, slice_qp: int | None = None,
                        ref_delta_poc: int = 1, ref_delta_poc_after: int = 1,
                        max_merge: int = 2,
+                       rps_neg: list[tuple[int, bool]] | None = None,
+                       rps_pos: list[tuple[int, bool]] | None = None,
                        num_entry_points: int = 0,
                        entry_point_offsets: list[int] | None = None) -> BitWriter:
     """slice_segment_header — clause 7.3.6.1. Returns the open BitWriter so
-    the caller appends CABAC slice data after byte alignment."""
+    the caller appends CABAC slice data after byte alignment.
+
+    rps_neg/rps_pos: general short-term RPS as (delta_poc, used) lists,
+    deltas positive and ascending (the DPB retention contract,
+    dpb.cpp:221 analog). When absent, the legacy 1-before(+1-after for
+    B) set is written from ref_delta_poc/ref_delta_poc_after."""
     if slice_qp is None:
         slice_qp = cfg.qp
     w = BitWriter()
@@ -194,19 +201,24 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
         w.write(poc & ((1 << POC_LSB_BITS) - 1), POC_LSB_BITS)
         w.write_flag(0)               # short_term_ref_pic_set_sps_flag -> inline
         # st_ref_pic_set() (clause 7.3.7)
-        delta_poc = ref_delta_poc if ref_delta_poc else 1
-        if slice_type == B_SLICE:
-            w.write_ue(1)             # num_negative_pics
-            w.write_ue(1)             # num_positive_pics
-            w.write_ue(delta_poc - 1)     # delta_poc_s0_minus1 (past ref)
-            w.write_flag(1)               # used_by_curr_pic_s0_flag
-            w.write_ue((ref_delta_poc_after or 1) - 1)  # delta_poc_s1_minus1
-            w.write_flag(1)               # used_by_curr_pic_s1_flag
-        else:
-            w.write_ue(1)             # num_negative_pics
-            w.write_ue(0)             # num_positive_pics
-            w.write_ue(delta_poc - 1)
-            w.write_flag(1)
+        if rps_neg is None:
+            delta_poc = ref_delta_poc if ref_delta_poc else 1
+            rps_neg = [(delta_poc, True)]
+            rps_pos = [(ref_delta_poc_after or 1, True)] \
+                if slice_type == B_SLICE else []
+        rps_pos = rps_pos or []
+        w.write_ue(len(rps_neg))      # num_negative_pics
+        w.write_ue(len(rps_pos))      # num_positive_pics
+        prev = 0
+        for delta, used in rps_neg:
+            w.write_ue(delta - prev - 1)   # delta_poc_s0_minus1
+            w.write_flag(1 if used else 0)
+            prev = delta
+        prev = 0
+        for delta, used in rps_pos:
+            w.write_ue(delta - prev - 1)   # delta_poc_s1_minus1
+            w.write_flag(1 if used else 0)
+            prev = delta
     if cfg.sao:
         w.write_flag(1)               # slice_sao_luma_flag
         w.write_flag(1)               # slice_sao_chroma_flag

@@ -210,12 +210,19 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
         assert r.read_flag() == 0  # short_term_ref_pic_set_sps_flag
         nneg = r.read_ue()
         npos = r.read_ue()
-        assert nneg == 1 and npos in (0, 1)
-        delta_s0 = r.read_ue() + 1
-        r.read_flag()              # used_by_curr_pic_s0_flag
-        if npos:
-            delta_s1 = r.read_ue() + 1
-            r.read_flag()          # used_by_curr_pic_s1_flag
+        # general st_ref_pic_set: (delta, used) lists; ref list L0[0] /
+        # L1[0] = first USED entry (default ref list construction with
+        # one active ref per list)
+        neg, pos, prev = [], [], 0
+        for _ in range(nneg):
+            prev += r.read_ue() + 1
+            neg.append((prev, bool(r.read_flag())))
+        prev = 0
+        for _ in range(npos):
+            prev += r.read_ue() + 1
+            pos.append((prev, bool(r.read_flag())))
+        delta_s0 = next((d for d, u in neg if u), neg[0][0] if neg else 1)
+        delta_s1 = next((d for d, u in pos if u), pos[0][0] if pos else 1)
     sao_luma = sao_chroma = False
     if sps.sao:
         sao_luma = bool(r.read_flag())

@@ -201,8 +201,11 @@ class IntraEncoder:
     def encode_frame_b(self, y: np.ndarray, cb: np.ndarray,
                        cr: np.ndarray, ref0: ReconFrame, ref1: ReconFrame,
                        poc: int, poc_refs: tuple[int, int],
-                       qp: int | None = None) -> FrameResult:
-        """Encode one non-reference B frame between two references."""
+                       qp: int | None = None, is_ref: bool = False,
+                       rps_neg=None, rps_pos=None) -> FrameResult:
+        """Encode one B frame between two references. is_ref marks a
+        pyramid reference B (BREF); rps_neg/rps_pos give the general
+        retention RPS for hierarchical GOPs."""
         from ..bitstream.ctx_tables import init_states
         from ..common.params import B_SLICE
         from .bi_frame import encode_b_frame_arrays
@@ -242,13 +245,14 @@ class IntraEncoder:
             cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
             ref_delta_poc=poc - poc_refs[0],
             ref_delta_poc_after=poc_refs[1] - poc,
-            max_merge=syn.max_merge)
+            max_merge=syn.max_merge, rps_neg=rps_neg, rps_pos=rps_pos)
         syntax = SliceSyntaxEncoder(cfg, syn, B_SLICE, qp,
                                     sao_params=sao_params)
         cab = syntax.encode_slice_data()
         cab.finish_into(sw)
         sw.align_one()
-        nals = [(NalUnitType.TRAIL_N, sw.get_bytes())]
+        nal_type = NalUnitType.TRAIL_R if is_ref else NalUnitType.TRAIL_N
+        nals = [(nal_type, sw.get_bytes())]
         if cfg.hash_sei:
             from ..bitstream.sei import write_picture_hash_sei
             nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
@@ -286,6 +290,62 @@ class IntraEncoder:
                 r = self.encode_frame_p(*frames[i])
                 results.append(r)
                 i += 1
+        return results
+
+    def encode_hier_gop(self, frames, qp: int | None = None
+                        ) -> list[FrameResult]:
+        """Hierarchical-B mini-GOP (the x265 B-pyramid / random-access
+        structure, dpb.cpp:126 + slicetype.cpp slicetypeDecide): I at
+        display 0, P anchor at display N, then recursive-bisection Bs —
+        interior nodes are reference Bs (BREF), leaves non-reference.
+        Layer-based QP offsets (I: -3, P: 0, BREF: +1, B: +2+). General
+        RPS entries keep exactly the pictures later frames reference.
+        Returns results in DECODE order (FrameResult.syntax.poc gives
+        display position for Bs)."""
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        n = len(frames) - 1
+        r0 = self.encode_frame(*frames[0], qp=max(qp - 3, 0))
+        self.ref = r0.recon
+        self.poc = 0
+        results = [r0]
+        if n == 0:
+            return results
+        dpb = {0: r0.recon}
+        rp = self.encode_frame_p(*frames[n], qp=qp, poc_step=n)
+        dpb[n] = rp.recon
+        results.append(rp)
+
+        sched: list[tuple[int, int, int, bool, int]] = []
+
+        def bisect(lo: int, hi: int, layer: int) -> None:
+            if hi - lo < 2:
+                return
+            mid = (lo + hi) // 2
+            sched.append((mid, lo, hi, hi - lo > 2, layer))
+            bisect(lo, mid, layer + 1)
+            bisect(mid, hi, layer + 1)
+
+        bisect(0, n, 1)
+        for i, (poc, lo, hi, is_ref, layer) in enumerate(sched):
+            needed_later: set[int] = set()
+            for _, l2, h2, _, _ in sched[i + 1:]:
+                needed_later.update((l2, h2))
+            retained = (set(dpb.keys()) & needed_later) | {lo, hi}
+            rps_neg = [(poc - p, p == lo)
+                       for p in sorted(retained & set(dpb.keys()),
+                                       reverse=True) if p < poc]
+            rps_neg.sort(key=lambda t: t[0])
+            rps_pos = sorted(
+                [(p - poc, p == hi) for p in retained if p > poc],
+                key=lambda t: t[0])
+            bqp = min(qp + (1 if is_ref else 2) + max(layer - 1, 0), 51)
+            rb = self.encode_frame_b(
+                *frames[poc], dpb[lo], dpb[hi], poc, (lo, hi), qp=bqp,
+                is_ref=is_ref, rps_neg=rps_neg, rps_pos=rps_pos)
+            if is_ref:
+                dpb[poc] = rb.recon
+            results.append(rb)
         return results
 
     def encode_sequence(self, frames) -> list[FrameResult]:
