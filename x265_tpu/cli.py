@@ -16,25 +16,9 @@ import time
 
 import numpy as np
 
-from .common.params import EncoderConfig
+from .common.params import EncoderConfig, PRESETS
 from .enc import IntraEncoder
 from .io import Y4MReader, YUVReader, Y4MWriter
-
-# preset ladder (reference: x265 source/common/param.cpp presets +
-# doc/reST/presets.rst). Only knobs the current tool set exposes; the
-# table grows as features land.
-PRESETS = {
-    "ultrafast": dict(deblock=False),
-    "superfast": dict(deblock=False),
-    "veryfast": dict(deblock=True),
-    "faster": dict(deblock=True),
-    "fast": dict(deblock=True),
-    "medium": dict(deblock=True),
-    "slow": dict(deblock=True),
-    "slower": dict(deblock=True),
-    "veryslow": dict(deblock=True),
-    "placebo": dict(deblock=True),
-}
 
 
 def parse_args(argv=None):
@@ -51,8 +35,14 @@ def parse_args(argv=None):
                    help="constant rate factor mode")
     p.add_argument("--preset", default="medium", choices=sorted(PRESETS))
     p.add_argument("-I", "--keyint", type=int, default=250)
-    p.add_argument("-b", "--bframes", type=int, default=0, choices=(0, 1),
-                   help="B frames between references (IBPBP when 1)")
+    p.add_argument("-b", "--bframes", type=int, default=None,
+                   help="B frames per mini-GOP (0 = IPPP; >0 = "
+                        "hierarchical B pyramid)")
+    p.add_argument("--param", action="append", default=[],
+                   metavar="K=V", help="set any encoder parameter by "
+                   "name (x265_param_parse analog)")
+    p.add_argument("--no-sao", dest="no_sao", action="store_true")
+    p.add_argument("--no-signhide", action="store_true")
     p.add_argument("-f", "--frames", type=int, default=0,
                    help="max frames to encode (0 = all)")
     p.add_argument("--no-deblock", action="store_true")
@@ -101,17 +91,26 @@ def main(argv=None) -> int:
     elif args.crf:
         cfg.rc_mode = "crf"
         cfg.crf = args.crf
-    for k, v in PRESETS[args.preset].items():
-        setattr(cfg, k, v)
+    cfg.apply_preset(args.preset)
     if args.no_deblock:
         cfg.deblock = False
     if args.sao:
         cfg.sao = True
+    if args.no_sao:
+        cfg.sao = False
+    if args.no_signhide:
+        cfg.sign_hiding = False
     if args.hash_sei:
         cfg.hash_sei = True
-    if args.bframes:
+    if args.bframes is not None:
         cfg.bframes = args.bframes
+    if cfg.bframes:
         cfg.num_refs = 2
+    for kv in args.param:
+        k, _, v = kv.partition("=")
+        cfg.param_parse(k, v)
+    if args.all_intra:
+        cfg.bframes = 0
     enc = IntraEncoder(cfg)
     from .enc.ratecontrol import RateControl, TwoPassLog, TwoPassRateControl
     from .enc.lookahead import Lookahead
@@ -142,8 +141,39 @@ def main(argv=None) -> int:
     n = 0
     t0 = time.perf_counter()
     psnr_acc = 0.0
+    gop_buf: list = []          # pending display frames for a mini-GOP
+    gop_base = 0                # display index of the current anchor
+
+    def emit(res, orig, ftype, fqp):
+        nonlocal total_bits, psnr_acc, n
+        out.write(res.bitstream)
+        total_bits += res.bits
+        py = psnr(res.recon.y[:h, :w], np.asarray(orig[0]), maxv)
+        psnr_acc += py
+        if recon_w:
+            recon_w.write_frame(res.recon.y[:h, :w],
+                                res.recon.cb[:h // 2, :w // 2],
+                                res.recon.cr[:h // 2, :w // 2])
+        if csv:
+            csv.write(f"{n},{ftype},{fqp},{res.bits},{py:.4f}\n")
+        print(f"frame {n:5d} {ftype} qp {fqp} bits {res.bits:8d} "
+              f"Y-PSNR {py:6.3f}", file=sys.stderr)
+        n += 1
+
+    def flush_minigop(fqp):
+        nonlocal gop_buf, gop_base
+        if not gop_buf:
+            return
+        results = enc.encode_minigop(gop_buf, qp=fqp)
+        for res in results:
+            orig = gop_buf[res.poc - gop_base - 1]
+            emit(res, orig, res.ftype, fqp)
+            rc.frame_done(res.bits, fqp, 1.0, False)
+        gop_base += len(gop_buf)
+        gop_buf = []
+
     for frame in reader:
-        if args.frames and n >= args.frames:
+        if args.frames and n + len(gop_buf) >= args.frames:
             break
         y, cb, cr = frame
         if rc2 is not None:
@@ -156,37 +186,33 @@ def main(argv=None) -> int:
                                        None if is_intra else prev_y)
             fqp = rc.frame_qp(is_intra, cplx)
         if is_intra:
-            res = enc.encode_frame(y, cb, cr, qp=fqp)
+            flush_minigop(fqp)
+            res = enc.encode_frame(y, cb, cr,
+                                   qp=max(fqp - 3, 0) if cfg.keyint > 1
+                                   else fqp)
             enc.ref = res.recon
             enc.poc = 0
-            ftype = "I"
+            gop_base = 0
+            rc.frame_done(res.bits, fqp, cplx, True)
+            if pass1_log is not None:
+                pass1_log.record("I", fqp, res.bits, max(cplx, 1.0))
+            emit(res, (y, cb, cr), "I", fqp)
+        elif cfg.bframes > 0:
+            gop_buf.append((y, cb, cr))
+            if len(gop_buf) >= cfg.bframes + 1:
+                flush_minigop(fqp)
         else:
             res = enc.encode_frame_p(y, cb, cr, qp=fqp)
-            ftype = "P"
-        rc.frame_done(res.bits, fqp, cplx, is_intra)
-        if pass1_log is not None:
-            pass1_log.record(ftype, fqp, res.bits, max(cplx, 1.0))
-        if analysis_store is not None:
-            rec = dict(type=ftype, depth8=res.syntax.depth8)
-            if ftype == "I":
-                rec["mode8"] = res.syntax.mode8
-            else:
-                rec["mv8"] = res.syntax.mv8
-            analysis_store.append(rec)
+            rc.frame_done(res.bits, fqp, cplx, False)
+            if pass1_log is not None:
+                pass1_log.record("P", fqp, res.bits, max(cplx, 1.0))
+            if analysis_store is not None:
+                analysis_store.append(dict(type="P",
+                                           depth8=res.syntax.depth8,
+                                           mv8=res.syntax.mv8))
+            emit(res, (y, cb, cr), "P", fqp)
         prev_y = np.asarray(y)
-        out.write(res.bitstream)
-        total_bits += res.bits
-        py = psnr(res.recon.y[:h, :w], np.asarray(y), maxv)
-        psnr_acc += py
-        if recon_w:
-            recon_w.write_frame(res.recon.y[:h, :w],
-                                res.recon.cb[:h // 2, :w // 2],
-                                res.recon.cr[:h // 2, :w // 2])
-        if csv:
-            csv.write(f"{n},{ftype},{fqp},{res.bits},{py:.4f}\n")
-        print(f"frame {n:5d} {ftype} qp {fqp} bits {res.bits:8d} "
-              f"Y-PSNR {py:6.3f}", file=sys.stderr)
-        n += 1
+    flush_minigop(cfg.qp)
     dt = time.perf_counter() - t0
     out.close()
     if recon_w:

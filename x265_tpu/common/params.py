@@ -56,6 +56,43 @@ class EncoderConfig:
 
     # analysis
     intra_smoothing: bool = True  # strong_intra_smoothing off; [1 2 1] on
+    me_iters: int = 8            # integer diamond rounds (subme/search
+    #                              effort analog, motion.cpp:820 ladder)
+    aq_mode: int = 0             # 0 off, 1 variance, 2 autovariance
+    aq_strength: float = 1.0
+
+    def apply_preset(self, name: str) -> None:
+        """Preset ladder over the implemented tool set (reference:
+        x265 x265_param_default_preset, param.cpp:379-560 and
+        doc/reST/presets.rst:36-108, mapped to this encoder's knobs)."""
+        if name not in PRESETS:
+            raise ValueError(f"unknown preset {name!r}")
+        for k, v in PRESETS[name].items():
+            setattr(self, k, v)
+
+    def param_parse(self, name: str, value: str) -> None:
+        """x265_param_parse-style string K/V (param.cpp): accepts the
+        x265 option name (dashes) or the field name (underscores)."""
+        key = name.replace("-", "_")
+        alias = {
+            "signhide": "sign_hiding", "sao": "sao", "deblock": "deblock",
+            "keyint": "keyint", "b": "bframes", "ref": "num_refs",
+            "ctu": "ctu_size", "min_cu_size": "min_cu_size",
+            "hash": "hash_sei", "aq_mode": "aq_mode",
+            "aq_strength": "aq_strength",
+        }
+        key = alias.get(key, key)
+        if not hasattr(self, key):
+            raise ValueError(f"unknown parameter {name!r}")
+        cur = getattr(self, key)
+        if isinstance(cur, bool):
+            setattr(self, key, value.lower() in ("1", "true", "yes", "on"))
+        elif isinstance(cur, int):
+            setattr(self, key, int(value))
+        elif isinstance(cur, float):
+            setattr(self, key, float(value))
+        else:
+            setattr(self, key, value)
 
     def validate(self) -> None:
         if self.width <= 0 or self.height <= 0:
@@ -105,6 +142,34 @@ class EncoderConfig:
     @property
     def log2_min_cu(self) -> int:
         return self.min_cu_size.bit_length() - 1
+
+
+# Preset ladder (x265 param.cpp:379-560 semantics over our knobs):
+# me_iters ~ subme/search effort; bframes = mini-GOP B count (pyramid);
+# ultrafast/superfast disable SAO, ultrafast also sign-hiding, exactly
+# like the reference table.
+PRESETS = {
+    "ultrafast": dict(me_iters=2, bframes=3, sao=False,
+                      sign_hiding=False, deblock=True),
+    "superfast": dict(me_iters=3, bframes=3, sao=False,
+                      sign_hiding=True, deblock=True),
+    "veryfast": dict(me_iters=4, bframes=3, sao=True,
+                     sign_hiding=True, deblock=True),
+    "faster": dict(me_iters=5, bframes=3, sao=True,
+                   sign_hiding=True, deblock=True),
+    "fast": dict(me_iters=6, bframes=3, sao=True,
+                 sign_hiding=True, deblock=True),
+    "medium": dict(me_iters=8, bframes=4, sao=True,
+                   sign_hiding=True, deblock=True),
+    "slow": dict(me_iters=10, bframes=4, sao=True,
+                 sign_hiding=True, deblock=True),
+    "slower": dict(me_iters=12, bframes=8, sao=True,
+                   sign_hiding=True, deblock=True),
+    "veryslow": dict(me_iters=16, bframes=8, sao=True,
+                     sign_hiding=True, deblock=True),
+    "placebo": dict(me_iters=16, bframes=8, sao=True,
+                    sign_hiding=True, deblock=True),
+}
 
 
 def level_idc(width: int, height: int, fps: float) -> int:

@@ -68,6 +68,8 @@ class FrameResult:
     recon: ReconFrame
     syntax: FrameIntraSyntax
     bits: int = 0
+    poc: int = 0                # display position within the GOP
+    ftype: str = "I"
 
 
 class IntraEncoder:
@@ -187,7 +189,7 @@ class IntraEncoder:
         self.frame_count += 1
         self.stats.add("I", len(stream) * 8, qp)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
-                           bits=len(stream) * 8)
+                           bits=len(stream) * 8, poc=0, ftype="I")
 
     def encode_frame_p(self, y: np.ndarray, cb: np.ndarray,
                        cr: np.ndarray, qp: int | None = None,
@@ -261,7 +263,7 @@ class IntraEncoder:
         self.frame_count += 1
         self.stats.add("B", len(stream) * 8, qp)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
-                           bits=len(stream) * 8)
+                           bits=len(stream) * 8, poc=poc, ftype="B")
 
     def encode_bgop(self, frames) -> list[FrameResult]:
         """IBPBP: I, then alternating forward P references with one
@@ -292,29 +294,23 @@ class IntraEncoder:
                 i += 1
         return results
 
-    def encode_hier_gop(self, frames, qp: int | None = None
-                        ) -> list[FrameResult]:
-        """Hierarchical-B mini-GOP (the x265 B-pyramid / random-access
-        structure, dpb.cpp:126 + slicetype.cpp slicetypeDecide): I at
-        display 0, P anchor at display N, then recursive-bisection Bs —
-        interior nodes are reference Bs (BREF), leaves non-reference.
-        Layer-based QP offsets (I: -3, P: 0, BREF: +1, B: +2+). General
-        RPS entries keep exactly the pictures later frames reference.
-        Returns results in DECODE order (FrameResult.syntax.poc gives
-        display position for Bs)."""
+    def encode_minigop(self, frames, qp: int | None = None
+                       ) -> list[FrameResult]:
+        """Encode one hierarchical mini-GOP against the current
+        reference: frames are the NEXT len(frames) display pictures
+        (self.poc+1 .. self.poc+L). The anchor P is coded first, then
+        recursive-bisection Bs (interior = reference BREFs). Returns
+        results in DECODE order and leaves self.ref at the anchor."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
-        n = len(frames) - 1
-        r0 = self.encode_frame(*frames[0], qp=max(qp - 3, 0))
-        self.ref = r0.recon
-        self.poc = 0
-        results = [r0]
-        if n == 0:
+        L = len(frames)
+        base = self.poc
+        prev_ref = self.ref
+        rp = self.encode_frame_p(*frames[-1], qp=qp, poc_step=L)
+        results = [rp]
+        if L == 1:
             return results
-        dpb = {0: r0.recon}
-        rp = self.encode_frame_p(*frames[n], qp=qp, poc_step=n)
-        dpb[n] = rp.recon
-        results.append(rp)
+        dpb = {base: prev_ref, base + L: rp.recon}
 
         sched: list[tuple[int, int, int, bool, int]] = []
 
@@ -326,26 +322,42 @@ class IntraEncoder:
             bisect(lo, mid, layer + 1)
             bisect(mid, hi, layer + 1)
 
-        bisect(0, n, 1)
+        bisect(base, base + L, 1)
         for i, (poc, lo, hi, is_ref, layer) in enumerate(sched):
             needed_later: set[int] = set()
             for _, l2, h2, _, _ in sched[i + 1:]:
                 needed_later.update((l2, h2))
             retained = (set(dpb.keys()) & needed_later) | {lo, hi}
-            rps_neg = [(poc - p, p == lo)
-                       for p in sorted(retained & set(dpb.keys()),
-                                       reverse=True) if p < poc]
-            rps_neg.sort(key=lambda t: t[0])
-            rps_pos = sorted(
-                [(p - poc, p == hi) for p in retained if p > poc],
-                key=lambda t: t[0])
+            rps_neg = sorted([(poc - p, p == lo)
+                              for p in retained if p < poc])
+            rps_pos = sorted([(p - poc, p == hi)
+                              for p in retained if p > poc])
             bqp = min(qp + (1 if is_ref else 2) + max(layer - 1, 0), 51)
             rb = self.encode_frame_b(
-                *frames[poc], dpb[lo], dpb[hi], poc, (lo, hi), qp=bqp,
-                is_ref=is_ref, rps_neg=rps_neg, rps_pos=rps_pos)
+                *frames[poc - base - 1], dpb[lo], dpb[hi], poc,
+                (lo, hi), qp=bqp, is_ref=is_ref, rps_neg=rps_neg,
+                rps_pos=rps_pos)
             if is_ref:
                 dpb[poc] = rb.recon
             results.append(rb)
+        self.ref = rp.recon
+        self.poc = base + L
+        return results
+
+    def encode_hier_gop(self, frames, qp: int | None = None
+                        ) -> list[FrameResult]:
+        """Hierarchical-B GOP (the x265 B-pyramid / random-access
+        structure, dpb.cpp:126): I at display 0 then one mini-GOP over
+        the rest. QP ladder I: -3, P: 0, BREF: +1, B: +2+layer.
+        Returns results in DECODE order."""
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        r0 = self.encode_frame(*frames[0], qp=max(qp - 3, 0))
+        self.ref = r0.recon
+        self.poc = 0
+        results = [r0]
+        if len(frames) > 1:
+            results.extend(self.encode_minigop(frames[1:], qp=qp))
         return results
 
     def encode_sequence(self, frames) -> list[FrameResult]:
@@ -390,7 +402,8 @@ class IntraEncoder:
                         for f in frames])
         want_recon = need_recon or cfg.hash_sei
         syns, recons, last_ref = encode_pgop_tpu(
-            oy, ocb, ocr, self.ref, cfg, qp, need_recon=want_recon)
+            oy, ocb, ocr, self.ref, cfg, qp, need_recon=want_recon,
+            me_iters=cfg.me_iters)
         results = []
         for i, syn in enumerate(syns):
             recon = recons[i]
@@ -418,7 +431,8 @@ class IntraEncoder:
             self.frame_count += 1
             self.stats.add("P", len(stream) * 8, qp)
             results.append(FrameResult(bitstream=stream, recon=recon,
-                                       syntax=syn, bits=len(stream) * 8))
+                                       syntax=syn, bits=len(stream) * 8,
+                                       poc=self.poc, ftype="P"))
         self.ref = last_ref
         return results
 
