@@ -81,7 +81,8 @@ def bench_ippp() -> None:
     def run():
         enc.frame_count = 1          # skip re-emitting headers
         enc.poc = 0
-        r0 = enc.encode_frame(*frames[0], qp=cfg.qp - 3)   # ipratio
+        r0 = enc.encode_frame(*frames[0], qp=cfg.qp - 3,   # ipratio
+                              use_device_recon=True)
         enc.ref = r0.recon
         rs = enc.encode_pgop(frames[1:], need_recon=False)
         return r0.bits + sum(r.bits for r in rs)

@@ -56,8 +56,11 @@ class EncoderConfig:
 
     # analysis
     intra_smoothing: bool = True  # strong_intra_smoothing off; [1 2 1] on
-    me_iters: int = 8            # integer diamond rounds (subme/search
-    #                              effort analog, motion.cpp:820 ladder)
+    me_iters: int = 8            # integer diamond rounds, host/B path
+    #                              (subme analog, motion.cpp:820 ladder)
+    me_range: int = 6            # windowed full-search radius around the
+    #                              coarse seed (merange analog) — the
+    #                              fused P-GOP path's search effort
     aq_mode: int = 0             # 0 off, 1 variance, 2 autovariance
     aq_strength: float = 1.0
 
@@ -149,25 +152,25 @@ class EncoderConfig:
 # ultrafast/superfast disable SAO, ultrafast also sign-hiding, exactly
 # like the reference table.
 PRESETS = {
-    "ultrafast": dict(me_iters=2, bframes=3, sao=False,
+    "ultrafast": dict(me_iters=2, me_range=2, bframes=3, sao=False,
                       sign_hiding=False, deblock=True),
-    "superfast": dict(me_iters=3, bframes=3, sao=False,
+    "superfast": dict(me_iters=3, me_range=3, bframes=3, sao=False,
                       sign_hiding=True, deblock=True),
-    "veryfast": dict(me_iters=4, bframes=3, sao=True,
+    "veryfast": dict(me_iters=4, me_range=4, bframes=3, sao=True,
                      sign_hiding=True, deblock=True),
-    "faster": dict(me_iters=5, bframes=3, sao=True,
+    "faster": dict(me_iters=5, me_range=5, bframes=3, sao=True,
                    sign_hiding=True, deblock=True),
-    "fast": dict(me_iters=6, bframes=3, sao=True,
+    "fast": dict(me_iters=6, me_range=5, bframes=3, sao=True,
                  sign_hiding=True, deblock=True),
-    "medium": dict(me_iters=8, bframes=4, sao=True,
+    "medium": dict(me_iters=8, me_range=6, bframes=4, sao=True,
                    sign_hiding=True, deblock=True),
-    "slow": dict(me_iters=10, bframes=4, sao=True,
+    "slow": dict(me_iters=10, me_range=8, bframes=4, sao=True,
                  sign_hiding=True, deblock=True),
-    "slower": dict(me_iters=12, bframes=8, sao=True,
+    "slower": dict(me_iters=12, me_range=10, bframes=8, sao=True,
                    sign_hiding=True, deblock=True),
-    "veryslow": dict(me_iters=16, bframes=8, sao=True,
+    "veryslow": dict(me_iters=16, me_range=12, bframes=8, sao=True,
                      sign_hiding=True, deblock=True),
-    "placebo": dict(me_iters=16, bframes=8, sao=True,
+    "placebo": dict(me_iters=16, me_range=12, bframes=8, sao=True,
                     sign_hiding=True, deblock=True),
 }
 

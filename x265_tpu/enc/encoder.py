@@ -403,7 +403,7 @@ class IntraEncoder:
         want_recon = need_recon or cfg.hash_sei
         syns, recons, last_ref = encode_pgop_tpu(
             oy, ocb, ocr, self.ref, cfg, qp, need_recon=want_recon,
-            me_iters=cfg.me_iters)
+            me_range=cfg.me_range)
         results = []
         for i, syn in enumerate(syns):
             recon = recons[i]

@@ -31,10 +31,9 @@ from ..common.params import EncoderConfig
 from ..common.tables import chroma_qp, lambda_from_qp, lambda2_from_qp
 from ..ops.deblock import BETA_TABLE, TC_TABLE, _luma_filter_batch
 from ..ops.interp import mc_block_batch
+from ..ops.me_win import me_size_windowed
 from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
-from ..ops.me import (DIAMOND, _block_origins, _downsample4, _mv_bits,
-                      _sad_at)
-from ..ops.satd import sa8d_nxn_batch
+from ..ops.me import _downsample4
 from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
     dequant_batch, sign_hide_batch
 from .intra_recon import ReconFrame
@@ -77,82 +76,6 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
             jnp.zeros((by, bx, 2), jnp.int32))
     cost, mv = jax.lax.fori_loop(0, ncand, body, init)
     return mv, cost
-
-
-def _refine_size_t(cur, ref, seed_mv, lam, n, iters, bit_depth):
-    """Integer diamond + qpel SATD refinement, traced (ops/me.py
-    refine_size without the jit wrapper so it inlines into the scan)."""
-    h, w = cur.shape
-    x0s, y0s, by, bx = _block_origins(h, w, n)
-    cur_blocks = cur.reshape(by, n, bx, n).transpose(0, 2, 1, 3) \
-        .reshape(-1, n, n).astype(jnp.int32)
-    mvx = seed_mv[:, 0]
-    mvy = seed_mv[:, 1]
-    cost = _sad_at(cur_blocks, ref, x0s, y0s, mvx, mvy, n) + \
-        lam * _mv_bits(mvx * 4, mvy * 4)
-    seeds2 = seed_mv.reshape(by, bx, 2)
-    cands = [jnp.zeros_like(seeds2),
-             jnp.roll(seeds2, 1, axis=1),
-             jnp.roll(seeds2, 1, axis=0),
-             jnp.roll(seeds2, (1, -1), axis=(0, 1))]
-    for cand in cands:
-        cx = cand[..., 0].reshape(-1)
-        cy = cand[..., 1].reshape(-1)
-        c = _sad_at(cur_blocks, ref, x0s, y0s, cx, cy, n) + \
-            lam * _mv_bits(cx * 4, cy * 4)
-        better = c < cost
-        cost = jnp.where(better, c, cost)
-        mvx = jnp.where(better, cx, mvx)
-        mvy = jnp.where(better, cy, mvy)
-
-    def diamond_round(state):
-        mvx, mvy, cost = state
-        for dx, dy in DIAMOND:
-            cx = mvx + dx
-            cy = mvy + dy
-            c = _sad_at(cur_blocks, ref, x0s, y0s, cx, cy, n) + \
-                lam * _mv_bits(cx * 4, cy * 4)
-            better = c < cost
-            cost = jnp.where(better, c, cost)
-            mvx = jnp.where(better, cx, mvx)
-            mvy = jnp.where(better, cy, mvy)
-        return mvx, mvy, cost
-
-    mvx, mvy, cost = jax.lax.fori_loop(
-        0, iters, lambda _, s: diamond_round(s), (mvx, mvy, cost))
-    for _ in range(2):
-        field = jnp.stack([mvx, mvy], axis=1).reshape(by, bx, 2)
-        for sh, ax in [(1, 0), (-1, 0), (1, 1), (-1, 1)]:
-            cand = jnp.roll(field, sh, axis=ax)
-            cx = cand[..., 0].reshape(-1)
-            cy = cand[..., 1].reshape(-1)
-            c = _sad_at(cur_blocks, ref, x0s, y0s, cx, cy, n) + \
-                lam * _mv_bits(cx * 4, cy * 4)
-            better = c < cost
-            cost = jnp.where(better, c, cost)
-            mvx = jnp.where(better, cx, mvx)
-            mvy = jnp.where(better, cy, mvy)
-        mvx, mvy, cost = jax.lax.fori_loop(
-            0, 2, lambda _, s: diamond_round(s), (mvx, mvy, cost))
-    mvqx = mvx * 4
-    mvqy = mvy * 4
-    scost = sa8d_nxn_batch(
-        cur_blocks - mc_block_batch(ref, x0s, y0s, mvqx, mvqy, n,
-                                    is_luma=True, bit_depth=bit_depth),
-        n) + lam * _mv_bits(mvqx, mvqy)
-    for step in (2, 1):
-        for dx, dy in DIAMOND + [(1, 1), (1, -1), (-1, 1), (-1, -1)]:
-            cx = mvqx + dx * step
-            cy = mvqy + dy * step
-            pred = mc_block_batch(ref, x0s, y0s, cx, cy, n, is_luma=True,
-                                  bit_depth=bit_depth)
-            c = sa8d_nxn_batch(cur_blocks - pred, n) + \
-                lam * _mv_bits(cx, cy)
-            better = c < scost
-            scost = jnp.where(better, c, scost)
-            mvqx = jnp.where(better, cx, mvqx)
-            mvqy = jnp.where(better, cy, mvqy)
-    return jnp.stack([mvqx, mvqy], axis=1), scost
 
 
 # =============================================================================
@@ -238,10 +161,13 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 # =============================================================================
 
 def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp, qpc,
-                  bit_depth, sign_hiding, real_h, real_w):
+                  bit_depth, sign_hiding, real_h, real_w, preds=None):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
-    estimated bits, then device compose. Returns
+    estimated bits, then device compose. preds, when given, carries
+    the luma predictions already interpolated by the windowed ME
+    (me_win contract: pred == normative MC at the returned MV), so
+    only chroma needs a per-block MC gather here. Returns
     (rec/cf planes..., depth8, mv8)."""
     h, w = oy.shape
     maxv = (1 << bit_depth) - 1
@@ -256,9 +182,11 @@ def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp, qpc,
         return blocks.reshape(bby, bbx, nn, nn).transpose(0, 2, 1, 3) \
             .reshape(hh, ww)
 
-    def one_plane(orig, ref, nn, x0, y0, mvx, mvy, qqp, is_luma):
-        pred = mc_block_batch(ref, x0, y0, mvx, mvy, nn, is_luma=is_luma,
-                              bit_depth=bit_depth)
+    def one_plane(orig, ref, nn, x0, y0, mvx, mvy, qqp, is_luma,
+                  pred=None):
+        if pred is None:
+            pred = mc_block_batch(ref, x0, y0, mvx, mvy, nn,
+                                  is_luma=is_luma, bit_depth=bit_depth)
         ob = blocks_of(orig, nn)
         resi = ob - pred
         if sign_hiding:
@@ -292,7 +220,8 @@ def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp, qpc,
         x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
         y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
         cn = n >> 1
-        rec_y, cf_y = one_plane(oy, ry, n, x0s, y0s, mvx, mvy, qp, True)
+        rec_y, cf_y = one_plane(oy, ry, n, x0s, y0s, mvx, mvy, qp, True,
+                                pred=None if preds is None else preds[n])
         rec_cb, cf_cb = one_plane(ocb, rcb, cn, x0s // 2, y0s // 2,
                                   mvx, mvy, qpc, False)
         rec_cr, cf_cr = one_plane(ocr, rcr, cn, x0s // 2, y0s // 2,
@@ -420,12 +349,12 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
                                    "real_w", "ctu", "deblock", "sao",
-                                   "sign_hiding", "me_iters",
+                                   "sign_hiding", "me_range",
                                    "need_recon"))
 def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
                qp: int, qpc: int, bit_depth: int, real_h: int,
                real_w: int, ctu: int, deblock: bool, sao: bool,
-               sign_hiding: bool, me_iters: int, need_recon: bool):
+               sign_hiding: bool, me_range: int, need_recon: bool):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -451,26 +380,28 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
         ocr = ocr8.astype(jnp.int32)
         h, w = oy.shape
 
-        # --- dense hierarchical ME
+        # --- dense hierarchical ME (windowed: 2 gathers per size)
         cmv, _ = _coarse_search_rolled(_downsample4(oy), _downsample4(ry))
         cby, cbx = cmv.shape[:2]
         lam_i = jnp.int32(round(lam))
-        costs, mvs = {}, {}
+        mvs, preds = {}, {}
         for n in SIZES:
             by, bx = h // n, w // n
             iy = jnp.clip((jnp.arange(by) * n + n // 2) // 16, 0, cby - 1)
             ix = jnp.clip((jnp.arange(bx) * n + n // 2) // 16, 0, cbx - 1)
             seed = (cmv[iy[:, None], ix[None, :]] * 4).reshape(-1, 2)
-            mv, cost = _refine_size_t(oy, ry, seed, lam_i, n, me_iters,
-                                      bit_depth)
-            costs[n] = cost
+            mv, cost, pred = me_size_windowed(oy, ry, seed, lam_i, n,
+                                              radius=me_range,
+                                              bit_depth=bit_depth)
             mvs[n] = mv
+            preds[n] = pred
 
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
         (rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8) = \
             _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp,
-                          qpc, bit_depth, sign_hiding, real_h, real_w)
+                          qpc, bit_depth, sign_hiding, real_h, real_w,
+                          preds=preds)
 
         # --- in-loop filters on the coded-size crop
         ry_c = rec_y[:rh, :rw]
@@ -539,7 +470,7 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
 def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                     orig_cr: np.ndarray, ref: ReconFrame,
                     cfg: EncoderConfig, qp: int | None = None,
-                    need_recon: bool = True, me_iters: int = 8
+                    need_recon: bool = True, me_range: int = 6
                     ) -> tuple[list[FramePSyntax], list[ReconFrame | None],
                                ReconFrame]:
     """Encode F consecutive P frames against a running reference.
@@ -577,7 +508,7 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         ry, rcb, rcr, oy, ocb, ocr, qp=int(qp), qpc=int(qpc),
         bit_depth=cfg.bit_depth, real_h=h, real_w=w, ctu=cfg.ctu_size,
         deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
-        me_iters=me_iters, need_recon=need_recon)
+        me_range=me_range, need_recon=need_recon)
 
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
     mv8 = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]

@@ -1,0 +1,195 @@
+"""Window-gathered motion estimation: one gather per size per frame.
+
+The round-1 ME (ops/me.py) evaluated every diamond/subpel candidate
+with a fresh per-block gather (`_sad_at`, `mc_block_batch`) — ~200
+gathers per frame. TPU gathers serialize; the fused P-GOP scan spent
+~7 s/frame in them. This module restructures ME so that per-block
+random access happens exactly twice per size:
+
+  1. gather a (B, W, W) integer search window around each block's
+     coarse seed; every integer candidate is then a `dynamic_slice`
+     of that tensor (static sizes, traced offsets — dense VPU work);
+  2. gather a (B, n+8, n+8) sub-pel window around the best integer
+     position; every quarter-pel candidate is then evaluated with an
+     EXTENDED 9-tap filter bank (the integer part of the +-3/4-pel
+     offset is folded into the filter's support) — einsums with
+     per-block filter selection, no spatial gather at all.
+
+Reference being recast: x265 source/encoder/motion.cpp
+StarPatternSearch + subpelRefine; the normative interpolation matches
+source/common/predict.cpp / ipfilter primitives (same filter taps as
+ops/interp.py, proven spec-exact there).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .interp import LUMA_FILTERS
+from .me import _mv_bits
+from .satd import sa8d_nxn_batch
+
+
+def gather_windows(ref: jnp.ndarray, y0s: jnp.ndarray, x0s: jnp.ndarray,
+                   w: int) -> jnp.ndarray:
+    """Gather (B, w, w) windows with top-left (y0s, x0s), edge-clamped.
+    The single per-block random access of the integer search."""
+    h, ww = ref.shape
+    ys = jnp.clip(y0s[:, None] + jnp.arange(w)[None, :], 0, h - 1)
+    xs = jnp.clip(x0s[:, None] + jnp.arange(w)[None, :], 0, ww - 1)
+    return ref[ys[:, :, None], xs[:, None, :]]
+
+
+def _ext_bank9() -> np.ndarray:
+    """9-tap extended luma filter bank for quarter-pel offsets
+    d in [-3, 3]: d = 4*a + p with phase p = d & 3 and integer part
+    a = d >> 2; the 8-tap phase filter is placed at tap positions
+    t = a - 3 .. a + 4 inside a fixed t in [-4, 4] support."""
+    bank = np.zeros((7, 9), np.int32)
+    for i, d in enumerate(range(-3, 4)):
+        p = d & 3
+        a = d >> 2
+        for k in range(8):
+            t = a - 3 + k
+            bank[i, t + 4] = LUMA_FILTERS[p][k]
+    return bank
+
+
+_EXT_BANK9 = _ext_bank9()
+
+
+def interp_ext(win: jnp.ndarray, dxi: jnp.ndarray, dyi: jnp.ndarray,
+               n: int, bit_depth: int = 8) -> jnp.ndarray:
+    """Interpolate (B, n, n) predictions from sub-pel windows.
+
+    win: (B, n+8, n+8) int32, sample (b, 4, 4) = block origin at the
+    best integer MV. dxi/dyi: (B,) indices into the 9-tap extended
+    bank (quarter-pel offset d + 3). Returns rounded predictions,
+    bit-exact with ops.interp.mc_block_batch at mv = mvi*4 + d.
+
+    Exactness: horizontal accumulation < 2^17 (f32-exact); vertical
+    operates on 17-bit intermediates split into 8-bit limbs so each
+    f32 contraction stays exact (same scheme as mc_block_batch).
+    """
+    bank = jnp.asarray(_EXT_BANK9)
+    hf = bank[dxi].astype(jnp.float32)          # (B, 9)
+    vf = bank[dyi].astype(jnp.float32)
+    shift1 = bit_depth - 8
+    # horizontal over all window rows: out col c reads window cols c..c+8
+    cols = jnp.arange(n)[None, :] + jnp.arange(9)[:, None]     # (9, n)
+    pt = win[:, :, cols]                        # (B, S, 9, n)
+    tmp = jnp.einsum("bstn,bt->bsn", pt.astype(jnp.float32), hf,
+                     preferred_element_type=jnp.float32)
+    tmp = jnp.round(tmp).astype(jnp.int32)
+    if shift1:
+        tmp = tmp >> shift1
+    # vertical: out row r reads tmp rows r..r+8
+    rows = jnp.arange(n)[None, :] + jnp.arange(9)[:, None]     # (9, n)
+    tv = tmp[:, rows.T]                         # (B, n, 9, c)
+    lo = tv & 255
+    hi = (tv - lo) >> 8
+
+    def dot(a):
+        return jnp.round(jnp.einsum(
+            "brtc,bt->brc", a.astype(jnp.float32), vf,
+            preferred_element_type=jnp.float32)).astype(jnp.int32)
+
+    out = (dot(hi) << 8) + dot(lo)
+    total_shift = 12 - shift1
+    out = (out + (1 << (total_shift - 1))) >> total_shift
+    return jnp.clip(out, 0, (1 << bit_depth) - 1)
+
+
+def me_size_windowed(cur: jnp.ndarray, ref: jnp.ndarray,
+                     seed_mv: jnp.ndarray, lam: jnp.ndarray, n: int,
+                     radius: int = 6, bit_depth: int = 8):
+    """Full ME for all n-blocks of the frame: integer full search of
+    (2r+1)^2 candidates around per-block seeds, then two-round
+    quarter-pel refinement. Returns (mv_qpel (B,2), cost (B,),
+    pred (B,n,n)) — pred is the normative rounded prediction at the
+    chosen MV (reusable as the MC output, saving the recon gather)."""
+    h, w = cur.shape
+    by, bx = h // n, w // n
+    b = by * bx
+    y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
+    x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
+    cur_blocks = cur.reshape(by, n, bx, n).transpose(0, 2, 1, 3) \
+        .reshape(b, n, n).astype(jnp.int32)
+
+    # clamp seeds so windows stay mostly on-plane (quality, not safety:
+    # gathers clamp anyway, this keeps the searchable area real)
+    sx = jnp.clip(seed_mv[:, 0], -x0s - radius, (w - n) - x0s + radius)
+    sy = jnp.clip(seed_mv[:, 1], -y0s - radius, (h - n) - y0s + radius)
+
+    wlen = n + 2 * radius
+    win = gather_windows(ref, y0s + sy - radius, x0s + sx - radius, wlen)
+
+    side = 2 * radius + 1
+    ncand = side * side
+
+    def int_body(i, state):
+        best_cost, best_i = state
+        dy = i // side
+        dx = i % side
+        cand = jax.lax.dynamic_slice(win, (0, dy, dx), (b, n, n))
+        sad = jnp.sum(jnp.abs(cur_blocks - cand), axis=(1, 2))
+        mvx = (sx + dx - radius) * 4
+        mvy = (sy + dy - radius) * 4
+        cost = sad + lam * _mv_bits(mvx, mvy)
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better, i, best_i))
+
+    init = (jnp.full((b,), 1 << 30, jnp.int32),
+            jnp.zeros((b,), jnp.int32))
+    best_cost, best_i = jax.lax.fori_loop(0, ncand, int_body, init)
+    mvx_i = sx + best_i % side - radius
+    mvy_i = sy + best_i // side - radius
+
+    # zero-MV candidate (dense, no gather): rescues blocks whose seed
+    # drifted off static content; the AMVP-candidate analog of
+    # motion.cpp:739
+    sad0 = jnp.sum(jnp.abs(cur_blocks - gather_zero(ref, y0s, x0s, n)),
+                   axis=(1, 2))
+    cost0 = sad0 + lam * _mv_bits(jnp.zeros_like(sx), jnp.zeros_like(sy))
+    z = cost0 < best_cost
+    mvx_i = jnp.where(z, 0, mvx_i)
+    mvy_i = jnp.where(z, 0, mvy_i)
+
+    # --- sub-pel window (second and last gather)
+    swin = gather_windows(ref, y0s + mvy_i - 4, x0s + mvx_i - 4, n + 8)
+
+    # --- quarter-pel refinement, step 2 then 1, offsets within [-3,3]
+    dx = jnp.zeros((b,), jnp.int32)
+    dy = jnp.zeros((b,), jnp.int32)
+    pred = interp_ext(swin, dx + 3, dy + 3, n, bit_depth)
+    scost = sa8d_nxn_batch(cur_blocks - pred, n) + \
+        lam * _mv_bits(mvx_i * 4, mvy_i * 4)
+    best_pred = pred
+    neigh = [(1, 0), (-1, 0), (0, 1), (0, -1),
+             (1, 1), (1, -1), (-1, 1), (-1, -1)]
+    for step in (2, 1):
+        for ox, oy in neigh:
+            cx = jnp.clip(dx + ox * step, -3, 3)
+            cy = jnp.clip(dy + oy * step, -3, 3)
+            p = interp_ext(swin, cx + 3, cy + 3, n, bit_depth)
+            c = sa8d_nxn_batch(cur_blocks - p, n) + \
+                lam * _mv_bits(mvx_i * 4 + cx, mvy_i * 4 + cy)
+            better = c < scost
+            scost = jnp.where(better, c, scost)
+            dx = jnp.where(better, cx, dx)
+            dy = jnp.where(better, cy, dy)
+            best_pred = jnp.where(better[:, None, None], p, best_pred)
+    mvq = jnp.stack([mvx_i * 4 + dx, mvy_i * 4 + dy], axis=1)
+    return mvq, scost, best_pred
+
+
+def gather_zero(ref: jnp.ndarray, y0s: jnp.ndarray, x0s: jnp.ndarray,
+                n: int) -> jnp.ndarray:
+    """Co-located (zero-MV) blocks — a pure reshape, no gather."""
+    h, w = ref.shape
+    by, bx = h // n, w // n
+    return ref.reshape(by, n, bx, n).transpose(0, 2, 1, 3) \
+        .reshape(by * bx, n, n).astype(jnp.int32)

@@ -37,7 +37,7 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
                           ocr: np.ndarray, ref_y: np.ndarray,
                           ref_cb: np.ndarray, ref_cr: np.ndarray,
                           cfg: EncoderConfig, qp: int, mesh: Mesh,
-                          me_iters: int = 8):
+                          me_range: int = 6):
     """Encode C independent P-chains, one per mesh device.
 
     oy/ocb/ocr: (C, F, Hp, Wp) uint planes padded to 32-multiples;
@@ -60,7 +60,7 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             qp=int(qp), qpc=int(qpc), bit_depth=cfg.bit_depth,
             real_h=real_h, real_w=real_w, ctu=cfg.ctu_size,
             deblock=cfg.deblock, sao=cfg.sao,
-            sign_hiding=cfg.sign_hiding, me_iters=me_iters,
+            sign_hiding=cfg.sign_hiding, me_range=me_range,
             need_recon=True)
         # rate-control all-reduce across the GOP mesh (ICI collective):
         # total coded-energy proxy feeds the shared rate controller
@@ -127,7 +127,7 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
 
     res, final_ref, total_rate = encode_chains_sharded(
         oy, ocb, ocr, ry, rcb, rcr, cfg, qp, mesh,
-        me_iters=cfg.me_iters)
+        me_range=cfg.me_range)
 
     depth8 = np.asarray(res[0])[:, :, :h // 8, :w // 8]
     mv8 = np.asarray(res[1]).astype(np.int32)[:, :, :h // 8, :w // 8]
