@@ -63,6 +63,28 @@ def test_interp_ext_mixed_offsets():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("is_luma,n", [(True, 8), (False, 4),
+                                       (False, 8)])
+def test_mc_block_batch_ds_matches(is_luma, n):
+    """Tile-sliced MC == element-gather MC for in-range MVs."""
+    from x265_tpu.ops.me_win import mc_block_batch_ds, pad_ref
+    h, w = 48, 64
+    ref = jnp.asarray(_plane(h, w, 4))
+    by, bx = h // n, w // n
+    b = by * bx
+    rng = np.random.default_rng(11)
+    unit = 4 if is_luma else 8
+    mvx = jnp.asarray(rng.integers(-5 * unit, 5 * unit, b, np.int32))
+    mvy = jnp.asarray(rng.integers(-5 * unit, 5 * unit, b, np.int32))
+    y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
+    x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
+    want = mc_block_batch(ref, x0s, y0s, mvx, mvy, n, is_luma=is_luma,
+                          bit_depth=8)
+    got = mc_block_batch_ds(pad_ref(ref, 16), 16, x0s, y0s, mvx, mvy, n,
+                            is_luma=is_luma, bit_depth=8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_me_windowed_pred_matches_mv():
     """The returned prediction must equal normative MC at the returned
     MV — the contract that lets recon reuse the ME predictions."""
@@ -72,7 +94,9 @@ def test_me_windowed_pred_matches_mv():
     by, bx = h // n, w // n
     b = by * bx
     seeds = jnp.zeros((b, 2), jnp.int32)
-    mvq, cost, pred = me_size_windowed(cur, ref, seeds, jnp.int32(20), n)
+    from x265_tpu.ops.me_win import pad_ref
+    mvq, cost, pred = me_size_windowed(cur, pad_ref(ref, 20), seeds,
+                                       jnp.int32(20), n, pad=20)
     y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
     x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
     want = mc_block_batch(ref, x0s, y0s, mvq[:, 0], mvq[:, 1], n,

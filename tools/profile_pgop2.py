@@ -16,9 +16,10 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from x265_tpu.common.tables import chroma_qp, lambda2_from_qp  # noqa: E402
-from x265_tpu.enc.pgop_tpu import (_coarse_search_rolled, _refine_size_t,  # noqa: E402
+from x265_tpu.enc.pgop_tpu import (_coarse_search_rolled,  # noqa: E402
                                    _mc_recon_all, _inter_bs_maps_t,
                                    deblock_luma_t, SIZES)
+from x265_tpu.ops.me_win import me_size_windowed, pad_ref  # noqa: E402
 from x265_tpu.ops.me import _downsample4  # noqa: E402
 from profile_pgop import synth  # noqa: E402
 
@@ -63,23 +64,30 @@ def main():
     cmv, _ = coarse(cur, ref)
     cmv = jax.block_until_ready(cmv)
     cby, cbx = cmv.shape[:2]
+    me_range = 6
+    pad_y = 2 * me_range + 8
+    pad_c = me_range + 8
+    ref_pad = jax.jit(lambda r: pad_ref(r, pad_y))(ref)
+    refc_pad = jax.jit(lambda r: pad_ref(r, pad_c))(ocb)
+    jax.block_until_ready((ref_pad, refc_pad))
     mvs = {}
     for n in SIZES:
         by, bx = hp // n, wp // n
         iy = jnp.clip((jnp.arange(by) * n + n // 2) // 16, 0, cby - 1)
         ix = jnp.clip((jnp.arange(bx) * n + n // 2) // 16, 0, cbx - 1)
         seed = (cmv[iy[:, None], ix[None, :]] * 4).reshape(-1, 2)
-        fn = jax.jit(lambda c, r, s, n=n: _refine_size_t(
-            c, r, s, jnp.int32(26), n, 8, 8))
-        t(lambda: force(fn(cur, ref, seed)), f"refine n={n}", n=1)
-        mvs[n] = fn(cur, ref, seed)[0]
+        fn = jax.jit(lambda c, rp, s, n=n: me_size_windowed(
+            c, rp, s, jnp.int32(26), n, radius=me_range, pad=pad_y))
+        t(lambda: force(fn(cur, ref_pad, seed)), f"me_win n={n}", n=1)
+        mvs[n] = fn(cur, ref_pad, seed)[0]
 
     mvs = {n: jax.block_until_ready(v) for n, v in mvs.items()}
-    recon = jax.jit(lambda oy, ocb, ocr, ry, rcb, rcr, m8, m16, m32:
-                    _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr,
-                                  {8: m8, 16: m16, 32: m32}, lam2, qp,
-                                  qpc, 8, True, 1088, 1920))
-    args = (cur, ocb, ocr, ref, ocb, ocr, mvs[8], mvs[16], mvs[32])
+    recon = jax.jit(lambda oy, ocb, ocr, ryp, rcbp, rcrp, m8, m16, m32:
+                    _mc_recon_all(oy, ocb, ocr, ryp, rcbp, rcrp, pad_y,
+                                  pad_c, {8: m8, 16: m16, 32: m32},
+                                  lam2, qp, qpc, 8, True, 1088, 1920))
+    args = (cur, ocb, ocr, ref_pad, refc_pad, refc_pad,
+            mvs[8], mvs[16], mvs[32])
     t(lambda: force(recon(*args)), "mc_recon_all", n=1)
     out = recon(*args)
     rec_y, cf_y, depth8, mv8 = out[0], out[1], out[6], out[7]

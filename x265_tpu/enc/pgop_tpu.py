@@ -30,8 +30,7 @@ from ..bitstream.syntax import FramePSyntax
 from ..common.params import EncoderConfig
 from ..common.tables import chroma_qp, lambda_from_qp, lambda2_from_qp
 from ..ops.deblock import BETA_TABLE, TC_TABLE, _luma_filter_batch
-from ..ops.interp import mc_block_batch
-from ..ops.me_win import me_size_windowed
+from ..ops.me_win import me_size_windowed, mc_block_batch_ds, pad_ref
 from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
 from ..ops.me import _downsample4
 from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
@@ -160,8 +159,9 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 # dense MC reconstruction (device compose; inter_frame.py recast)
 # =============================================================================
 
-def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp, qpc,
-                  bit_depth, sign_hiding, real_h, real_w, preds=None):
+def _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y, pad_c,
+                  mvs, lam2, qp, qpc, bit_depth, sign_hiding, real_h,
+                  real_w, preds=None):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds, when given, carries
@@ -182,11 +182,11 @@ def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp, qpc,
         return blocks.reshape(bby, bbx, nn, nn).transpose(0, 2, 1, 3) \
             .reshape(hh, ww)
 
-    def one_plane(orig, ref, nn, x0, y0, mvx, mvy, qqp, is_luma,
+    def one_plane(orig, ref, pad, nn, x0, y0, mvx, mvy, qqp, is_luma,
                   pred=None):
         if pred is None:
-            pred = mc_block_batch(ref, x0, y0, mvx, mvy, nn,
-                                  is_luma=is_luma, bit_depth=bit_depth)
+            pred = mc_block_batch_ds(ref, pad, x0, y0, mvx, mvy, nn,
+                                     is_luma=is_luma, bit_depth=bit_depth)
         ob = blocks_of(orig, nn)
         resi = ob - pred
         if sign_hiding:
@@ -220,12 +220,13 @@ def _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp, qpc,
         x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
         y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
         cn = n >> 1
-        rec_y, cf_y = one_plane(oy, ry, n, x0s, y0s, mvx, mvy, qp, True,
+        rec_y, cf_y = one_plane(oy, ry_pad, pad_y, n, x0s, y0s, mvx,
+                                mvy, qp, True,
                                 pred=None if preds is None else preds[n])
-        rec_cb, cf_cb = one_plane(ocb, rcb, cn, x0s // 2, y0s // 2,
-                                  mvx, mvy, qpc, False)
-        rec_cr, cf_cr = one_plane(ocr, rcr, cn, x0s // 2, y0s // 2,
-                                  mvx, mvy, qpc, False)
+        rec_cb, cf_cb = one_plane(ocb, rcb_pad, pad_c, cn, x0s // 2,
+                                  y0s // 2, mvx, mvy, qpc, False)
+        rec_cr, cf_cr = one_plane(ocr, rcr_pad, pad_c, cn, x0s // 2,
+                                  y0s // 2, mvx, mvy, qpc, False)
         planes[n] = (to_plane(rec_y, n, h, w), to_plane(cf_y, n, h, w),
                      to_plane(rec_cb, cn, h // 2, w // 2),
                      to_plane(cf_cb, cn, h // 2, w // 2),
@@ -380,28 +381,34 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
         ocr = ocr8.astype(jnp.int32)
         h, w = oy.shape
 
-        # --- dense hierarchical ME (windowed: 2 gathers per size)
+        # --- dense hierarchical ME (windowed: 2 tile-gathers per size)
         cmv, _ = _coarse_search_rolled(_downsample4(oy), _downsample4(ry))
         cby, cbx = cmv.shape[:2]
         lam_i = jnp.int32(round(lam))
+        pad_y = 2 * me_range + 8
+        pad_c = me_range + 8
+        ry_pad = pad_ref(ry, pad_y)
+        rcb_pad = pad_ref(rcb, pad_c)
+        rcr_pad = pad_ref(rcr, pad_c)
         mvs, preds = {}, {}
         for n in SIZES:
             by, bx = h // n, w // n
             iy = jnp.clip((jnp.arange(by) * n + n // 2) // 16, 0, cby - 1)
             ix = jnp.clip((jnp.arange(bx) * n + n // 2) // 16, 0, cbx - 1)
             seed = (cmv[iy[:, None], ix[None, :]] * 4).reshape(-1, 2)
-            mv, cost, pred = me_size_windowed(oy, ry, seed, lam_i, n,
+            mv, cost, pred = me_size_windowed(oy, ry_pad, seed, lam_i, n,
                                               radius=me_range,
-                                              bit_depth=bit_depth)
+                                              bit_depth=bit_depth,
+                                              pad=pad_y)
             mvs[n] = mv
             preds[n] = pred
 
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
         (rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8) = \
-            _mc_recon_all(oy, ocb, ocr, ry, rcb, rcr, mvs, lam2, qp,
-                          qpc, bit_depth, sign_hiding, real_h, real_w,
-                          preds=preds)
+            _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y,
+                          pad_c, mvs, lam2, qp, qpc, bit_depth,
+                          sign_hiding, real_h, real_w, preds=preds)
 
         # --- in-loop filters on the coded-size crop
         ry_c = rec_y[:rh, :rw]
