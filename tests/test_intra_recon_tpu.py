@@ -20,7 +20,7 @@ def test_device_recon_matches_host(w, h, qp):
     yp = pad_plane(y, hp, wp)
     cbp = pad_plane(cb, hp // 2, wp // 2)
     crp = pad_plane(cr, hp // 2, wp // 2)
-    depth8, mode8 = analyze_intra_frame(yp, qp, cfg.ctu_size, cfg.bit_depth)
+    depth8, mode8, _, _ = analyze_intra_frame(yp, qp, cfg.ctu_size, cfg.bit_depth)
 
     syn_h, rec_h = reconstruct_intra_frame(yp, cbp, crp, depth8, mode8, cfg)
     syn_d, rec_d = reconstruct_intra_frame_tpu(yp, cbp, crp, depth8, mode8, cfg)
@@ -42,7 +42,7 @@ def test_gop_batch_matches_host():
     ys, cbs, crs, d8s, m8s = [], [], [], [], []
     for f in range(3):
         y, cb, cr = synth_frame(w, h, seed=100 + f)
-        d8, m8 = analyze_intra_frame(y, qp, cfg.ctu_size, cfg.bit_depth)
+        d8, m8, _, _ = analyze_intra_frame(y, qp, cfg.ctu_size, cfg.bit_depth)
         ys.append(y); cbs.append(cb); crs.append(cr)
         d8s.append(d8); m8s.append(m8)
     syns, recons = reconstruct_intra_gop_tpu(

@@ -108,5 +108,6 @@ def test_native_sao_slice_matches_python():
         2, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
         cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
         cfg.log2_min_cu, init_states(I_SLICE, qp), mode8=syn.mode8,
-        sign_hiding=cfg.sign_hiding, sao_params=sao)
+        sign_hiding=cfg.sign_hiding, sao_params=sao, cmode8=syn.cmode8,
+        nxn8=syn.nxn8, mode4=syn.mode4)
     assert nat == py_bytes and (tv, tb) == cab._tail

@@ -45,11 +45,15 @@ INTRA_VER = 26
 class FrameIntraSyntax:
     """Dense frame decision arrays in min-CU (8x8) granularity."""
     depth8: np.ndarray     # (n8y, n8x) uint8: quadtree depth of covering CU
-    mode8: np.ndarray      # (n8y, n8x) uint8: luma intra mode of covering CU
+    mode8: np.ndarray      # (n8y, n8x) uint8: luma intra mode of covering
+    #                        CU (for PART_NxN CUs: PU0's mode — the
+    #                        chroma-DM source, clause 8.4.3)
     coeff_y: np.ndarray    # (H, W) int32, TUs laid out at their position
     coeff_cb: np.ndarray   # (H/2, W/2) int32
     coeff_cr: np.ndarray   # (H/2, W/2) int32
     cmode8: np.ndarray | None = None   # chroma pred mode; None = DM
+    nxn8: np.ndarray | None = None     # (n8y, n8x) bool: PART_NxN CUs
+    mode4: np.ndarray | None = None    # (H/4, W/4) uint8 per-PU modes
 
 
 @dataclass
@@ -418,18 +422,28 @@ class SliceSyntaxEncoder:
 
     # -- coding unit (clause 7.3.8.5, intra only so far) ------------------------
 
+    def _luma_mode_at(self, x: int, y: int) -> int:
+        """IntraPredModeY at 4x4 (PU) granularity."""
+        if self.syn.mode4 is not None:
+            return int(self.syn.mode4[y >> 2, x >> 2])
+        return int(self.syn.mode8[y >> 3, x >> 3])
+
     def _neighbor_mode(self, x: int, y: int, *, above: bool) -> int:
-        """candIntraPredModeA/B (clause 8.4.2)."""
+        """candIntraPredModeA/B (clause 8.4.2), PU granularity."""
         if above:
             if y == 0:
                 return INTRA_DC
             ny = y - 1
             if (ny >> self.cfg.log2_ctu) != (y >> self.cfg.log2_ctu):
                 return INTRA_DC   # above CTU row: treated as unavailable
-            return int(self.syn.mode8[ny >> 3, x >> 3])
+            return self._luma_mode_at(x, ny)
         if x == 0:
             return INTRA_DC
-        return int(self.syn.mode8[y >> 3, (x - 1) >> 3])
+        return self._luma_mode_at(x - 1, y)
+
+    def _mpm_at(self, x: int, y: int) -> list[int]:
+        return derive_mpm(self._neighbor_mode(x, y, above=False),
+                          self._neighbor_mode(x, y, above=True))
 
     def _code_cu(self, x0: int, y0: int, log2_size: int) -> None:
         if self.is_p:
@@ -440,30 +454,39 @@ class SliceSyntaxEncoder:
             return
         cfg = self.cfg
         cab = self.cab
+        nxn = (log2_size == cfg.log2_min_cu and
+               self.syn.nxn8 is not None and
+               bool(self.syn.nxn8[y0 >> 3, x0 >> 3]))
         # I-slice: no cu_skip / pred_mode flags; part_mode only at min size
         if log2_size == cfg.log2_min_cu:
-            cab.encode_bin(OFF["part_mode"], 1)   # PART_2Nx2N
-        # luma intra mode for the single 2Nx2N PU
-        mode = int(self.syn.mode8[y0 >> 3, x0 >> 3])
-        cand_a = self._neighbor_mode(x0, y0, above=False)
-        cand_b = self._neighbor_mode(x0, y0, above=True)
-        mpm = derive_mpm(cand_a, cand_b)
-        if mode in mpm:
-            cab.encode_bin(OFF["prev_intra_luma_pred_flag"], 1)
-            idx = mpm.index(mode)
-            cab.encode_bypass(0 if idx == 0 else 1)
-            if idx:
-                cab.encode_bypass(idx - 1)
-        else:
-            cab.encode_bin(OFF["prev_intra_luma_pred_flag"], 0)
-            rem = mode
-            for m in sorted(mpm, reverse=True):
-                if mode > m:
-                    rem -= 1
-            cab.encode_bypass_bins(rem, 5)
+            cab.encode_bin(OFF["part_mode"], 0 if nxn else 1)
+        size = 1 << log2_size
+        pus = [(x0, y0)] if not nxn else \
+            [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]
+        modes = [self._luma_mode_at(x, y) for x, y in pus]
+        # loop 1: all prev_intra_luma_pred_flags (clause 7.3.8.5)
+        for (x, y), m in zip(pus, modes):
+            cab.encode_bin(OFF["prev_intra_luma_pred_flag"],
+                           int(m in self._mpm_at(x, y)))
+        # loop 2: mpm_idx / rem_intra_luma_pred_mode
+        for (x, y), mode in zip(pus, modes):
+            mpm = self._mpm_at(x, y)
+            if mode in mpm:
+                idx = mpm.index(mode)
+                cab.encode_bypass(0 if idx == 0 else 1)
+                if idx:
+                    cab.encode_bypass(idx - 1)
+            else:
+                rem = mode
+                for m in sorted(mpm, reverse=True):
+                    if mode > m:
+                        rem -= 1
+                cab.encode_bypass_bins(rem, 5)
         # intra_chroma_pred_mode (clause 8.4.3 candidate list): '0' =
         # DM; '1' + 2 bypass bins = index into [planar, ver, hor, dc]
-        # with the luma-mode entry substituted by angular-34
+        # with the luma-mode entry substituted by angular-34. DM source
+        # is PU0's luma mode (mode8 stores it for NxN CUs).
+        mode = modes[0]
         cmode = mode if self.syn.cmode8 is None else \
             int(self.syn.cmode8[y0 >> 3, x0 >> 3])
         if cmode == mode:
@@ -472,8 +495,42 @@ class SliceSyntaxEncoder:
             cand = [34 if c == mode else c for c in (0, 26, 10, 1)]
             cab.encode_bin(OFF["intra_chroma_pred_mode"], 1)
             cab.encode_bypass_bins(cand.index(cmode), 2)
-        # transform tree: TU == CU (max_transform_hierarchy_depth_intra = 0)
-        self._code_transform_unit(x0, y0, log2_size, mode, cmode)
+        if nxn:
+            # IntraSplitFlag=1: split_transform_flag inferred 1 — four
+            # 4x4 luma TUs, chroma stays at the 8x8 parent (7.3.8.8)
+            self._code_transform_nxn(x0, y0, modes, cmode)
+        else:
+            # transform tree: TU == CU
+            self._code_transform_unit(x0, y0, log2_size, mode, cmode)
+
+    def _code_transform_nxn(self, x0: int, y0: int, modes: list[int],
+                            cmode: int) -> None:
+        """Implicitly-split transform tree of a PART_NxN 8x8 intra CU:
+        chroma cbfs at trafoDepth 0, then per 4x4 sub-TU cbf_luma
+        (ctx 0: trafoDepth>0) + DST luma residual; chroma residual
+        rides the blkIdx==3 transform_unit (clause 7.3.8.10)."""
+        cab = self.cab
+        syn = self.syn
+        cx, cy = x0 >> 1, y0 >> 1
+        cbf_cb = self._cbf(syn.coeff_cb, cx, cy, 4)
+        cbf_cr = self._cbf(syn.coeff_cr, cx, cy, 4)
+        cab.encode_bin(OFF["cbf_chroma"], cbf_cb)
+        cab.encode_bin(OFF["cbf_chroma"], cbf_cr)
+        for s, (x, y) in enumerate(((x0, y0), (x0 + 4, y0),
+                                    (x0, y0 + 4), (x0 + 4, y0 + 4))):
+            cbf = self._cbf(syn.coeff_y, x, y, 4)
+            cab.encode_bin(OFF["cbf_luma"], cbf)
+            if cbf:
+                scan = intra_scan_idx(modes[s], 2, True)
+                self.code_residual(syn.coeff_y[y:y + 4, x:x + 4], 2, 0,
+                                   scan)
+        cscan = intra_scan_idx(cmode, 2, False)
+        if cbf_cb:
+            self.code_residual(syn.coeff_cb[cy:cy + 4, cx:cx + 4], 2, 1,
+                               cscan)
+        if cbf_cr:
+            self.code_residual(syn.coeff_cr[cy:cy + 4, cx:cx + 4], 2, 2,
+                               cscan)
 
     # -- transform tree / unit (clauses 7.3.8.8, 7.3.8.10) ----------------------
 

@@ -56,6 +56,9 @@ class EncoderConfig:
 
     # analysis
     intra_smoothing: bool = True  # strong_intra_smoothing off; [1 2 1] on
+    intra_nxn: bool = True       # PART_NxN at min CU (4x4 luma PUs/TUs
+    #                              with DST-IV; x265 rdLevel>=3 behavior,
+    #                              search.cpp:2166 checkIntra PART_NxN)
     me_iters: int = 8            # integer diamond rounds, host/B path
     #                              (subme analog, motion.cpp:820 ladder)
     me_range: int = 6            # windowed full-search radius around the
@@ -153,9 +156,9 @@ class EncoderConfig:
 # like the reference table.
 PRESETS = {
     "ultrafast": dict(me_iters=2, me_range=2, bframes=3, sao=False,
-                      sign_hiding=False, deblock=True),
+                      sign_hiding=False, deblock=True, intra_nxn=False),
     "superfast": dict(me_iters=3, me_range=3, bframes=3, sao=False,
-                      sign_hiding=True, deblock=True),
+                      sign_hiding=True, deblock=True, intra_nxn=False),
     "veryfast": dict(me_iters=4, me_range=4, bframes=3, sao=True,
                      sign_hiding=True, deblock=True),
     "faster": dict(me_iters=5, me_range=5, bframes=3, sao=True,

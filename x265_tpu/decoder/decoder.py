@@ -318,6 +318,9 @@ class SliceDecoder:
         self.decoded_c = np.zeros((self.ch, self.cw), dtype=bool)
         self.depth8 = np.zeros((self.h // 8, self.w // 8), dtype=np.uint8)
         self.mode8 = np.full((self.h // 8, self.w // 8), 255, dtype=np.uint8)
+        # IntraPredModeY at PU (4x4) granularity: NxN CUs carry four
+        self.mode4 = np.full((self.h // 4, self.w // 4), 255,
+                             dtype=np.uint8)
         self.bd = bd
         self.qp_cb = chroma_qp(min(max(qp + pps.cb_qp_offset, 0), 57))
         self.qp_cr = chroma_qp(min(max(qp + pps.cr_qp_offset, 0), 57))
@@ -429,36 +432,48 @@ class SliceDecoder:
         if above:
             if y == 0 or (y - 1) >> self.sps.log2_ctu != y >> self.sps.log2_ctu:
                 return INTRA_DC
-            return int(self.mode8[(y - 1) >> 3, x >> 3])
+            return int(self.mode4[(y - 1) >> 2, x >> 2])
         if x == 0:
             return INTRA_DC
-        return int(self.mode8[y >> 3, (x - 1) >> 3])
+        return int(self.mode4[y >> 2, (x - 1) >> 2])
+
+    def _parse_luma_mode(self, x: int, y: int, prev_flag: int,
+                         ) -> int:
+        """mpm_idx / rem_intra_luma_pred_mode for one PU (8.4.2); the
+        resolved mode is written to the 4x4-granularity map so later
+        PUs see it as a neighbour."""
+        cab = self.cab
+        mpm = derive_mpm(self._neighbor_mode(x, y, above=False),
+                         self._neighbor_mode(x, y, above=True))
+        if prev_flag:
+            idx = cab.decode_bypass()
+            if idx:
+                idx += cab.decode_bypass()
+            mode = mpm[idx]
+        else:
+            mode = cab.decode_bypass_bins(5)
+            for m in sorted(mpm):
+                if mode >= m:
+                    mode += 1
+        return mode
 
     def _cu(self, x0: int, y0: int, log2_size: int) -> None:
         cab = self.cab
         size = 1 << log2_size
+        nxn = False
         if log2_size == self.sps.log2_min_cu:
-            part = cab.decode_bin(OFF["part_mode"])
-            assert part == 1, "NxN partitions not emitted yet"
-        if cab.decode_bin(OFF["prev_intra_luma_pred_flag"]):
-            idx = cab.decode_bypass()
-            if idx:
-                idx += cab.decode_bypass()
-            mpm_idx = idx
-            rem = None
-        else:
-            mpm_idx = None
-            rem = cab.decode_bypass_bins(5)
-        cand_a = self._neighbor_mode(x0, y0, above=False)
-        cand_b = self._neighbor_mode(x0, y0, above=True)
-        mpm = derive_mpm(cand_a, cand_b)
-        if mpm_idx is not None:
-            mode = mpm[mpm_idx]
-        else:
-            mode = rem
-            for m in sorted(mpm):
-                if mode >= m:
-                    mode += 1
+            nxn = cab.decode_bin(OFF["part_mode"]) == 0
+        pus = [(x0, y0)] if not nxn else \
+            [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]
+        prev = [cab.decode_bin(OFF["prev_intra_luma_pred_flag"])
+                for _ in pus]
+        modes = []
+        for (x, y), pf in zip(pus, prev):
+            mode = self._parse_luma_mode(x, y, pf)
+            k = 1 if nxn else size >> 2
+            self.mode4[y >> 2:(y >> 2) + k, x >> 2:(x >> 2) + k] = mode
+            modes.append(mode)
+        mode = modes[0]                     # PU0: chroma DM source
         if cab.decode_bin(OFF["intra_chroma_pred_mode"]):
             cand = [34 if c == mode else c for c in (0, 26, 10, 1)]
             idx = (cab.decode_bypass() << 1) | cab.decode_bypass()
@@ -469,6 +484,9 @@ class SliceDecoder:
         self.depth8[y0 >> 3:(y0 + size) >> 3, x0 >> 3:(x0 + size) >> 3] = d
         self.mode8[y0 >> 3:(y0 + size) >> 3, x0 >> 3:(x0 + size) >> 3] = mode
 
+        if nxn:
+            self._transform_nxn(x0, y0, modes, cmode)
+            return
         # transform unit (TU == CU)
         cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
         cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
@@ -488,6 +506,31 @@ class SliceDecoder:
         self._reconstruct(x0, y0, log2_size, mode, coeff_y, coeff_cb,
                           coeff_cr, cmode)
 
+    def _transform_nxn(self, x0: int, y0: int, modes: list[int],
+                       cmode: int) -> None:
+        """Implicitly-split transform tree of a PART_NxN intra CU
+        (7.3.8.8): chroma cbfs at trafoDepth 0, then four 4x4 luma TUs
+        (cbf ctx 0, DST-IV), chroma residual with blkIdx 3. Each sub-TU
+        reconstructs immediately so the next PU predicts from it."""
+        cab = self.cab
+        cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
+        cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
+        for s, (x, y) in enumerate(((x0, y0), (x0 + 4, y0),
+                                    (x0, y0 + 4), (x0 + 4, y0 + 4))):
+            cy_ = None
+            if cab.decode_bin(OFF["cbf_luma"]):
+                scan = intra_scan_idx(modes[s], 2, True)
+                cy_ = self._residual(2, 0, scan)
+            self._reconstruct_luma4(x, y, modes[s], cy_)
+        coeff_cb = coeff_cr = None
+        cscan = intra_scan_idx(cmode, 2, False)
+        if cbf_cb:
+            coeff_cb = self._residual(2, 1, cscan)
+        if cbf_cr:
+            coeff_cr = self._residual(2, 2, cscan)
+        self._reconstruct_chroma(x0 >> 1, y0 >> 1, 4, cmode, coeff_cb,
+                                 coeff_cr)
+
     # -- reconstruction (clauses 8.4.4, 8.6) --------------------------------------
 
     def _avail_mask(self, mask: np.ndarray, x0: int, y0: int, n: int,
@@ -503,6 +546,41 @@ class SliceDecoder:
             if 0 <= x < w and 0 <= y < h:
                 av[i] = mask[y, x]
         return av
+
+    def _reconstruct_luma4(self, x0: int, y0: int, mode: int,
+                           cy_: np.ndarray | None) -> None:
+        """One 4x4 luma TU of a PART_NxN CU (DST-IV residual)."""
+        bd = self.bd
+        av = self._avail_mask(self.decoded_y, x0, y0, 4, self.w, self.h)
+        refs = canonical_refs(self.y, x0, y0, 4, av, bd)
+        filt = filter_refs(refs, 4, bd)
+        pred = intra_pred_np(refs, mode, 4, is_luma=True, bit_depth=bd,
+                             filtered=filt)
+        resi = 0
+        if cy_ is not None:
+            resi = idct_np(dequant_np(cy_, self.qp, bd), bd, dst=True)
+        self.y[y0:y0 + 4, x0:x0 + 4] = np.clip(pred + resi,
+                                               0, (1 << bd) - 1)
+        self.decoded_y[y0:y0 + 4, x0:x0 + 4] = True
+
+    def _reconstruct_chroma(self, cx0: int, cy0: int, cn: int,
+                            cmode: int, ccb: np.ndarray | None,
+                            ccr: np.ndarray | None) -> None:
+        bd = self.bd
+        avc = self._avail_mask(self.decoded_c, cx0, cy0, cn, self.cw,
+                               self.ch)
+        for plane, coeff, qp in ((self.cb, ccb, self.qp_cb),
+                                 (self.cr, ccr, self.qp_cr)):
+            refs_c = canonical_refs(plane, cx0, cy0, cn, avc, bd)
+            pred_c = intra_pred_np(refs_c, cmode, cn, is_luma=False,
+                                   bit_depth=bd)
+            resi_c = 0
+            if coeff is not None:
+                dq = dequant_np(coeff, qp, bd)
+                resi_c = idct_np(dq, bd, dst=False)
+            plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
+                pred_c + resi_c, 0, (1 << bd) - 1)
+        self.decoded_c[cy0:cy0 + cn, cx0:cx0 + cn] = True
 
     def _reconstruct(self, x0: int, y0: int, log2_size: int, mode: int,
                      cy_: np.ndarray | None, ccb: np.ndarray | None,
@@ -527,21 +605,8 @@ class SliceDecoder:
         # chroma
         cn = n >> 1
         if cn < 4:
-            return  # handled at the 8x8 parent for 4x4 CUs (not emitted yet)
-        cx0, cy0 = x0 >> 1, y0 >> 1
-        avc = self._avail_mask(self.decoded_c, cx0, cy0, cn, self.cw, self.ch)
-        for plane, coeff, qp in ((self.cb, ccb, self.qp_cb),
-                                 (self.cr, ccr, self.qp_cr)):
-            refs_c = canonical_refs(plane, cx0, cy0, cn, avc, bd)
-            pred_c = intra_pred_np(refs_c, cmode, cn, is_luma=False,
-                                   bit_depth=bd)
-            resi_c = 0
-            if coeff is not None:
-                dq = dequant_np(coeff, qp, bd)
-                resi_c = idct_np(dq, bd, dst=False)
-            plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
-                pred_c + resi_c, 0, (1 << bd) - 1)
-        self.decoded_c[cy0:cy0 + cn, cx0:cx0 + cn] = True
+            return  # chroma rides the 8x8 parent (PART_NxN path)
+        self._reconstruct_chroma(x0 >> 1, y0 >> 1, cn, cmode, ccb, ccr)
 
     # -- residual parsing (clause 7.3.8.11) ----------------------------------------
 

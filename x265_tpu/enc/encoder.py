@@ -107,18 +107,21 @@ class IntraEncoder:
         cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
         crp = pad_plane(np.asarray(cr), h // 2, w // 2)
 
-        depth8, mode8 = analyze_intra_frame(yp, qp, cfg.ctu_size,
-                                            cfg.bit_depth)
+        depth8, mode8, nxn8, mode4 = analyze_intra_frame(
+            yp, qp, cfg.ctu_size, cfg.bit_depth,
+            intra_nxn=cfg.intra_nxn)
         cmode8 = analyze_chroma_modes(cbp, crp, depth8, mode8, qp,
                                       cfg.bit_depth)
         if use_device_recon:
             from .intra_recon_tpu import reconstruct_intra_frame_tpu
             syn, recon = reconstruct_intra_frame_tpu(
-                yp, cbp, crp, depth8, mode8, cfg, qp, cmode8=cmode8)
+                yp, cbp, crp, depth8, mode8, cfg, qp, cmode8=cmode8,
+                nxn8=nxn8, mode4=mode4)
         else:
             syn, recon = reconstruct_intra_frame(yp, cbp, crp, depth8,
                                                  mode8, cfg, qp,
-                                                 cmode8=cmode8)
+                                                 cmode8=cmode8,
+                                                 nxn8=nxn8, mode4=mode4)
         if cfg.deblock:
             # in-loop filter on the output/reference picture (intra
             # prediction inside the frame used the unfiltered recon)
@@ -165,7 +168,7 @@ class IntraEncoder:
                 w, h, cfg.log2_ctu, cfg.log2_min_cu,
                 init_states(I_SLICE, qp), mode8=syn.mode8,
                 sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8,
-                sao_params=sao_params)
+                sao_params=sao_params, nxn8=syn.nxn8, mode4=syn.mode4)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)
@@ -466,15 +469,16 @@ class IntraEncoder:
         ys = stack(0, h, w)
         cbs = stack(1, h // 2, w // 2)
         crs = stack(2, h // 2, w // 2)
-        depth8, mode8 = analyze_intra_gop(ys, cfg.qp, cfg.ctu_size,
-                                          cfg.bit_depth)
+        depth8, mode8, nxn8, mode4 = analyze_intra_gop(
+            ys, cfg.qp, cfg.ctu_size, cfg.bit_depth,
+            intra_nxn=cfg.intra_nxn)
         cmode8 = np.stack([
             analyze_chroma_modes(cbs[f], crs[f], depth8[f], mode8[f],
                                  cfg.qp, cfg.bit_depth)
             for f in range(nf)])
         syns, recons = reconstruct_intra_gop_tpu(
             ys, cbs, crs, depth8, mode8, cfg, need_recon=need_recon,
-            cmode8=cmode8)
+            cmode8=cmode8, nxn8=nxn8, mode4=mode4)
         if cfg.deblock:
             import jax.numpy as jnp
             from ..ops.deblock import deblock_frame
@@ -490,7 +494,8 @@ class IntraEncoder:
                 2, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
                 w, h, cfg.log2_ctu, cfg.log2_min_cu,
                 init_states(I_SLICE, cfg.qp), mode8=syn.mode8,
-                sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8)
+                sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8,
+                nxn8=syn.nxn8, mode4=syn.mode4)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)

@@ -126,13 +126,15 @@ def analyze_size_device(plane: jnp.ndarray, n: int, lam_bits: jnp.ndarray,
     return jnp.argmin(costs, axis=1).astype(jnp.int32), jnp.min(costs, axis=1)
 
 
-@partial(jax.jit, static_argnames=("h", "w", "ctu", "bit_depth"))
+@partial(jax.jit, static_argnames=("h", "w", "ctu", "bit_depth",
+                                   "intra_nxn"))
 def _analyze_gop_jit(planes: jnp.ndarray, lam_bits: jnp.ndarray,
-                     lam_split: jnp.ndarray, *, h: int, w: int,
-                     ctu: int, bit_depth: int):
+                     lam_split: jnp.ndarray, lam_nxn: jnp.ndarray, *,
+                     h: int, w: int, ctu: int, bit_depth: int,
+                     intra_nxn: bool = False):
     """Fused mode+depth decision for a GOP: planes (F, Hp, Wp) padded to
     CTU multiples; (h, w) = real (8-aligned) coded size. Returns
-    depth8/mode8 (F, Hp/8, Wp/8) on the padded grid."""
+    depth8/mode8 (F, Hp/8, Wp/8) + nxn8/mode4 on the padded grid."""
     nf, hp, wp = planes.shape
     planes = planes.astype(jnp.int32)
     sizes = [8, 16, 32]
@@ -160,8 +162,19 @@ def _analyze_gop_jit(planes: jnp.ndarray, lam_bits: jnp.ndarray,
         f, cy, cx = c.shape
         return c.reshape(f, cy // 2, 2, cx // 2, 2).sum(axis=(2, 4))
 
+    # PART_NxN alternative at min CU: four 4x4 PU/TUs (search.cpp:2166)
+    if intra_nxn:
+        mode4, cost4 = per_size(4)
+        cost_nxn = children_sum(cost4) + lam_nxn
+        use_nxn = cost_nxn < cost[8]
+        eff8 = jnp.where(use_nxn, cost_nxn, cost[8])
+    else:
+        mode4 = None
+        use_nxn = jnp.zeros_like(cost[8], dtype=bool)
+        eff8 = cost[8]
+
     # out-of-frame children cost 0 (the tree doesn't recurse there)
-    agg8 = jnp.where(jnp.isinf(cost[8]), 0.0, cost[8])
+    agg8 = jnp.where(jnp.isinf(eff8), 0.0, eff8)
     child16 = children_sum(agg8) + lam_split
     keep16 = cost[16] <= child16
     agg16 = jnp.where(keep16, cost[16], child16)
@@ -175,10 +188,23 @@ def _analyze_gop_jit(planes: jnp.ndarray, lam_bits: jnp.ndarray,
     k32 = up(keep32, 4)
     k16 = up(keep16, 2)
     depth8 = jnp.where(k32, 0, jnp.where(k16, 1, 2)).astype(jnp.uint8)
+    if intra_nxn:
+        nxn8 = ((~k32) & (~k16) & use_nxn)
+        # PU0's mode represents the CU (chroma DM source, clause 8.4.3)
+        m8eff = jnp.where(nxn8, mode4[:, ::2, ::2], mode[8])
+    else:
+        nxn8 = jnp.zeros_like(depth8, dtype=bool)
+        m8eff = mode[8]
     mode8 = jnp.where(k32, up(mode[32], 4),
                       jnp.where(k16, up(mode[16], 2),
-                                mode[8])).astype(jnp.uint8)
-    return depth8, mode8
+                                m8eff)).astype(jnp.uint8)
+    if intra_nxn:
+        mode4_out = jnp.where(up(nxn8, 2), mode4,
+                              up(mode8.astype(jnp.int32), 2)
+                              ).astype(jnp.uint8)
+    else:
+        mode4_out = up(mode8.astype(jnp.int32), 2).astype(jnp.uint8)
+    return depth8, mode8, nxn8, mode4_out
 
 
 # chroma candidate list (clause 8.4.3): planar/ver/hor/dc; an entry
@@ -242,9 +268,12 @@ def analyze_chroma_modes(orig_cb: np.ndarray, orig_cr: np.ndarray,
 
 
 def analyze_intra_gop(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
-                      bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
+                      bit_depth: int = 8, intra_nxn: bool = False
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
     """GOP analysis: orig_y (F, H, W) 8-aligned planes. Returns
-    (depth8, mode8) of shape (F, H/8, W/8)."""
+    (depth8, mode8, nxn8, mode4): depth/mode on the (F, H/8, W/8) grid,
+    nxn8 bool (PART_NxN at min CU), mode4 (F, H/4, W/4) per-PU modes."""
     nf, h, w = orig_y.shape
     lam = lambda_from_qp(qp)
     hp = (h + ctu_size - 1) // ctu_size * ctu_size
@@ -256,24 +285,33 @@ def analyze_intra_gop(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
                     mode="edge")
     lam_bits = jnp.asarray(np.round(lam * _MODE_BITS).astype(np.int32))
     lam_split = jnp.float32(lam * 6.0)
+    lam_nxn = jnp.float32(lam * 8.0)     # part bit + 3 extra PU headers
     src_dt = np.uint8 if bit_depth == 8 else np.uint16
-    d8, m8 = _analyze_gop_jit(jnp.asarray(pl.astype(src_dt)), lam_bits,
-                              lam_split, h=h, w=w, ctu=ctu_size,
-                              bit_depth=bit_depth)
+    d8, m8, nxn8, m4 = _analyze_gop_jit(
+        jnp.asarray(pl.astype(src_dt)), lam_bits, lam_split, lam_nxn,
+        h=h, w=w, ctu=ctu_size, bit_depth=bit_depth, intra_nxn=intra_nxn)
     return (np.asarray(d8)[:, :h // 8, :w // 8],
-            np.asarray(m8)[:, :h // 8, :w // 8])
+            np.asarray(m8)[:, :h // 8, :w // 8],
+            np.asarray(nxn8)[:, :h // 8, :w // 8],
+            np.asarray(m4)[:, :h // 4, :w // 4])
 
 
 def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
-                        bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
+                        bit_depth: int = 8, intra_nxn: bool = False
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
     """Dense mode+depth decision. orig_y already padded to 8-multiples.
 
-    Returns (depth8, mode8) over the 8x8 min-CU grid.
+    Returns (depth8, mode8, nxn8, mode4): depth/mode over the 8x8
+    min-CU grid; nxn8 marks PART_NxN CUs whose four 4x4 PU modes live
+    in mode4 (H/4, W/4).
     """
     h, w = orig_y.shape
     lam = lambda_from_qp(qp)
     sizes = [8, 16, 32] if ctu_size == 32 else [8, 16, 32, 64]
     sizes = [s for s in sizes if s <= ctu_size]
+    if intra_nxn:
+        sizes = [4] + sizes
     best_mode: dict[int, np.ndarray] = {}
     best_cost: dict[int, np.ndarray] = {}
     plane_j = jnp.asarray(orig_y.astype(np.int32))
@@ -300,12 +338,24 @@ def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
         best_mode[n] = m
         best_cost[n] = c
 
+    # PART_NxN alternative at min CU (search.cpp:2166): four 4x4 PUs
+    n8y, n8x = h // 8, w // 8
+    nxn_map = np.zeros((best_cost[8].shape), dtype=bool)
+    if intra_nxn:
+        c4 = best_cost[4]
+        cost_nxn = c4.reshape(c4.shape[0] // 2, 2, c4.shape[1] // 2, 2) \
+            .sum(axis=(1, 3)) + lam * 8.0
+        cost_nxn = cost_nxn[:best_cost[8].shape[0],
+                            :best_cost[8].shape[1]]
+        nxn_map = cost_nxn < best_cost[8]
+        best_cost[8] = np.where(nxn_map, cost_nxn, best_cost[8])
+
     # bottom-up depth choice; split overhead ~ (split flag + extra CU
     # headers) * lambda
     split_bits = 6.0
     depth_map: dict[int, np.ndarray] = {}   # per size: 0 = keep, 1 = split
     agg_cost = best_cost[8]
-    for n in sizes[1:]:
+    for n in [s for s in sizes if s > 8]:
         by, bx = best_cost[n].shape
         # pad child grid to 2*by x 2*bx; missing children (outside the
         # picture) cost 0 — the quadtree simply doesn't recurse there
@@ -318,10 +368,11 @@ def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
         depth_map[n] = ~keep
         agg_cost = np.where(keep, best_cost[n], child)
 
-    # materialize depth8/mode8 on the 8x8 grid
-    n8y, n8x = h // 8, w // 8
+    # materialize depth8/mode8 (+ nxn8/mode4) on the min-CU grids
     depth8 = np.zeros((n8y, n8x), dtype=np.uint8)
     mode8 = np.zeros((n8y, n8x), dtype=np.uint8)
+    nxn8 = np.zeros((n8y, n8x), dtype=bool)
+    mode4 = np.zeros((h // 4, w // 4), dtype=np.uint8)
     log2_ctu = ctu_size.bit_length() - 1
 
     def fill(n: int, yb: int, xb: int) -> None:
@@ -337,11 +388,20 @@ def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
             s = n // 8
             d = log2_ctu - (n.bit_length() - 1)
             depth8[yb * s:(yb + 1) * s, xb * s:(xb + 1) * s] = d
-            mode8[yb * s:(yb + 1) * s, xb * s:(xb + 1) * s] = \
-                best_mode[n][yb, xb]
+            if n == 8 and nxn_map[yb, xb]:
+                nxn8[yb, xb] = True
+                mode4[yb * 2:yb * 2 + 2, xb * 2:xb * 2 + 2] = \
+                    best_mode[4][yb * 2:yb * 2 + 2, xb * 2:xb * 2 + 2]
+                mode8[yb, xb] = best_mode[4][yb * 2, xb * 2]  # PU0 (DM)
+            else:
+                m = best_mode[n][yb, xb]
+                depthm = mode4[yb * s * 2:(yb + 1) * s * 2,
+                               xb * s * 2:(xb + 1) * s * 2]
+                depthm[:] = m
+                mode8[yb * s:(yb + 1) * s, xb * s:(xb + 1) * s] = m
 
     top = sizes[-1]
     for yb in range((h + top - 1) // top):
         for xb in range((w + top - 1) // top):
             fill(top, yb, xb)
-    return depth8, mode8
+    return depth8, mode8, nxn8, mode4

@@ -49,7 +49,9 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
                             orig_cr: np.ndarray, depth8: np.ndarray,
                             mode8: np.ndarray, cfg: EncoderConfig,
                             qp: int | None = None,
-                            cmode8: np.ndarray | None = None
+                            cmode8: np.ndarray | None = None,
+                            nxn8: np.ndarray | None = None,
+                            mode4: np.ndarray | None = None
                             ) -> tuple[FrameIntraSyntax, ReconFrame]:
     h, w = orig_y.shape
     bd = cfg.bit_depth
@@ -68,11 +70,8 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
     ctu = cfg.ctu_size
     log2_ctu = cfg.log2_ctu
 
-    def do_cu(x0: int, y0: int, log2_size: int) -> None:
-        n = 1 << log2_size
-        mode = int(mode8[y0 >> 3, x0 >> 3])
-        cmode = mode if cmode8 is None else int(cmode8[y0 >> 3, x0 >> 3])
-        # luma
+    def luma_tu(x0: int, y0: int, n: int, mode: int) -> None:
+        log2n = n.bit_length() - 1
         av = _avail_mask(dec_y, x0, y0, n)
         refs = canonical_refs(rec_y, x0, y0, n, av, bd)
         filt = filter_refs(refs, n, bd)
@@ -80,20 +79,35 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
                              filtered=filt)
         resi = orig_y[y0:y0 + n, x0:x0 + n].astype(np.int32) - pred
         if cfg.sign_hiding:
-            coefs, du = quant_np(dct_np(resi, bd, dst=(log2_size == 2)),
+            coefs, du = quant_np(dct_np(resi, bd, dst=(log2n == 2)),
                                  qp, bd, intra=True, with_rem=True)
-            coefs = sign_hide_np(coefs, intra_scan_idx(mode, log2_size,
+            coefs = sign_hide_np(coefs, intra_scan_idx(mode, log2n,
                                                        True), du)
         else:
-            coefs = quant_np(dct_np(resi, bd, dst=(log2_size == 2)), qp,
+            coefs = quant_np(dct_np(resi, bd, dst=(log2n == 2)), qp,
                              bd, intra=True)
         if np.any(coefs):
             coeff_y[y0:y0 + n, x0:x0 + n] = coefs
-            r = idct_np(dequant_np(coefs, qp, bd), bd, dst=(log2_size == 2))
+            r = idct_np(dequant_np(coefs, qp, bd), bd, dst=(log2n == 2))
             rec_y[y0:y0 + n, x0:x0 + n] = np.clip(pred + r, 0, maxv)
         else:
             rec_y[y0:y0 + n, x0:x0 + n] = pred
         dec_y[y0:y0 + n, x0:x0 + n] = True
+
+    def do_cu(x0: int, y0: int, log2_size: int) -> None:
+        n = 1 << log2_size
+        mode = int(mode8[y0 >> 3, x0 >> 3])
+        cmode = mode if cmode8 is None else int(cmode8[y0 >> 3, x0 >> 3])
+        nxn = (log2_size == cfg.log2_min_cu and nxn8 is not None
+               and bool(nxn8[y0 >> 3, x0 >> 3]))
+        if nxn:
+            # PART_NxN: four 4x4 PUs == TUs in z order, each predicted
+            # from the previous sub-TUs' reconstruction (8.4.4.2.1)
+            for sx, sy in ((0, 0), (4, 0), (0, 4), (4, 4)):
+                luma_tu(x0 + sx, y0 + sy, 4,
+                        int(mode4[(y0 + sy) >> 2, (x0 + sx) >> 2]))
+        else:
+            luma_tu(x0, y0, n, mode)
         # chroma (DM mode), 4:2:0
         cn = n >> 1
         if cn < 4:
@@ -146,5 +160,5 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
 
     syn = FrameIntraSyntax(depth8=depth8, mode8=mode8, coeff_y=coeff_y,
                            coeff_cb=coeff_cb, coeff_cr=coeff_cr,
-                           cmode8=cmode8)
+                           cmode8=cmode8, nxn8=nxn8, mode4=mode4)
     return syn, ReconFrame(rec_y, rec_cb, rec_cr)

@@ -58,12 +58,15 @@ def _zindex(bx: int, by: int) -> int:
         ((by & 1) << 1) | (bx & 1)
 
 
-def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32):
+def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32,
+                  sub: int | None = None):
     """Static canonical-ref geometry for a CU of size n at (ox, oy).
 
     Returns (rx, ry, z_ok): (4n+1,) tile-relative coords and static
     decode-order availability (picture borders checked at runtime).
     `p` is the z index of the current min-block (ctu/4 px granularity).
+    `sub` (0..3), when given, refines availability to the 4x4 sub-TU
+    z position inside min-block p (the PART_NxN luma path, ctu=32).
     """
     k = 4 * n + 1
     bshift = (ctu // 4).bit_length() - 1    # 3 luma / 2 chroma
@@ -85,8 +88,13 @@ def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32):
             z_ok[i] = y < ctu       # left CTU column; below it: undecoded
         elif x >= ctu or y >= ctu:
             z_ok[i] = False         # right CTU (same row) / below: undecoded
-        else:
+        elif sub is None:
             z_ok[i] = _zindex(x >> bshift, y >> bshift) < p
+        else:
+            # 4x4-granularity z order within the min-block sequence
+            z4 = _zindex(x >> 3, y >> 3) * 4 + \
+                ((((y >> 2) & 1) << 1) | ((x >> 2) & 1))
+            z_ok[i] = z4 < p * 4 + sub
     return rx, ry, z_ok
 
 
@@ -107,11 +115,11 @@ def _substitute(refs: jnp.ndarray, avail: jnp.ndarray,
 
 def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
                 n, ox, oy, p, qp, bit_depth, w, h, is_luma, ctu,
-                sign_hiding=False):
+                sign_hiding=False, sub=None):
     """Reconstruct one masked CU (size n at static (ox,oy)) per batch
     element. ext: (B, ctu+1, 2*ctu+1) halo tile; orig_tile: (B, ctu,
     ctu); modes/active: (B,). Returns updated (ext, cf_tile)."""
-    rx, ry, z_ok = _ref_geometry(n, ox, oy, p, ctu)
+    rx, ry, z_ok = _ref_geometry(n, ox, oy, p, ctu, sub=sub)
     eh, ew = ext.shape[1], ext.shape[2]
     exti = (np.clip(ry + 1, 0, eh - 1) * ew +
             np.clip(rx + 1, 0, ew - 1)).astype(np.int32)
@@ -130,9 +138,11 @@ def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
         preds, modes[:, None, None, None], axis=1)[:, 0]  # (B,n,n)
     orig = orig_tile[:, oy:oy + n, ox:ox + n].astype(jnp.int32)
     resi = orig - pred
+    dst = is_luma and n == 4           # DST-IV for 4x4 luma intra TBs
     if sign_hiding:
-        coefs, du = quant_batch(dct_batch(resi, n, bit_depth), n, qp,
-                                bit_depth, intra=True, with_rem=True)
+        coefs, du = quant_batch(dct_batch(resi, n, bit_depth, dst=dst),
+                                n, qp, bit_depth, intra=True,
+                                with_rem=True)
         if (is_luma and n <= 8) or (not is_luma and n == 4):
             # mode-dependent scan (clause 7.4.9.11): luma 4x4/8x8 and
             # chroma 4x4 TBs use HOR/VER scans for near-vertical/
@@ -144,10 +154,11 @@ def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
             sel = 0
         coefs = sign_hide_batch(coefs, n, sel, du)
     else:
-        coefs = quant_batch(dct_batch(resi, n, bit_depth), n, qp,
-                            bit_depth, intra=True)
+        coefs = quant_batch(dct_batch(resi, n, bit_depth, dst=dst), n,
+                            qp, bit_depth, intra=True)
     cbf = jnp.any(coefs != 0, axis=(1, 2))
-    r = idct_batch(dequant_batch(coefs, n, qp, bit_depth), n, bit_depth)
+    r = idct_batch(dequant_batch(coefs, n, qp, bit_depth), n, bit_depth,
+                   dst=dst)
     maxv = (1 << bit_depth) - 1
     rec = jnp.where(cbf[:, None, None],
                     jnp.clip(pred + r, 0, maxv), pred)
@@ -183,9 +194,10 @@ def _assemble_ext(tiles, ti, ti_top, ti_topright, ti_topleft, ti_left,
     return ext
 
 
-def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, ct, org_y, org_c,
-               *, qp: int, qpc: int, bit_depth: int,
-               w: int, h: int, ctu: int = 32, sign_hiding: bool = False):
+def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, ct, nt, m4t,
+               org_y, org_c, *, qp: int, qpc: int, bit_depth: int,
+               w: int, h: int, ctu: int = 32, sign_hiding: bool = False,
+               intra_nxn: bool = False):
     """One CTU anti-diagonal across the whole frame batch (tiled)."""
     half = ctu // 2
     x0s, y0s = idx["x0"], idx["y0"]
@@ -210,20 +222,35 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, ct, org_y, org_c,
         m = mt[:, oy >> 3, ox >> 3].astype(jnp.int32)
         cm = ct[:, oy >> 3, ox >> 3].astype(jnp.int32)
         cm2 = jnp.concatenate([cm, cm])
-        plans = [(8, ox, oy, d == 2)]
+        is_nxn = nt[:, oy >> 3, ox >> 3] != 0 if intra_nxn else None
+        act8 = (d == 2) if not intra_nxn else ((d == 2) & ~is_nxn)
+        plans = [(8, ox, oy, act8, d == 2)]
         if p % 4 == 0:
-            plans.append((16, (ox >> 4) << 4, (oy >> 4) << 4, d == 1))
+            k16 = d == 1
+            plans.append((16, (ox >> 4) << 4, (oy >> 4) << 4, k16, k16))
         if p == 0:
-            plans.append((32, 0, 0, d == 0))
-        for n, cox, coy, act in plans:
+            plans.append((32, 0, 0, d == 0, d == 0))
+        for n, cox, coy, act, cact in plans:
             ext_y, cfy_t = _process_cu(
                 ext_y, cfy_t, oy_t, x0s, y0s, m, act, n, cox, coy, p,
                 qp, bit_depth, w, h, True, ctu, sign_hiding)
-            act2 = jnp.concatenate([act, act])
+            cact2 = jnp.concatenate([cact, cact])
             ext_c, cfc_t = _process_cu(
-                ext_c, cfc_t, oc_t, x0c, y0c, cm2, act2, n >> 1,
+                ext_c, cfc_t, oc_t, x0c, y0c, cm2, cact2, n >> 1,
                 cox >> 1, coy >> 1, p, qpc, bit_depth, cw, chh, False,
                 ctu // 2, sign_hiding)
+        if intra_nxn:
+            # PART_NxN: four 4x4 luma PU/TUs in z order, each predicting
+            # from the previous sub-TUs' in-tile reconstruction
+            act4 = (d == 2) & is_nxn
+            for s, (sx, sy) in enumerate(((0, 0), (4, 0),
+                                          (0, 4), (4, 4))):
+                m4 = m4t[:, (oy + sy) >> 2, (ox + sx) >> 2] \
+                    .astype(jnp.int32)
+                ext_y, cfy_t = _process_cu(
+                    ext_y, cfy_t, oy_t, x0s, y0s, m4, act4, 4, ox + sx,
+                    oy + sy, p, qp, bit_depth, w, h, True, ctu,
+                    sign_hiding, sub=s)
 
     # whole-tile writes (axis-0 scatter; masked batch lanes target the
     # slot-0 dummy, which is never read as real data)
@@ -235,11 +262,12 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, ct, org_y, org_c,
 
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "w", "h",
-                                   "ctu", "sign_hiding"),
+                                   "ctu", "sign_hiding", "intra_nxn"),
          donate_argnums=(0, 1, 2, 3))
-def _recon_scan(rec_y, rec_c, cf_y, cf_c, idxs, dta, mta, cta, org_y,
-                org_c, *, qp: int, qpc: int, bit_depth: int,
-                w: int, h: int, ctu: int = 32, sign_hiding: bool = False):
+def _recon_scan(rec_y, rec_c, cf_y, cf_c, idxs, dta, mta, cta, nta,
+                m4a, org_y, org_c, *, qp: int, qpc: int, bit_depth: int,
+                w: int, h: int, ctu: int = 32, sign_hiding: bool = False,
+                intra_nxn: bool = False):
     """Whole-GOP wavefront as one lax.scan over diagonals — a single
     device dispatch for the batch. qp static on purpose: this is the
     largest jit and dynamic-shift quant costs ~2x; intra frames are
@@ -247,14 +275,15 @@ def _recon_scan(rec_y, rec_c, cf_y, cf_c, idxs, dta, mta, cta, org_y,
 
     def body(carry, xs):
         ry, rc, fy, fc = carry
-        idx, dt, mt, ct = xs
-        out = _diag_step(ry, rc, fy, fc, idx, dt, mt, ct, org_y, org_c,
-                         qp=qp, qpc=qpc, bit_depth=bit_depth, w=w, h=h,
-                         ctu=ctu, sign_hiding=sign_hiding)
+        idx, dt, mt, ct, nt, m4t = xs
+        out = _diag_step(ry, rc, fy, fc, idx, dt, mt, ct, nt, m4t,
+                         org_y, org_c, qp=qp, qpc=qpc,
+                         bit_depth=bit_depth, w=w, h=h, ctu=ctu,
+                         sign_hiding=sign_hiding, intra_nxn=intra_nxn)
         return out, ()
 
     carry = (rec_y, rec_c, cf_y, cf_c)
-    carry, _ = jax.lax.scan(body, carry, (idxs, dta, mta, cta))
+    carry, _ = jax.lax.scan(body, carry, (idxs, dta, mta, cta, nta, m4a))
     return carry
 
 
@@ -311,11 +340,13 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                               mode8: np.ndarray, cfg: EncoderConfig,
                               qp: int | None = None,
                               need_recon: bool = True,
-                              cmode8: np.ndarray | None = None
+                              cmode8: np.ndarray | None = None,
+                              nxn8: np.ndarray | None = None,
+                              mode4: np.ndarray | None = None
                               ) -> tuple[list[FrameIntraSyntax],
                                          list[ReconFrame]]:
     """Reconstruct a batch of frames. orig_y: (F, H, W) padded planes;
-    depth8/mode8: (F, n8y, n8x)."""
+    depth8/mode8: (F, n8y, n8x); nxn8/mode4 carry PART_NxN decisions."""
     assert cfg.ctu_size == 32, "device wavefront currently tuned for CTU32"
     nf, h, w = orig_y.shape
     ctu = cfg.ctu_size
@@ -357,19 +388,30 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
 
     # per-CTU decision tiles, vectorized
     n8 = ctu // 8
+    n4 = ctu // 4
     n8y, n8x = depth8.shape[1:]
+    use_nxn = nxn8 is not None and bool(np.any(nxn8))
     dpad = np.full((nf, ncy * n8, ncx * n8), 2, np.uint8)
     mpad = np.ones((nf, ncy * n8, ncx * n8), np.uint8)
     cpad2 = np.ones((nf, ncy * n8, ncx * n8), np.uint8)
     dpad[:, :n8y, :n8x] = depth8
     mpad[:, :n8y, :n8x] = mode8
     cpad2[:, :n8y, :n8x] = mode8 if cmode8 is None else cmode8
-    dt_all = dpad.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
-        .reshape(nf, nct, n8, n8).astype(np.int32)
-    mt_all = mpad.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
-        .reshape(nf, nct, n8, n8).astype(np.int32)
-    ct_all = cpad2.reshape(nf, ncy, n8, ncx, n8).transpose(0, 1, 3, 2, 4) \
-        .reshape(nf, nct, n8, n8).astype(np.int32)
+
+    def tile_dec(pad, k):
+        return pad.reshape(nf, ncy, k, ncx, k).transpose(0, 1, 3, 2, 4) \
+            .reshape(nf, nct, k, k).astype(np.int32)
+
+    dt_all = tile_dec(dpad, n8)
+    mt_all = tile_dec(mpad, n8)
+    ct_all = tile_dec(cpad2, n8)
+    npad = np.zeros((nf, ncy * n8, ncx * n8), np.uint8)
+    m4pad = np.ones((nf, ncy * n4, ncx * n4), np.uint8)
+    if use_nxn:
+        npad[:, :n8y, :n8x] = nxn8.astype(np.uint8)
+        m4pad[:, :2 * n8y, :2 * n8x] = mode4
+    nt_all = tile_dec(npad, n8)
+    m4_all = tile_dec(m4pad, n4)
 
     ndiag, bmax, diags = _wavefront_schedule(ncx, ncy, ctu)
     sched = _gop_schedule(ncx, ncy, ctu, nf, n8)
@@ -377,20 +419,24 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     dta = dt_all.reshape(nf * nct, n8, n8)[dta_sel]
     mta = mt_all.reshape(nf * nct, n8, n8)[mta_sel]
     cta = ct_all.reshape(nf * nct, n8, n8)[mta_sel]
+    nta = nt_all.reshape(nf * nct, n8, n8)[mta_sel]
+    m4a = m4_all.reshape(nf * nct, n4, n4)[mta_sel]
     # masked lanes (self_o == 0 marker handled via valid mask baked into
     # the schedule): force their decision tiles to all-CU8
     invalid = idxs["x0"] >= (1 << 20)
     dta = np.where(invalid[..., None, None], 2, dta)
     mta = np.where(invalid[..., None, None], 1, mta)
     cta = np.where(invalid[..., None, None], 1, cta)
+    nta = np.where(invalid[..., None, None], 0, nta)
 
     idxs_j = {k: jnp.asarray(v) for k, v in idxs.items()}
     rec_y, rec_c, cf_y, cf_c = _recon_scan(
         rec_y, rec_c, cf_y, cf_c, idxs_j, jnp.asarray(dta),
-        jnp.asarray(mta), jnp.asarray(cta), org_y, org_c,
+        jnp.asarray(mta), jnp.asarray(cta), jnp.asarray(nta),
+        jnp.asarray(m4a), org_y, org_c,
         qp=int(qp_frame), qpc=int(qpc),
         bit_depth=cfg.bit_depth, w=w, h=h, ctu=ctu,
-        sign_hiding=cfg.sign_hiding)
+        sign_hiding=cfg.sign_hiding, intra_nxn=use_nxn)
 
     # device-side untile + downcast, then 2D transfers (fast layout)
     hp, wp = ncy * ctu, ncx * ctu
@@ -412,7 +458,9 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         syns.append(FrameIntraSyntax(
             depth8=depth8[f], mode8=mode8[f], coeff_y=cfy_np[f],
             coeff_cb=cfc_np[f], coeff_cr=cfc_np[nf + f],
-            cmode8=None if cmode8 is None else cmode8[f]))
+            cmode8=None if cmode8 is None else cmode8[f],
+            nxn8=None if nxn8 is None else nxn8[f],
+            mode4=None if mode4 is None else mode4[f]))
         if need_recon:
             recons.append(ReconFrame(ry_np[f], rc_np[f], rc_np[nf + f]))
         else:
@@ -469,10 +517,14 @@ def reconstruct_intra_frame_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                                 orig_cr: np.ndarray, depth8: np.ndarray,
                                 mode8: np.ndarray, cfg: EncoderConfig,
                                 qp: int | None = None,
-                                cmode8: np.ndarray | None = None
+                                cmode8: np.ndarray | None = None,
+                                nxn8: np.ndarray | None = None,
+                                mode4: np.ndarray | None = None
                                 ) -> tuple[FrameIntraSyntax, ReconFrame]:
     syns, recons = reconstruct_intra_gop_tpu(
         orig_y[None], orig_cb[None], orig_cr[None], depth8[None],
         mode8[None], cfg, qp,
-        cmode8=None if cmode8 is None else cmode8[None])
+        cmode8=None if cmode8 is None else cmode8[None],
+        nxn8=None if nxn8 is None else nxn8[None],
+        mode4=None if mode4 is None else mode4[None])
     return syns[0], recons[0]

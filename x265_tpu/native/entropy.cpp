@@ -260,6 +260,8 @@ struct SliceEnc {
     int max_merge = 2;
     int sign_hiding = 0;
     const uint8_t* cmode8 = nullptr;   // chroma pred mode; null = DM
+    const uint8_t* nxn8 = nullptr;     // PART_NxN flags at min CU
+    const uint8_t* mode4 = nullptr;    // per-PU modes, 4x4 granularity
     const int32_t* sao_p[3] = {nullptr, nullptr, nullptr};
     std::vector<uint8_t> skip8, coded8;
 
@@ -272,7 +274,11 @@ struct SliceEnc {
           skip8(n8x * n8y, 0), coded8(n8x * n8y, 0) {}
 
     int depth_at(int x, int y) const { return depth8[(y >> 3) * n8x + (x >> 3)]; }
-    int mode_at(int x, int y) const { return mode8[(y >> 3) * n8x + (x >> 3)]; }
+    // IntraPredModeY at PU (4x4) granularity (mode4 carries NxN PUs)
+    int mode_at(int x, int y) const {
+        if (mode4) return mode4[(y >> 2) * (n8x * 2) + (x >> 2)];
+        return mode8[(y >> 3) * n8x + (x >> 3)];
+    }
 
     void run() {
         int ctu = 1 << log2_ctu;
@@ -532,11 +538,8 @@ struct SliceEnc {
         return mode_at(x - 1, y);
     }
 
-    void code_cu(int x0, int y0, int l2) {
-        if (l2 == log2_min_cu) cab.encode_bin(OFF_PART_MODE, 1);
-        int mode = mode_at(x0, y0);
-        int a = neighbor_mode(x0, y0, false), b = neighbor_mode(x0, y0, true);
-        int mpm[3];
+    void derive_mpm(int x, int y, int mpm[3]) const {
+        int a = neighbor_mode(x, y, false), b = neighbor_mode(x, y, true);
         if (a == b) {
             if (a < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
             else { mpm[0] = a; mpm[1] = 2 + ((a + 29) % 32);
@@ -547,14 +550,15 @@ struct SliceEnc {
             else if (a != 1 && b != 1) mpm[2] = 1;
             else mpm[2] = 26;
         }
+    }
+
+    void code_luma_mode(int mode, const int mpm[3]) {
         int idx = -1;
         for (int i = 0; i < 3; i++) if (mpm[i] == mode) { idx = i; break; }
         if (idx >= 0) {
-            cab.encode_bin(OFF_PREV_INTRA_LUMA_PRED_FLAG, 1);
             cab.encode_bypass(idx == 0 ? 0 : 1);
             if (idx) cab.encode_bypass(idx - 1);
         } else {
-            cab.encode_bin(OFF_PREV_INTRA_LUMA_PRED_FLAG, 0);
             int rem = mode;
             // subtract the count of MPMs smaller than mode
             int srt[3] = {mpm[0], mpm[1], mpm[2]};
@@ -564,9 +568,30 @@ struct SliceEnc {
             for (int i = 2; i >= 0; i--) if (mode > srt[i]) rem--;
             cab.encode_bypass_bins(rem, 5);
         }
+    }
+
+    void code_cu(int x0, int y0, int l2) {
+        bool nxn = l2 == log2_min_cu && nxn8 &&
+                   nxn8[(y0 >> 3) * n8x + (x0 >> 3)];
+        if (l2 == log2_min_cu) cab.encode_bin(OFF_PART_MODE, nxn ? 0 : 1);
+        int npu = nxn ? 4 : 1;
+        int px[4] = {x0, x0 + 4, x0, x0 + 4};
+        int py[4] = {y0, y0, y0 + 4, y0 + 4};
+        int modes[4], mpm[4][3];
+        // loop 1: prev_intra_luma_pred_flags (clause 7.3.8.5)
+        for (int i = 0; i < npu; i++) {
+            modes[i] = mode_at(px[i], py[i]);
+            derive_mpm(px[i], py[i], mpm[i]);
+            bool in_mpm = modes[i] == mpm[i][0] || modes[i] == mpm[i][1] ||
+                          modes[i] == mpm[i][2];
+            cab.encode_bin(OFF_PREV_INTRA_LUMA_PRED_FLAG, in_mpm);
+        }
+        // loop 2: mpm_idx / rem_intra_luma_pred_mode
+        for (int i = 0; i < npu; i++) code_luma_mode(modes[i], mpm[i]);
         // intra_chroma_pred_mode: '0' = DM; '1' + 2 bypass bins =
         // index into [planar, ver, hor, dc] with the luma-mode entry
-        // substituted by angular-34 (clause 8.4.3)
+        // substituted by angular-34 (clause 8.4.3); DM source = PU0
+        int mode = modes[0];
         int cmode = cmode8 ? cmode8[(y0 >> 3) * n8x + (x0 >> 3)] : mode;
         if (cmode == mode) {
             cab.encode_bin(OFF_INTRA_CHROMA_PRED_MODE, 0);
@@ -578,7 +603,31 @@ struct SliceEnc {
             cab.encode_bin(OFF_INTRA_CHROMA_PRED_MODE, 1);
             cab.encode_bypass_bins(idx, 2);
         }
-        transform_unit(x0, y0, l2, mode, cmode);
+        if (nxn) transform_nxn(x0, y0, modes, cmode);
+        else transform_unit(x0, y0, l2, mode, cmode);
+    }
+
+    // implicitly-split transform tree of a PART_NxN intra CU
+    // (7.3.8.8): chroma cbfs at trafoDepth 0, four 4x4 luma TUs with
+    // cbf ctx 0 and DST scan-by-PU-mode, chroma residual with blkIdx 3
+    void transform_nxn(int x0, int y0, const int modes[4], int cmode) {
+        int cx = x0 >> 1, cy_ = y0 >> 1, cstride = w >> 1;
+        bool fcb = cbf(ccb, cstride, cx, cy_, 4);
+        bool fcr = cbf(ccr, cstride, cx, cy_, 4);
+        cab.encode_bin(OFF_CBF_CHROMA, fcb);
+        cab.encode_bin(OFF_CBF_CHROMA, fcr);
+        int px[4] = {x0, x0 + 4, x0, x0 + 4};
+        int py[4] = {y0, y0, y0 + 4, y0 + 4};
+        for (int s = 0; s < 4; s++) {
+            bool fy = cbf(cy, w, px[s], py[s], 4);
+            cab.encode_bin(OFF_CBF_LUMA, fy);
+            if (fy)
+                residual(cy, w, px[s], py[s], 2, 0,
+                         intra_scan_idx(modes[s], 2, true));
+        }
+        int csc = intra_scan_idx(cmode, 2, false);
+        if (fcb) residual(ccb, cstride, cx, cy_, 2, 1, csc);
+        if (fcr) residual(ccr, cstride, cx, cy_, 2, 2, csc);
     }
 
     bool cbf(const int16_t* plane, int stride, int x, int y, int size) const {
@@ -768,7 +817,8 @@ struct SliceEnc {
 extern "C" {
 
 // Generic slice-data encoder: slice_type 2 = I (mode8 used), 1 = P
-// (mv8/max_merge used). sao_* may be null. Returns bytes written or -1.
+// (mv8/max_merge used). sao_*, nxn8, mode4 may be null. Returns bytes
+// written or -1.
 int encode_slice(int slice_type, const uint8_t* depth8,
                  const uint8_t* mode8, const int32_t* mv8, int max_merge,
                  int sign_hiding, const uint8_t* cmode8,
@@ -776,6 +826,7 @@ int encode_slice(int slice_type, const uint8_t* depth8,
                  const int16_t* coeff_cr,
                  const int32_t* sao_py, const int32_t* sao_pcb,
                  const int32_t* sao_pcr,
+                 const uint8_t* nxn8, const uint8_t* mode4,
                  int w, int h, int log2_ctu, int log2_min_cu,
                  uint8_t* init_states, int num_ctx,
                  uint8_t* out, int out_cap,
@@ -788,6 +839,8 @@ int encode_slice(int slice_type, const uint8_t* depth8,
     enc.max_merge = max_merge;
     enc.sign_hiding = sign_hiding;
     enc.cmode8 = cmode8;
+    enc.nxn8 = nxn8;
+    enc.mode4 = mode4;
     enc.sao_p[0] = sao_py; enc.sao_p[1] = sao_pcb; enc.sao_p[2] = sao_pcr;
     enc.run();
     enc.cab.finish(tail_val, tail_bits);
