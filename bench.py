@@ -82,8 +82,8 @@ def bench_ippp() -> None:
         enc.frame_count = 1          # skip re-emitting headers
         enc.poc = 0
         r0 = enc.encode_frame(*frames[0], qp=cfg.qp - 3,   # ipratio
-                              use_device_recon=True)
-        enc.ref = r0.recon
+                              use_device_recon=True, need_recon=False)
+        enc.ref = r0.device_ref      # reference stays device-resident
         rs = enc.encode_pgop(frames[1:], need_recon=False)
         return r0.bits + sum(r.bits for r in rs)
 

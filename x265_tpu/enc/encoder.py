@@ -21,7 +21,7 @@ from ..bitstream.nal import NalUnitType, annexb_stream
 from ..bitstream.syntax import SliceSyntaxEncoder, FrameIntraSyntax
 from ..common.params import EncoderConfig, I_SLICE, P_SLICE
 from .intra_analysis import (analyze_intra_frame, analyze_intra_gop,
-                             analyze_chroma_modes)
+                             analyze_chroma_modes, analyze_chroma_gop)
 from .intra_recon import reconstruct_intra_frame, ReconFrame
 
 
@@ -65,11 +65,12 @@ class EncoderStats:
 @dataclass
 class FrameResult:
     bitstream: bytes            # Annex-B access unit (headers for frame 0)
-    recon: ReconFrame
+    recon: ReconFrame | None
     syntax: FrameIntraSyntax
     bits: int = 0
     poc: int = 0                # display position within the GOP
     ftype: str = "I"
+    device_ref: object = None   # DeviceRef when the recon stayed on device
 
 
 class IntraEncoder:
@@ -88,6 +89,13 @@ class IntraEncoder:
         fps = self.cfg.fps_num / max(self.cfg.fps_den, 1)
         return self.stats.summary(fps)
 
+    def _host_ref(self) -> ReconFrame:
+        """self.ref as a host ReconFrame (downloads a DeviceRef)."""
+        from .intra_recon import DeviceRef
+        if isinstance(self.ref, DeviceRef):
+            self.ref = self.ref.to_recon()
+        return self.ref
+
     def headers(self) -> list[tuple[NalUnitType, bytes]]:
         cfg = self.cfg
         return [
@@ -99,65 +107,114 @@ class IntraEncoder:
     def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      *, use_device_recon: bool = False,
                      use_native_cabac: bool = True,
-                     qp: int | None = None) -> FrameResult:
+                     qp: int | None = None,
+                     need_recon: bool = True) -> FrameResult:
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         w, h = cfg.width_padded, cfg.height_padded
         yp = pad_plane(np.asarray(y), h, w)
         cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
         crp = pad_plane(np.asarray(cr), h // 2, w // 2)
+        device_ref = None
 
-        depth8, mode8, nxn8, mode4 = analyze_intra_frame(
-            yp, qp, cfg.ctu_size, cfg.bit_depth,
-            intra_nxn=cfg.intra_nxn)
-        cmode8 = analyze_chroma_modes(cbp, crp, depth8, mode8, qp,
-                                      cfg.bit_depth)
         if use_device_recon:
-            from .intra_recon_tpu import reconstruct_intra_frame_tpu
-            syn, recon = reconstruct_intra_frame_tpu(
-                yp, cbp, crp, depth8, mode8, cfg, qp, cmode8=cmode8,
-                nxn8=nxn8, mode4=mode4)
+            # fused device analysis (2 dispatches total: luma + chroma)
+            depth8, mode8, nxn8, mode4 = analyze_intra_gop(
+                yp[None], qp, cfg.ctu_size, cfg.bit_depth,
+                intra_nxn=cfg.intra_nxn)
+            depth8, mode8 = depth8[0], mode8[0]
+            nxn8, mode4 = nxn8[0], mode4[0]
+            cmode8 = analyze_chroma_gop(cbp[None], crp[None],
+                                        depth8[None], mode8[None], qp,
+                                        cfg.bit_depth)[0]
+        else:
+            depth8, mode8, nxn8, mode4 = analyze_intra_frame(
+                yp, qp, cfg.ctu_size, cfg.bit_depth,
+                intra_nxn=cfg.intra_nxn)
+            cmode8 = analyze_chroma_modes(cbp, crp, depth8, mode8, qp,
+                                          cfg.bit_depth)
+        sao_params = None
+        if use_device_recon:
+            # device pipeline: wavefront recon, in-loop filters and the
+            # reference picture all stay on device; only syntax arrays
+            # (and recon when requested) come back to the host
+            import jax.numpy as jnp
+            from .intra_recon import DeviceRef
+            from .intra_recon_tpu import reconstruct_intra_gop_tpu
+            syns, _, dev = reconstruct_intra_gop_tpu(
+                yp[None], cbp[None], crp[None], depth8[None],
+                mode8[None], cfg, qp, cmode8=cmode8[None],
+                nxn8=nxn8[None], mode4=mode4[None], need_recon=False,
+                return_device=True)
+            syn = syns[0]
+            ry2, rc2 = dev
+            hp2, wp2 = ry2.shape[0], ry2.shape[1]
+            dy = ry2[:h, :w].astype(jnp.int32)
+            dcb = rc2[:h // 2, :w // 2].astype(jnp.int32)
+            dcr = rc2[hp2 // 2:hp2 // 2 + h // 2, :w // 2] \
+                .astype(jnp.int32)
+            if cfg.deblock:
+                from ..ops.deblock import deblock_frame
+                dy, dcb, dcr = deblock_frame(dy, dcb, dcr, depth8,
+                                             cfg.ctu_size, qp,
+                                             cfg.bit_depth)
+            if cfg.sao:
+                from ..common.tables import lambda2_from_qp
+                from ..ops.sao_tpu import (apply_sao_t,
+                                           choose_sao_chroma_t,
+                                           choose_sao_t)
+                lam2 = float(lambda2_from_qp(qp))
+                oyj = jnp.asarray(yp.astype(np.int32))
+                ocbj = jnp.asarray(cbp.astype(np.int32))
+                ocrj = jnp.asarray(crp.astype(np.int32))
+                p_y_d = choose_sao_t(oyj, dy, cfg.ctu_size, qp,
+                                     cfg.bit_depth, lam2)
+                p_cb_d, p_cr_d = choose_sao_chroma_t(
+                    ocbj, dcb, ocrj, dcr, cfg.ctu_size // 2, qp,
+                    cfg.bit_depth, lam2)
+                dy = apply_sao_t(dy, p_y_d, cfg.ctu_size, cfg.bit_depth)
+                dcb = apply_sao_t(dcb, p_cb_d, cfg.ctu_size // 2,
+                                  cfg.bit_depth)
+                dcr = apply_sao_t(dcr, p_cr_d, cfg.ctu_size // 2,
+                                  cfg.bit_depth)
+                sao_params = (np.asarray(p_y_d), np.asarray(p_cb_d),
+                              np.asarray(p_cr_d))
+            device_ref = DeviceRef(dy, dcb, dcr)
+            if need_recon or cfg.hash_sei:
+                recon = device_ref.to_recon()
+            else:
+                recon = None
         else:
             syn, recon = reconstruct_intra_frame(yp, cbp, crp, depth8,
                                                  mode8, cfg, qp,
                                                  cmode8=cmode8,
                                                  nxn8=nxn8, mode4=mode4)
-        if cfg.deblock:
-            # in-loop filter on the output/reference picture (intra
-            # prediction inside the frame used the unfiltered recon)
-            if use_device_recon:
-                import jax.numpy as jnp
-                from ..ops.deblock import deblock_frame
-                dy, dcb, dcr = deblock_frame(
-                    jnp.asarray(recon.y), jnp.asarray(recon.cb),
-                    jnp.asarray(recon.cr), depth8, cfg.ctu_size, qp,
-                    cfg.bit_depth)
-                recon = ReconFrame(np.asarray(dy), np.asarray(dcb),
-                                   np.asarray(dcr))
-            else:
+            if cfg.deblock:
                 from ..ops.deblock import deblock_frame_np
                 dy, dcb, dcr = deblock_frame_np(
                     recon.y, recon.cb, recon.cr, depth8, cfg.ctu_size,
                     qp, cfg.bit_depth)
                 recon = ReconFrame(dy, dcb, dcr)
-
-        sao_params = None
-        if cfg.sao:
-            from ..ops.sao import (choose_sao_params, choose_sao_chroma,
-                                   apply_sao_component_np)
-            p_y = choose_sao_params(yp, recon.y, cfg.ctu_size, qp,
-                                    cfg.bit_depth)
-            p_cb, p_cr = choose_sao_chroma(cbp, recon.cb, crp, recon.cr,
-                                           cfg.ctu_size // 2, qp,
-                                           cfg.bit_depth)
-            recon = ReconFrame(
-                apply_sao_component_np(recon.y, p_y, cfg.ctu_size,
-                                       cfg.bit_depth),
-                apply_sao_component_np(recon.cb, p_cb, cfg.ctu_size // 2,
-                                       cfg.bit_depth),
-                apply_sao_component_np(recon.cr, p_cr, cfg.ctu_size // 2,
-                                       cfg.bit_depth))
-            sao_params = (p_y, p_cb, p_cr)
+            if cfg.sao:
+                from ..ops.sao import (choose_sao_params,
+                                       choose_sao_chroma,
+                                       apply_sao_component_np)
+                p_y = choose_sao_params(yp, recon.y, cfg.ctu_size, qp,
+                                        cfg.bit_depth)
+                p_cb, p_cr = choose_sao_chroma(cbp, recon.cb, crp,
+                                               recon.cr,
+                                               cfg.ctu_size // 2, qp,
+                                               cfg.bit_depth)
+                recon = ReconFrame(
+                    apply_sao_component_np(recon.y, p_y, cfg.ctu_size,
+                                           cfg.bit_depth),
+                    apply_sao_component_np(recon.cb, p_cb,
+                                           cfg.ctu_size // 2,
+                                           cfg.bit_depth),
+                    apply_sao_component_np(recon.cr, p_cr,
+                                           cfg.ctu_size // 2,
+                                           cfg.bit_depth))
+                sao_params = (p_y, p_cb, p_cr)
 
         sw = write_slice_header(cfg, I_SLICE, idr=True, slice_qp=qp)
         if use_native_cabac:
@@ -192,7 +249,8 @@ class IntraEncoder:
         self.frame_count += 1
         self.stats.add("I", len(stream) * 8, qp)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
-                           bits=len(stream) * 8, poc=0, ftype="I")
+                           bits=len(stream) * 8, poc=0, ftype="I",
+                           device_ref=device_ref)
 
     def encode_frame_p(self, y: np.ndarray, cb: np.ndarray,
                        cr: np.ndarray, qp: int | None = None,
@@ -283,7 +341,7 @@ class IntraEncoder:
         while i < len(frames):
             if i + 1 < len(frames):
                 # P at display i+1 (decode first), then B at display i
-                prev_ref = self.ref
+                prev_ref = self._host_ref()
                 prev_poc = self.poc
                 rp = self.encode_frame_p(*frames[i + 1], poc_step=2)
                 rb = self.encode_frame_b(*frames[i], prev_ref, rp.recon,
@@ -308,7 +366,7 @@ class IntraEncoder:
         qp = cfg.qp if qp is None else qp
         L = len(frames)
         base = self.poc
-        prev_ref = self.ref
+        prev_ref = self._host_ref()
         rp = self.encode_frame_p(*frames[-1], qp=qp, poc_step=L)
         results = [rp]
         if L == 1:
@@ -375,7 +433,8 @@ class IntraEncoder:
         for y, cb, cr in frames:
             if la.decide(y) == "I":
                 r = self.encode_frame(y, cb, cr, qp=qp_i)
-                self.ref = r.recon
+                self.ref = r.device_ref if r.device_ref is not None \
+                    else r.recon
                 self.poc = 0
             else:
                 r = self.encode_frame_p(y, cb, cr)
@@ -472,10 +531,8 @@ class IntraEncoder:
         depth8, mode8, nxn8, mode4 = analyze_intra_gop(
             ys, cfg.qp, cfg.ctu_size, cfg.bit_depth,
             intra_nxn=cfg.intra_nxn)
-        cmode8 = np.stack([
-            analyze_chroma_modes(cbs[f], crs[f], depth8[f], mode8[f],
-                                 cfg.qp, cfg.bit_depth)
-            for f in range(nf)])
+        cmode8 = analyze_chroma_gop(cbs, crs, depth8, mode8, cfg.qp,
+                                    cfg.bit_depth)
         syns, recons = reconstruct_intra_gop_tpu(
             ys, cbs, crs, depth8, mode8, cfg, need_recon=need_recon,
             cmode8=cmode8, nxn8=nxn8, mode4=mode4)

@@ -229,6 +229,63 @@ def _chroma_costs_device(cbp: jnp.ndarray, crp: jnp.ndarray, n: int,
     return costs
 
 
+@partial(jax.jit, static_argnames=("bit_depth",))
+def _chroma_modes_jit(cbp: jnp.ndarray, crp: jnp.ndarray,
+                      depth8: jnp.ndarray, mode8: jnp.ndarray,
+                      lam: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
+    """Fully on-device chroma mode decision (one dispatch, downloads
+    one uint8 map instead of 3x(n8y,n8x,35) cost tensors). Planes must
+    be padded to 16-multiples (CTU/2). Semantics == the numpy
+    composition in analyze_chroma_modes."""
+    n8y, n8x = depth8.shape
+    cost8 = []
+    for n in (32, 16, 8):             # depth 0, 1, 2
+        cn = n // 2
+        c = _chroma_costs_device(cbp, crp, cn, bit_depth)
+        hc, wc = cbp.shape
+        c = c.reshape(hc // cn, wc // cn, 35)
+        s = n // 8
+        c = jnp.repeat(jnp.repeat(c, s, 0), s, 1)[:n8y, :n8x]
+        cost8.append(c)
+    allc = jnp.stack(cost8)                        # (3, n8y, n8x, 35)
+    c8 = jnp.take_along_axis(
+        allc, depth8[None, ..., None].astype(jnp.int32), 0)[0]
+    m = mode8.astype(jnp.int32)
+    cand = jnp.broadcast_to(jnp.asarray(CHROMA_CAND), (n8y, n8x, 4))
+    cand = jnp.where(cand == m[..., None], 34, cand)
+    dm_cost = jnp.take_along_axis(c8, m[..., None], -1)[..., 0] + lam
+    cand_cost = jnp.take_along_axis(c8, cand, -1) + lam * 3
+    bj = jnp.argmin(cand_cost, -1)
+    best_cc = jnp.take_along_axis(cand_cost, bj[..., None], -1)[..., 0]
+    best_cm = jnp.take_along_axis(cand, bj[..., None], -1)[..., 0]
+    return jnp.where(dm_cost <= best_cc, m, best_cm).astype(jnp.uint8)
+
+
+def analyze_chroma_gop(orig_cb: np.ndarray, orig_cr: np.ndarray,
+                       depth8: np.ndarray, mode8: np.ndarray, qp: int,
+                       bit_depth: int = 8) -> np.ndarray:
+    """GOP-batched device chroma mode decision: orig_cb/cr (F, H/2,
+    W/2), depth8/mode8 (F, n8y, n8x). Returns cmode8 (F, n8y, n8x)."""
+    nf, h2, w2 = orig_cb.shape
+    lam = jnp.float32(lambda_from_qp(qp))
+    hp = (h2 + 15) // 16 * 16
+    wp = (w2 + 15) // 16 * 16
+    if hp != h2 or wp != w2:
+        orig_cb = np.pad(orig_cb, ((0, 0), (0, hp - h2), (0, wp - w2)),
+                         mode="edge")
+        orig_cr = np.pad(orig_cr, ((0, 0), (0, hp - h2), (0, wp - w2)),
+                         mode="edge")
+
+    def one(cb, cr, d8, m8):
+        return _chroma_modes_jit(cb, cr, d8, m8, lam, bit_depth)
+
+    out = jax.vmap(one)(jnp.asarray(orig_cb.astype(np.int32)),
+                        jnp.asarray(orig_cr.astype(np.int32)),
+                        jnp.asarray(depth8.astype(np.int32)),
+                        jnp.asarray(mode8.astype(np.int32)))
+    return np.asarray(out)
+
+
 def analyze_chroma_modes(orig_cb: np.ndarray, orig_cr: np.ndarray,
                          depth8: np.ndarray, mode8: np.ndarray, qp: int,
                          bit_depth: int = 8) -> np.ndarray:

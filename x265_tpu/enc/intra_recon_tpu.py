@@ -342,11 +342,13 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                               need_recon: bool = True,
                               cmode8: np.ndarray | None = None,
                               nxn8: np.ndarray | None = None,
-                              mode4: np.ndarray | None = None
-                              ) -> tuple[list[FrameIntraSyntax],
-                                         list[ReconFrame]]:
+                              mode4: np.ndarray | None = None,
+                              return_device: bool = False):
     """Reconstruct a batch of frames. orig_y: (F, H, W) padded planes;
-    depth8/mode8: (F, n8y, n8x); nxn8/mode4 carry PART_NxN decisions."""
+    depth8/mode8: (F, n8y, n8x); nxn8/mode4 carry PART_NxN decisions.
+    Returns (syns, recons) — plus, when return_device, the device
+    recon planes ((F*Hp, Wp) luma, (2F*Hp/2, Wp/2) chroma) so callers
+    can keep the reference pictures device-resident."""
     assert cfg.ctu_size == 32, "device wavefront currently tuned for CTU32"
     nf, h, w = orig_y.shape
     ctu = cfg.ctu_size
@@ -443,10 +445,13 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     ry2, rc2, cfy2, cfc2 = _finalize(rec_y, rec_c, cf_y, cf_c, nf=nf,
                                      ncy=ncy, ncx=ncx, ctu=ctu,
                                      bit_depth=cfg.bit_depth)
-    # int16 end-to-end: the native CABAC consumes int16 coefficients
-    cfy_np = np.asarray(cfy2).reshape(nf, hp, wp)[:, :h, :w]
-    cfc_np = np.asarray(cfc2).reshape(2 * nf, hp // 2, wp // 2) \
-        [:, :h // 2, :w // 2]
+    # compact CG download (ops/compact.py): intra planes are denser
+    # than P so use a larger capacity fraction
+    from ..ops.compact import fetch_plane_compact
+    cfy_np = fetch_plane_compact(cfy2, cap_frac=3) \
+        .reshape(nf, hp, wp)[:, :h, :w]
+    cfc_np = fetch_plane_compact(cfc2, cap_frac=3) \
+        .reshape(2 * nf, hp // 2, wp // 2)[:, :h // 2, :w // 2]
     if need_recon:
         ry_np = np.asarray(ry2).reshape(nf, hp, wp)[:, :h, :w] \
             .astype(np.int32)
@@ -465,6 +470,8 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
             recons.append(ReconFrame(ry_np[f], rc_np[f], rc_np[nf + f]))
         else:
             recons.append(None)
+    if return_device:
+        return syns, recons, (ry2, rc2)
     return syns, recons
 
 

@@ -35,7 +35,7 @@ from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
 from ..ops.me import _downsample4
 from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
     dequant_batch, sign_hide_batch
-from .intra_recon import ReconFrame
+from .intra_recon import ReconFrame, DeviceRef
 
 SIZES = (8, 16, 32)
 
@@ -469,23 +469,31 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
         rec_c2 = jnp.concatenate([outs[7], outs[8]]).reshape(
             2 * f * (hp // 2), wp // 2)
         res = res + (rec_y2, rec_c2)
-    rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
-    final_ref = tuple(p.astype(rdt) for p in carry)
-    return res, final_ref
+    return res, carry              # final ref stays int32 device-side
+
+
+@partial(jax.jit, static_argnames=("f", "h", "w", "hp", "wp"))
+def _pad_gop_j(p2d, *, f: int, h: int, w: int, hp: int, wp: int):
+    """(F*H, W) uint plane stack -> (F, Hp, Wp) edge-padded, on device
+    (host memcpy on this machine is ~100-200 MB/s; the device pads in
+    microseconds and the upload rides the fast 2D layout)."""
+    x = p2d.reshape(f, h, w)
+    return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
 
 def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
-                    orig_cr: np.ndarray, ref: ReconFrame,
+                    orig_cr: np.ndarray, ref: ReconFrame | DeviceRef,
                     cfg: EncoderConfig, qp: int | None = None,
                     need_recon: bool = True, me_range: int = 6
                     ) -> tuple[list[FramePSyntax], list[ReconFrame | None],
-                               ReconFrame]:
+                               DeviceRef]:
     """Encode F consecutive P frames against a running reference.
 
     orig_y: (F, H, W) planes at the coded (8-aligned) size; ref is the
-    post-filter recon of the preceding frame. Returns per-frame syntax
+    post-filter recon of the preceding frame — a host ReconFrame or a
+    device-resident DeviceRef (no H2D). Returns per-frame syntax
     (cropped to coded size), per-frame recon (or None), and the final
-    reference for chaining."""
+    reference as a DeviceRef for chaining."""
     f, h, w = orig_y.shape
     hp = (h + 31) // 32 * 32
     wp = (w + 31) // 32 * 32
@@ -493,23 +501,31 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     qpc = chroma_qp(qp)
     src_dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
 
-    def padp(p, ph, pw):
-        pads = ((0, 0), (0, ph - p.shape[-2]), (0, pw - p.shape[-1]))
-        if p.ndim == 2:
-            pads = pads[1:]
-        return np.pad(p, pads, mode="edge").astype(src_dt)
+    def up(p, ph, pw2):
+        hh, ww = p.shape[-2], p.shape[-1]
+        flat = np.ascontiguousarray(p.reshape(-1, ww).astype(src_dt,
+                                                             copy=False))
+        return _pad_gop_j(jnp.asarray(flat), f=flat.shape[0] // hh,
+                          h=hh, w=ww, hp=ph, wp=pw2)
 
-    oy = jnp.asarray(padp(orig_y, hp, wp).reshape(f * hp, wp)) \
-        .reshape(f, hp, wp)
-    ocb = jnp.asarray(padp(orig_cb, hp // 2, wp // 2)
-                      .reshape(f * (hp // 2), wp // 2)) \
-        .reshape(f, hp // 2, wp // 2)
-    ocr = jnp.asarray(padp(orig_cr, hp // 2, wp // 2)
-                      .reshape(f * (hp // 2), wp // 2)) \
-        .reshape(f, hp // 2, wp // 2)
-    ry = jnp.asarray(padp(np.asarray(ref.y), hp, wp))
-    rcb = jnp.asarray(padp(np.asarray(ref.cb), hp // 2, wp // 2))
-    rcr = jnp.asarray(padp(np.asarray(ref.cr), hp // 2, wp // 2))
+    oy = up(orig_y, hp, wp)
+    ocb = up(orig_cb, hp // 2, wp // 2)
+    ocr = up(orig_cr, hp // 2, wp // 2)
+    if isinstance(ref, DeviceRef):
+        jdt = jnp.uint8 if cfg.bit_depth == 8 else jnp.uint16
+
+        def dpad(p, ph, pw2):
+            hh, ww = p.shape
+            return _pad_gop_j(p.astype(jdt), f=1, h=hh, w=ww, hp=ph,
+                              wp=pw2)[0]
+
+        ry = dpad(ref.y, hp, wp)
+        rcb = dpad(ref.cb, hp // 2, wp // 2)
+        rcr = dpad(ref.cr, hp // 2, wp // 2)
+    else:
+        ry = up(np.asarray(ref.y)[None], hp, wp)[0]
+        rcb = up(np.asarray(ref.cb)[None], hp // 2, wp // 2)[0]
+        rcr = up(np.asarray(ref.cr)[None], hp // 2, wp // 2)[0]
 
     res, final_ref = _pgop_scan(
         ry, rcb, rcr, oy, ocb, ocr, qp=int(qp), qpc=int(qpc),
@@ -517,11 +533,12 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
         me_range=me_range, need_recon=need_recon)
 
+    from ..ops.compact import fetch_plane_compact
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
     mv8 = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]
-    cf_y = np.asarray(res[2]).reshape(f, hp, wp)[:, :h, :w]
-    cf_c = np.asarray(res[3]).reshape(2 * f, hp // 2, wp // 2) \
-        [:, :h // 2, :w // 2]
+    cf_y = fetch_plane_compact(res[2]).reshape(f, hp, wp)[:, :h, :w]
+    cf_c = fetch_plane_compact(res[3]) \
+        .reshape(2 * f, hp // 2, wp // 2)[:, :h // 2, :w // 2]
     sao_all = np.asarray(res[4]).astype(np.int32)   # (F, 3, ncty, nctx, 6)
     if need_recon:
         ry_np = np.asarray(res[5]).reshape(f, hp, wp)[:, :h, :w]
@@ -545,8 +562,7 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                                      rc_np[f + i].astype(np.int32)))
         else:
             recons.append(None)
-    fr = [np.asarray(p) for p in final_ref]
-    last_ref = ReconFrame(fr[0][:h, :w].astype(np.int32),
-                          fr[1][:h // 2, :w // 2].astype(np.int32),
-                          fr[2][:h // 2, :w // 2].astype(np.int32))
+    last_ref = DeviceRef(final_ref[0][:h, :w],
+                         final_ref[1][:h // 2, :w // 2],
+                         final_ref[2][:h // 2, :w // 2])
     return syns, recons, last_ref

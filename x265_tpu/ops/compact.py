@@ -1,0 +1,62 @@
+"""Compact coefficient transfer: most quantized coefficients are zero,
+and this machine's device->host link runs at ~30-45 MB/s, so dense
+int16 coefficient planes dominate the download. Compaction keeps only
+the nonzero 4x4 coefficient groups (the CG granularity of residual
+coding, clause 7.3.8.11) plus their indices — typically a 5-20x
+smaller transfer for P frames (x265 has no analog: its coefficients
+never leave the core that produced them; this is the TPU equivalent
+of keeping them NUMA-local, frameencoder.cpp's per-thread coeff
+buffers).
+
+Sort-based compaction (argsort over a validity key) is used instead of
+a scatter: TPU scatters serialize, sorts are parallel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def compact_cgs(plane2d: jnp.ndarray, cap: int):
+    """(H, W) int plane -> (vals (cap, 16) int16, idx (cap,) int32,
+    total int32): the first `total` rows hold the nonzero 4x4 CGs in
+    raster order. Rows past `total` are garbage; if total > cap the
+    caller must fall back to the dense plane."""
+    h, w = plane2d.shape
+    ncy, ncx = h // 4, w // 4
+    cg = plane2d.reshape(ncy, 4, ncx, 4).transpose(0, 2, 1, 3) \
+        .reshape(ncy * ncx, 16)
+    nz = jnp.any(cg != 0, axis=1)
+    iota = jnp.arange(cg.shape[0], dtype=jnp.int32)
+    key = jnp.where(nz, iota, jnp.int32(1 << 30))
+    order = jnp.argsort(key)[:cap].astype(jnp.int32)
+    vals = jnp.take(cg, order, axis=0).astype(jnp.int16)
+    return vals, order, jnp.sum(nz.astype(jnp.int32))
+
+
+def expand_cgs_np(vals: np.ndarray, idx: np.ndarray, total: int,
+                  h: int, w: int) -> np.ndarray:
+    """Inverse of compact_cgs on the host -> dense (h, w) int32."""
+    ncy, ncx = h // 4, w // 4
+    cg = np.zeros((ncy * ncx, 16), np.int32)
+    t = int(total)
+    cg[idx[:t]] = vals[:t]
+    return cg.reshape(ncy, ncx, 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(h, w)
+
+
+def fetch_plane_compact(plane2d, cap_frac: int = 8) -> np.ndarray:
+    """Download a device coefficient plane via CG compaction, with a
+    dense fallback when the nonzero density exceeds the capacity."""
+    h, w = plane2d.shape
+    cap = max(4096, (h // 4) * (w // 4) // cap_frac)
+    vals, idx, total = compact_cgs(plane2d, cap=cap)
+    t = int(total)
+    if t > cap:
+        return np.asarray(plane2d).astype(np.int32)
+    return expand_cgs_np(np.asarray(vals), np.asarray(idx), t, h, w)
