@@ -64,8 +64,19 @@ class EncoderConfig:
     me_range: int = 6            # windowed full-search radius around the
     #                              coarse seed (merange analog) — the
     #                              fused P-GOP path's search effort
-    aq_mode: int = 0             # 0 off, 1 variance, 2 autovariance
+    aq_mode: int = 0             # 0 off, 1 variance, 2 autovariance,
+    #                              3 autovariance-biased (x265 default 2,
+    #                              param.cpp:268)
     aq_strength: float = 1.0
+    cutree: bool = False         # cuTree propagation (x265 default on,
+    #                              param.cpp:273); needs aq/dQP plumbing
+    qcomp: float = 0.6           # cuTree strength = 5*(1-qcomp)
+
+    @property
+    def dqp_enabled(self) -> bool:
+        """cu_qp_delta signalling needed (PPS cu_qp_delta_enabled_flag):
+        any per-CTU QP source active."""
+        return self.aq_mode > 0 or self.cutree
 
     def apply_preset(self, name: str) -> None:
         """Preset ladder over the implemented tool set (reference:
@@ -85,7 +96,8 @@ class EncoderConfig:
             "keyint": "keyint", "b": "bframes", "ref": "num_refs",
             "ctu": "ctu_size", "min_cu_size": "min_cu_size",
             "hash": "hash_sei", "aq_mode": "aq_mode",
-            "aq_strength": "aq_strength",
+            "aq_strength": "aq_strength", "cutree": "cutree",
+            "cu_tree": "cutree", "qcomp": "qcomp",
         }
         key = alias.get(key, key)
         if not hasattr(self, key):
