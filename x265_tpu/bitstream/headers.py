@@ -149,7 +149,12 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     w.write_se(cfg.qp - 26)           # init_qp_minus26
     w.write_flag(0)                   # constrained_intra_pred_flag
     w.write_flag(0)                   # transform_skip_enabled_flag
-    w.write_flag(0)                   # cu_qp_delta_enabled_flag
+    # cu_qp_delta: QG == CTU (diff_cu_qp_delta_depth = 0), so QP
+    # prediction degenerates to the previous QG in raster order
+    # (clause 8.6.1: the left/above QGs are in other CTBs)
+    w.write_flag(1 if cfg.dqp_enabled else 0)  # cu_qp_delta_enabled_flag
+    if cfg.dqp_enabled:
+        w.write_ue(0)                 # diff_cu_qp_delta_depth
     w.write_se(0)                     # pps_cb_qp_offset
     w.write_se(0)                     # pps_cr_qp_offset
     w.write_flag(0)                   # pps_slice_chroma_qp_offsets_present_flag

@@ -102,11 +102,18 @@ class SliceSyntaxEncoder:
     """Encodes one slice's CTUs into a CABAC bin stream."""
 
     def __init__(self, cfg: EncoderConfig, syn, slice_type: int = I_SLICE,
-                 qp: int | None = None, sao_params=None) -> None:
+                 qp: int | None = None, sao_params=None,
+                 qp_map=None) -> None:
         self.cfg = cfg
         self.syn = syn
         self.slice_type = slice_type
         self.qp = cfg.qp if qp is None else qp
+        # per-CTU dQP (cu_qp_delta, clause 7.3.8.10): QG == CTU, so the
+        # predictor is simply the previous QG's QP in raster order
+        self.qp_map = qp_map            # (ncty, nctx) int or None
+        self.prev_qp = self.qp
+        self.dqp_pending = False
+        self.dqp_target = self.qp
         ctx = ContextSet(0)
         ctx.states = init_states(slice_type, self.qp)
         self.cab = CabacEncoder(ctx)
@@ -138,10 +145,47 @@ class SliceSyntaxEncoder:
         return self.cab
 
     def encode_ctu(self, x0: int, y0: int) -> None:
+        if self.qp_map is not None:
+            self.dqp_pending = True
+            self.dqp_target = int(self.qp_map[y0 >> self.cfg.log2_ctu,
+                                              x0 >> self.cfg.log2_ctu])
         if self.sao_params is not None:
             self._code_sao(x0 // self.cfg.ctu_size,
                            y0 // self.cfg.ctu_size)
         self._code_cu_tree(x0, y0, self.cfg.log2_ctu)
+
+    def _maybe_code_dqp(self) -> None:
+        """cu_qp_delta_abs/sign (7.3.8.10, 9.3.3.9: TU(5) prefix +
+        EG0 suffix), coded once per QG at the first TU with any cbf."""
+        if not self.dqp_pending:
+            return
+        self.dqp_pending = False
+        delta = self.dqp_target - self.prev_qp
+        self.prev_qp = self.dqp_target
+        cab = self.cab
+        a = abs(delta)
+        cab.encode_bin(OFF["cu_qp_delta_abs"], int(a > 0))
+        if a == 0:
+            return
+        for _ in range(1, min(a, 5)):
+            cab.encode_bin(OFF["cu_qp_delta_abs"] + 1, 1)
+        if a < 5:
+            cab.encode_bin(OFF["cu_qp_delta_abs"] + 1, 0)
+        else:
+            self._code_eg0(a - 5)
+        cab.encode_bypass(1 if delta < 0 else 0)
+
+    def _code_eg0(self, symbol: int) -> None:
+        """0th-order Exp-Golomb, bypass."""
+        cab = self.cab
+        count = 0
+        while symbol >= (1 << count):
+            cab.encode_bypass(1)
+            symbol -= 1 << count
+            count += 1
+        cab.encode_bypass(0)
+        if count:
+            cab.encode_bypass_bins(symbol, count)
 
     # -- sao syntax (clause 7.3.8.3) --------------------------------------------
 
@@ -407,6 +451,8 @@ class SliceSyntaxEncoder:
             cab.encode_bin(OFF["cbf_luma"] + 1, cbf_y)
         else:
             assert cbf_y, "rqt_root_cbf implies residual"
+        if cbf_y or cbf_cb or cbf_cr:
+            self._maybe_code_dqp()
         if cbf_y:
             self.code_residual(syn.coeff_y[y0:y0 + size, x0:x0 + size],
                                log2_size, 0, SCAN_DIAG)
@@ -520,6 +566,9 @@ class SliceSyntaxEncoder:
                                     (x0, y0 + 4), (x0 + 4, y0 + 4))):
             cbf = self._cbf(syn.coeff_y, x, y, 4)
             cab.encode_bin(OFF["cbf_luma"], cbf)
+            # transform_unit for blkIdx s: chroma cbfs attach to s==3
+            if cbf or (s == 3 and (cbf_cb or cbf_cr)):
+                self._maybe_code_dqp()
             if cbf:
                 scan = intra_scan_idx(modes[s], 2, True)
                 self.code_residual(syn.coeff_y[y:y + 4, x:x + 4], 2, 0,
@@ -552,6 +601,8 @@ class SliceSyntaxEncoder:
         cab.encode_bin(OFF["cbf_chroma"], cbf_cr)
         # cbf_luma ctx: trafoDepth == 0 ? 1 : 0
         cab.encode_bin(OFF["cbf_luma"] + 1, cbf_y)
+        if cbf_y or cbf_cb or cbf_cr:
+            self._maybe_code_dqp()
         if cbf_y:
             blk = syn.coeff_y[y0:y0 + size, x0:x0 + size]
             scan = intra_scan_idx(luma_mode, log2_size, True)

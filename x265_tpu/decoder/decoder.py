@@ -54,6 +54,7 @@ class PpsInfo:
     deblock_disabled: bool = True
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
+    cu_qp_delta: bool = False      # per-QG dQP (QG == CTU only)
 
 
 @dataclass
@@ -133,7 +134,9 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
     p.init_qp = 26 + r.read_se()
     assert not r.read_flag()       # constrained intra
     assert not r.read_flag()       # transform skip
-    assert not r.read_flag()       # cu_qp_delta
+    p.cu_qp_delta = bool(r.read_flag())
+    if p.cu_qp_delta:
+        assert r.read_ue() == 0, "QG must equal CTU (diff depth 0)"
     p.cb_qp_offset = r.read_se()
     p.cr_qp_offset = r.read_se()
     r.read_flag()                  # slice chroma qp offsets present
@@ -244,9 +247,10 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
         frame = dec.decode()
         if not pps.deblock_disabled:
             from ..ops.deblock import deblock_frame_np
+            dqp = dec.qp8 if pps.cu_qp_delta else qp
             frame.y, frame.cb, frame.cr = deblock_frame_np(
                 frame.y, frame.cb, frame.cr, frame.depth8,
-                1 << sps.log2_ctu, qp, sps.bit_depth)
+                1 << sps.log2_ctu, dqp, sps.bit_depth)
         _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
         return frame
     if slice_type == 1:
@@ -259,7 +263,8 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
             from ..ops.deblock import deblock_luma_np, inter_bs_maps
             vbs, hbs = inter_bs_maps(frame.depth8, frame.mv8,
                                      frame.coeff_y, 1 << sps.log2_ctu)
-            frame.y = deblock_luma_np(frame.y, vbs, hbs, qp,
+            dqp = dec.qp8 if pps.cu_qp_delta else qp
+            frame.y = deblock_luma_np(frame.y, vbs, hbs, dqp,
                                       sps.bit_depth)
         _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
         return frame
@@ -275,7 +280,8 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
         from ..ops.deblock import deblock_luma_np, inter_bs_maps_b
         vbs, hbs = inter_bs_maps_b(frame.depth8, dec.mvb, dec.pf8,
                                    frame.coeff_y, 1 << sps.log2_ctu)
-        frame.y = deblock_luma_np(frame.y, vbs, hbs, qp, sps.bit_depth)
+        dqp = dec.qp8 if pps.cu_qp_delta else qp
+        frame.y = deblock_luma_np(frame.y, vbs, hbs, dqp, sps.bit_depth)
     _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
     return frame
 
@@ -322,8 +328,64 @@ class SliceDecoder:
         self.mode4 = np.full((self.h // 4, self.w // 4), 255,
                              dtype=np.uint8)
         self.bd = bd
-        self.qp_cb = chroma_qp(min(max(qp + pps.cb_qp_offset, 0), 57))
-        self.qp_cr = chroma_qp(min(max(qp + pps.cr_qp_offset, 0), 57))
+        self._init_dqp()
+
+    # -- per-QG dQP (cu_qp_delta; QG == CTU so the predictor is the
+    # -- previous QG's QP in raster order, clause 8.6.1) -----------------------
+
+    def _init_dqp(self) -> None:
+        self.dqp_on = self.pps.cu_qp_delta
+        self.prev_qp = self.qp       # qPY_PREV
+        self.cur_qp = self.qp        # QP of the current QG
+        self.dqp_pending = False
+        self.qp8 = np.full((self.h // 8, self.w // 8), self.qp, np.int32)
+
+    def _ctu_qp_start(self, x0: int, y0: int) -> None:
+        if self.dqp_on:
+            self.dqp_pending = True
+            self.cur_qp = self.prev_qp   # prediction until delta arrives
+
+    def _ctu_qp_end(self, x0: int, y0: int) -> None:
+        if not self.dqp_on:
+            return
+        ctu = 1 << self.sps.log2_ctu
+        s = ctu >> 3
+        self.qp8[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s] = self.cur_qp
+        self.prev_qp = self.cur_qp
+        self.dqp_pending = False
+
+    def _parse_dqp(self) -> None:
+        """cu_qp_delta_abs/sign (9.3.3.9: TU(5) prefix + EG0 suffix)."""
+        if not self.dqp_pending:
+            return
+        self.dqp_pending = False
+        cab = self.cab
+        a = cab.decode_bin(OFF["cu_qp_delta_abs"])
+        if a:
+            while a < 5 and cab.decode_bin(OFF["cu_qp_delta_abs"] + 1):
+                a += 1
+            if a == 5:
+                count = 0
+                value = 0
+                while cab.decode_bypass():
+                    value += 1 << count
+                    count += 1
+                a += value + (cab.decode_bypass_bins(count) if count else 0)
+            if cab.decode_bypass():
+                a = -a
+        self.cur_qp = self.prev_qp + a
+
+    @property
+    def qp_y(self) -> int:
+        return self.cur_qp if self.dqp_on else self.qp
+
+    @property
+    def qp_cb(self) -> int:
+        return chroma_qp(min(max(self.qp_y + self.pps.cb_qp_offset, 0), 57))
+
+    @property
+    def qp_cr(self) -> int:
+        return chroma_qp(min(max(self.qp_y + self.pps.cr_qp_offset, 0), 57))
 
     def _init_sao(self, sao: bool) -> None:
         self.sao_on = sao
@@ -385,9 +447,11 @@ class SliceDecoder:
             self.sao_pcr = np.zeros((rows, cols, 6), np.int32)
         for addr in range(rows * cols):
             cy, cx = divmod(addr, cols)
+            self._ctu_qp_start(cx * ctu, cy * ctu)
             if self.sao_on:
                 self._parse_sao(cx, cy)
             self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
+            self._ctu_qp_end(cx * ctu, cy * ctu)
             end = self.cab.decode_terminate()
             assert end == (1 if addr == rows * cols - 1 else 0), \
                 f"end_of_slice mismatch at CTU {addr}"
@@ -491,6 +555,8 @@ class SliceDecoder:
         cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
         cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
         cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1)
+        if cbf_y or cbf_cb or cbf_cr:
+            self._parse_dqp()
         coeff_y = coeff_cb = coeff_cr = None
         if cbf_y:
             scan = intra_scan_idx(mode, log2_size, True)
@@ -518,7 +584,10 @@ class SliceDecoder:
         for s, (x, y) in enumerate(((x0, y0), (x0 + 4, y0),
                                     (x0, y0 + 4), (x0 + 4, y0 + 4))):
             cy_ = None
-            if cab.decode_bin(OFF["cbf_luma"]):
+            cbf = cab.decode_bin(OFF["cbf_luma"])
+            if cbf or (s == 3 and (cbf_cb or cbf_cr)):
+                self._parse_dqp()
+            if cbf:
                 scan = intra_scan_idx(modes[s], 2, True)
                 cy_ = self._residual(2, 0, scan)
             self._reconstruct_luma4(x, y, modes[s], cy_)
@@ -558,7 +627,7 @@ class SliceDecoder:
                              filtered=filt)
         resi = 0
         if cy_ is not None:
-            resi = idct_np(dequant_np(cy_, self.qp, bd), bd, dst=True)
+            resi = idct_np(dequant_np(cy_, self.qp_y, bd), bd, dst=True)
         self.y[y0:y0 + 4, x0:x0 + 4] = np.clip(pred + resi,
                                                0, (1 << bd) - 1)
         self.decoded_y[y0:y0 + 4, x0:x0 + 4] = True
@@ -598,7 +667,7 @@ class SliceDecoder:
                              filtered=filt)
         resi = 0
         if cy_ is not None:
-            dq = dequant_np(cy_, self.qp, bd)
+            dq = dequant_np(cy_, self.qp_y, bd)
             resi = idct_np(dq, bd, dst=(log2_size == 2))
         self.y[y0:y0 + n, x0:x0 + n] = np.clip(pred + resi, 0, (1 << bd) - 1)
         self.decoded_y[y0:y0 + n, x0:x0 + n] = True
@@ -796,6 +865,7 @@ class PSliceDecoder:
         self.coded8 = np.zeros((n8y, n8x), dtype=bool)
         self.coeff_y = np.zeros((self.h, self.w), dtype=np.int32)
         self.qp_c = chroma_qp(qp)
+        self._init_dqp()
 
     def decode(self) -> DecodedFrame:
         log2_ctu = self.sps.log2_ctu
@@ -808,9 +878,11 @@ class PSliceDecoder:
             self.sao_pcr = np.zeros((rows, cols, 6), np.int32)
         for addr in range(rows * cols):
             cy, cx = divmod(addr, cols)
+            self._ctu_qp_start(cx * ctu, cy * ctu)
             if self.sao_on:
                 self._parse_sao(cx, cy)
             self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
+            self._ctu_qp_end(cx * ctu, cy * ctu)
             end = self.cab.decode_terminate()
             assert end == (1 if addr == rows * cols - 1 else 0)
         return DecodedFrame(self.y, self.cb, self.cr, self.qp,
@@ -819,6 +891,11 @@ class PSliceDecoder:
 
     _init_sao = SliceDecoder._init_sao
     _parse_sao = SliceDecoder._parse_sao
+    _init_dqp = SliceDecoder._init_dqp
+    _ctu_qp_start = SliceDecoder._ctu_qp_start
+    _ctu_qp_end = SliceDecoder._ctu_qp_end
+    _parse_dqp = SliceDecoder._parse_dqp
+    qp_y = SliceDecoder.qp_y
 
     def _depth_at(self, x, y):
         return int(self.depth8[y >> 3, x >> 3])
@@ -944,6 +1021,8 @@ class PSliceDecoder:
                 cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1)
             else:
                 cbf_y = 1
+            if cbf_y or cbf_cb or cbf_cr:
+                self._parse_dqp()
             if cbf_y:
                 cy_ = self._residual(log2_size, 0, SCAN_DIAG)
             if size >> 1 >= 4:
@@ -996,10 +1075,12 @@ class PSliceDecoder:
         self.coded8[sl] = True
         bd = self.bd
         pred = luma_mc_np(self.ref.y, x0, y0, size, mv[0], mv[1], bd)
+        qpy = self.qp_y
+        qpc = chroma_qp(qpy) if self.dqp_on else self.qp_c
         resi = 0
         if cy_ is not None:
             self.coeff_y[y0:y0 + size, x0:x0 + size] = cy_
-            resi = idct_np(dequant_np(cy_, self.qp, bd), bd)
+            resi = idct_np(dequant_np(cy_, qpy, bd), bd)
         self.y[y0:y0 + size, x0:x0 + size] = np.clip(
             pred + resi, 0, (1 << bd) - 1)
         cn = size >> 1
@@ -1009,7 +1090,7 @@ class PSliceDecoder:
             pred_c = chroma_mc_np(ref_p, cx0, cy0, cn, mv[0], mv[1], bd)
             resi_c = 0
             if coeff is not None:
-                resi_c = idct_np(dequant_np(coeff, self.qp_c, bd), bd)
+                resi_c = idct_np(dequant_np(coeff, qpc, bd), bd)
             plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
                 pred_c + resi_c, 0, (1 << bd) - 1)
 
@@ -1058,6 +1139,7 @@ class BSliceDecoder:
         self.coded8 = np.zeros((n8y, n8x), dtype=bool)
         self.coeff_y = np.zeros((self.h, self.w), dtype=np.int32)
         self.qp_c = chroma_qp(qp)
+        self._init_dqp()
 
     decode = PSliceDecoder.decode
     _depth_at = PSliceDecoder._depth_at
@@ -1071,6 +1153,11 @@ class BSliceDecoder:
     _last_position = SliceDecoder._last_position
     _sig_ctx = staticmethod(SliceDecoder._sig_ctx)
     _decode_remaining = SliceDecoder._decode_remaining
+    _init_dqp = SliceDecoder._init_dqp
+    _ctu_qp_start = SliceDecoder._ctu_qp_start
+    _ctu_qp_end = SliceDecoder._ctu_qp_end
+    _parse_dqp = SliceDecoder._parse_dqp
+    qp_y = SliceDecoder.qp_y
 
     def _cu(self, x0, y0, log2_size):
         from ..common.mv_derive import merge_candidates_b, amvp_candidates_b
@@ -1129,6 +1216,8 @@ class BSliceDecoder:
             cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
             cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1) \
                 if (cbf_cb or cbf_cr) else 1
+            if cbf_y or cbf_cb or cbf_cr:
+                self._parse_dqp()
             if cbf_y:
                 cy_ = self._residual(log2_size, 0, SCAN_DIAG)
             if size >> 1 >= 4:
@@ -1168,10 +1257,12 @@ class BSliceDecoder:
             return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)
 
         pred = pred_plane(None, x0, y0, size, True)
+        qpy = self.qp_y
+        qpc = chroma_qp(qpy) if self.dqp_on else self.qp_c
         resi = 0
         if cy_ is not None:
             self.coeff_y[y0:y0 + size, x0:x0 + size] = cy_
-            resi = idct_np(dequant_np(cy_, self.qp, bd), bd)
+            resi = idct_np(dequant_np(cy_, qpy, bd), bd)
         self.y[y0:y0 + size, x0:x0 + size] = np.clip(
             pred + resi, 0, (1 << bd) - 1)
         cn = size >> 1
@@ -1181,6 +1272,6 @@ class BSliceDecoder:
             pred_c = pred_plane(sel, cx0, cy0, cn, False)
             resi_c = 0
             if coeff is not None:
-                resi_c = idct_np(dequant_np(coeff, self.qp_c, bd), bd)
+                resi_c = idct_np(dequant_np(coeff, qpc, bd), bd)
             plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
                 pred_c + resi_c, 0, (1 << bd) - 1)

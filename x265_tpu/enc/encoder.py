@@ -33,6 +33,31 @@ def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.pad(p, ((0, ph), (0, pw)), mode="edge")
 
 
+def effective_qp_map(qp_map: np.ndarray, coeff_y: np.ndarray,
+                     coeff_cb: np.ndarray, coeff_cr: np.ndarray,
+                     ctu: int, slice_qp: int) -> np.ndarray:
+    """The per-CTU QP a decoder will infer: a CTU that codes no
+    residual never signals cu_qp_delta, so its QP is the predictor
+    (previous QG in raster order; slice QP at the start). Used for
+    the encoder-side deblock tc/beta lookups (clause 8.7.2.5.3)."""
+    ncty, nctx = qp_map.shape
+    eff = np.empty_like(qp_map)
+    prev = slice_qp
+    c = ctu // 2
+    for ty in range(ncty):
+        y0 = ty * ctu
+        for tx in range(nctx):
+            x0 = tx * ctu
+            any_c = (coeff_y[y0:y0 + ctu, x0:x0 + ctu].any()
+                     or coeff_cb[y0 // 2:y0 // 2 + c,
+                                 x0 // 2:x0 // 2 + c].any()
+                     or coeff_cr[y0 // 2:y0 // 2 + c,
+                                 x0 // 2:x0 // 2 + c].any())
+            prev = int(qp_map[ty, tx]) if any_c else prev
+            eff[ty, tx] = prev
+    return eff
+
+
 @dataclass
 class EncoderStats:
     """Global encode statistics (the x265_stats analog, x265.h:655)."""
@@ -108,7 +133,12 @@ class IntraEncoder:
                      *, use_device_recon: bool = False,
                      use_native_cabac: bool = True,
                      qp: int | None = None,
-                     need_recon: bool = True) -> FrameResult:
+                     need_recon: bool = True,
+                     qp_map: np.ndarray | None = None) -> FrameResult:
+        """qp_map: per-CTU QP (ncty, nctx) from AQ/cuTree; when given,
+        cu_qp_delta is signalled per CTU (cfg.dqp_enabled must be on so
+        the PPS carries the flag). Currently drives the host recon
+        path."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         w, h = cfg.width_padded, cfg.height_padded
@@ -116,6 +146,10 @@ class IntraEncoder:
         cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
         crp = pad_plane(np.asarray(cr), h // 2, w // 2)
         device_ref = None
+        if qp_map is not None:
+            assert cfg.dqp_enabled, "qp_map needs cfg.aq_mode/cutree on"
+            qp_map = np.clip(np.asarray(qp_map, np.int32), 0, 51)
+            use_device_recon = False
 
         if use_device_recon:
             # fused device analysis (2 dispatches total: luma + chroma)
@@ -188,12 +222,21 @@ class IntraEncoder:
             syn, recon = reconstruct_intra_frame(yp, cbp, crp, depth8,
                                                  mode8, cfg, qp,
                                                  cmode8=cmode8,
-                                                 nxn8=nxn8, mode4=mode4)
+                                                 nxn8=nxn8, mode4=mode4,
+                                                 qp_map=qp_map)
             if cfg.deblock:
                 from ..ops.deblock import deblock_frame_np
+                dqp = qp
+                if qp_map is not None:
+                    eff = effective_qp_map(qp_map, syn.coeff_y,
+                                           syn.coeff_cb, syn.coeff_cr,
+                                           cfg.ctu_size, qp)
+                    k = cfg.ctu_size // 8
+                    dqp = np.repeat(np.repeat(eff, k, 0), k, 1) \
+                        [:h // 8, :w // 8]
                 dy, dcb, dcr = deblock_frame_np(
                     recon.y, recon.cb, recon.cr, depth8, cfg.ctu_size,
-                    qp, cfg.bit_depth)
+                    dqp, cfg.bit_depth)
                 recon = ReconFrame(dy, dcb, dcr)
             if cfg.sao:
                 from ..ops.sao import (choose_sao_params,
@@ -225,13 +268,15 @@ class IntraEncoder:
                 w, h, cfg.log2_ctu, cfg.log2_min_cu,
                 init_states(I_SLICE, qp), mode8=syn.mode8,
                 sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8,
-                sao_params=sao_params, nxn8=syn.nxn8, mode4=syn.mode4)
+                sao_params=sao_params, nxn8=syn.nxn8, mode4=syn.mode4,
+                qp_map=qp_map, slice_qp=qp)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)
         else:
             syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, qp,
-                                        sao_params=sao_params)
+                                        sao_params=sao_params,
+                                        qp_map=qp_map)
             cab = syntax.encode_slice_data()
             cab.finish_into(sw)
         sw.align_one()

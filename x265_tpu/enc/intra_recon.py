@@ -65,8 +65,11 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
                             qp: int | None = None,
                             cmode8: np.ndarray | None = None,
                             nxn8: np.ndarray | None = None,
-                            mode4: np.ndarray | None = None
+                            mode4: np.ndarray | None = None,
+                            qp_map: np.ndarray | None = None
                             ) -> tuple[FrameIntraSyntax, ReconFrame]:
+    """qp_map: optional per-CTU QP (ncty, nctx) from AQ/cuTree; the
+    per-CU quant QP is the covering CTU's entry (QG == CTU)."""
     h, w = orig_y.shape
     bd = cfg.bit_depth
     qp = cfg.qp if qp is None else qp
@@ -84,8 +87,14 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
     ctu = cfg.ctu_size
     log2_ctu = cfg.log2_ctu
 
+    def qp_at(x0: int, y0: int) -> int:
+        if qp_map is None:
+            return qp
+        return int(qp_map[y0 >> log2_ctu, x0 >> log2_ctu])
+
     def luma_tu(x0: int, y0: int, n: int, mode: int) -> None:
         log2n = n.bit_length() - 1
+        qq = qp_at(x0, y0)
         av = _avail_mask(dec_y, x0, y0, n)
         refs = canonical_refs(rec_y, x0, y0, n, av, bd)
         filt = filter_refs(refs, n, bd)
@@ -94,15 +103,15 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
         resi = orig_y[y0:y0 + n, x0:x0 + n].astype(np.int32) - pred
         if cfg.sign_hiding:
             coefs, du = quant_np(dct_np(resi, bd, dst=(log2n == 2)),
-                                 qp, bd, intra=True, with_rem=True)
+                                 qq, bd, intra=True, with_rem=True)
             coefs = sign_hide_np(coefs, intra_scan_idx(mode, log2n,
                                                        True), du)
         else:
-            coefs = quant_np(dct_np(resi, bd, dst=(log2n == 2)), qp,
+            coefs = quant_np(dct_np(resi, bd, dst=(log2n == 2)), qq,
                              bd, intra=True)
         if np.any(coefs):
             coeff_y[y0:y0 + n, x0:x0 + n] = coefs
-            r = idct_np(dequant_np(coefs, qp, bd), bd, dst=(log2n == 2))
+            r = idct_np(dequant_np(coefs, qq, bd), bd, dst=(log2n == 2))
             rec_y[y0:y0 + n, x0:x0 + n] = np.clip(pred + r, 0, maxv)
         else:
             rec_y[y0:y0 + n, x0:x0 + n] = pred
@@ -126,6 +135,7 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
         cn = n >> 1
         if cn < 4:
             return
+        qqc = chroma_qp(qp_at(x0, y0)) if qp_map is not None else qpc
         cx0, cy0 = x0 >> 1, y0 >> 1
         avc = _avail_mask(dec_c, cx0, cy0, cn)
         for op, rp, cp in ((orig_cb, rec_cb, coeff_cb),
@@ -135,17 +145,17 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
                                    bit_depth=bd)
             resi_c = op[cy0:cy0 + cn, cx0:cx0 + cn].astype(np.int32) - pred_c
             if cfg.sign_hiding:
-                coefs_c, du_c = quant_np(dct_np(resi_c, bd), qpc, bd,
+                coefs_c, du_c = quant_np(dct_np(resi_c, bd), qqc, bd,
                                          intra=True, with_rem=True)
                 coefs_c = sign_hide_np(
                     coefs_c, intra_scan_idx(cmode, log2_size - 1, False),
                     du_c)
             else:
-                coefs_c = quant_np(dct_np(resi_c, bd), qpc, bd,
+                coefs_c = quant_np(dct_np(resi_c, bd), qqc, bd,
                                    intra=True)
             if np.any(coefs_c):
                 cp[cy0:cy0 + cn, cx0:cx0 + cn] = coefs_c
-                r = idct_np(dequant_np(coefs_c, qpc, bd), bd)
+                r = idct_np(dequant_np(coefs_c, qqc, bd), bd)
                 rp[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(pred_c + r, 0, maxv)
             else:
                 rp[cy0:cy0 + cn, cx0:cx0 + cn] = pred_c

@@ -263,6 +263,13 @@ struct SliceEnc {
     const uint8_t* nxn8 = nullptr;     // PART_NxN flags at min CU
     const uint8_t* mode4 = nullptr;    // per-PU modes, 4x4 granularity
     const int32_t* sao_p[3] = {nullptr, nullptr, nullptr};
+    // per-CTU dQP (cu_qp_delta; QG == CTU so the predictor is the
+    // previous QG's QP in raster order)
+    const int32_t* qp_map = nullptr;   // (rows, cols) desired per-CTU QP
+    int slice_qp = 26;
+    int prev_qp = 26;
+    int dqp_target = 26;
+    bool dqp_pending = false;
     std::vector<uint8_t> skip8, coded8;
 
     SliceEnc(uint8_t* states, const uint8_t* d8, const uint8_t* m8,
@@ -285,12 +292,46 @@ struct SliceEnc {
         int rows = (h + ctu - 1) >> log2_ctu;
         int cols = (w + ctu - 1) >> log2_ctu;
         int nctu = rows * cols;
+        prev_qp = slice_qp;
         for (int a = 0; a < nctu; a++) {
             int cx = a % cols, cy_ = a / cols;
+            if (qp_map) {
+                dqp_pending = true;
+                dqp_target = qp_map[a];
+            }
             if (sao_p[0]) code_sao(cx, cy_, cols);
             cu_tree(cx * ctu, cy_ * ctu, log2_ctu);
             cab.encode_terminate(a == nctu - 1 ? 1 : 0);
         }
+    }
+
+    // cu_qp_delta_abs/sign (9.3.3.9: TU(5) prefix + EG0 suffix), coded
+    // once per QG at the first TU with any cbf
+    void maybe_code_dqp() {
+        if (!dqp_pending) return;
+        dqp_pending = false;
+        int delta = dqp_target - prev_qp;
+        prev_qp = dqp_target;
+        int a = delta < 0 ? -delta : delta;
+        cab.encode_bin(OFF_CU_QP_DELTA_ABS, a > 0);
+        if (a == 0) return;
+        int lim = a < 5 ? a : 5;
+        for (int k = 1; k < lim; k++)
+            cab.encode_bin(OFF_CU_QP_DELTA_ABS + 1, 1);
+        if (a < 5) {
+            cab.encode_bin(OFF_CU_QP_DELTA_ABS + 1, 0);
+        } else {
+            uint32_t sym = a - 5;    // EG0 suffix
+            int count = 0;
+            while (sym >= (1u << count)) {
+                cab.encode_bypass(1);
+                sym -= 1u << count;
+                count++;
+            }
+            cab.encode_bypass(0);
+            if (count) cab.encode_bypass_bins(sym, count);
+        }
+        cab.encode_bypass(delta < 0);
     }
 
     // -- sao (clause 7.3.8.3) ------------------------------------------------
@@ -492,6 +533,7 @@ struct SliceEnc {
         cab.encode_bin(OFF_CBF_CHROMA, fcb);
         cab.encode_bin(OFF_CBF_CHROMA, fcr);
         if (fcb || fcr) cab.encode_bin(OFF_CBF_LUMA + 1, fy);
+        if (fy || fcb || fcr) maybe_code_dqp();
         if (fy) residual(cy, w, x0, y0, l2, 0, 0);
         if ((size >> 1) >= 4) {
             if (fcb) residual(ccb, cstride, x0 >> 1, y0 >> 1, l2 - 1, 1, 0);
@@ -621,6 +663,8 @@ struct SliceEnc {
         for (int s = 0; s < 4; s++) {
             bool fy = cbf(cy, w, px[s], py[s], 4);
             cab.encode_bin(OFF_CBF_LUMA, fy);
+            // transform_unit blkIdx s: chroma cbfs attach to s == 3
+            if (fy || (s == 3 && (fcb || fcr))) maybe_code_dqp();
             if (fy)
                 residual(cy, w, px[s], py[s], 2, 0,
                          intra_scan_idx(modes[s], 2, true));
@@ -648,6 +692,7 @@ struct SliceEnc {
         cab.encode_bin(OFF_CBF_CHROMA, fcb);
         cab.encode_bin(OFF_CBF_CHROMA, fcr);
         cab.encode_bin(OFF_CBF_LUMA + 1, fy);
+        if (fy || fcb || fcr) maybe_code_dqp();
         if (fy)
             residual(cy, w, x0, y0, l2, 0, intra_scan_idx(mode, l2, true));
         if (cs >= 4) {
@@ -827,6 +872,7 @@ int encode_slice(int slice_type, const uint8_t* depth8,
                  const int32_t* sao_py, const int32_t* sao_pcb,
                  const int32_t* sao_pcr,
                  const uint8_t* nxn8, const uint8_t* mode4,
+                 const int32_t* qp_map, int slice_qp,
                  int w, int h, int log2_ctu, int log2_min_cu,
                  uint8_t* init_states, int num_ctx,
                  uint8_t* out, int out_cap,
@@ -841,6 +887,8 @@ int encode_slice(int slice_type, const uint8_t* depth8,
     enc.cmode8 = cmode8;
     enc.nxn8 = nxn8;
     enc.mode4 = mode4;
+    enc.qp_map = qp_map;
+    enc.slice_qp = slice_qp;
     enc.sao_p[0] = sao_py; enc.sao_p[1] = sao_pcb; enc.sao_p[2] = sao_pcr;
     enc.run();
     enc.cab.finish(tail_val, tail_bits);

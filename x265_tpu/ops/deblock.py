@@ -145,20 +145,32 @@ def _c3(lo, hi, v):
     return lo if v < lo else (hi if v > hi else v)
 
 
+def _qp8_of(qp, n8y: int, n8x: int) -> np.ndarray:
+    """Per-8x8-cell luma QP map from a scalar or (n8y, n8x) array."""
+    if np.isscalar(qp) or getattr(qp, "ndim", 0) == 0:
+        return np.full((n8y, n8x), int(qp), np.int32)
+    q = np.asarray(qp, np.int32)
+    assert q.shape == (n8y, n8x), (q.shape, n8y, n8x)
+    return q
+
+
 def deblock_luma_np(plane: np.ndarray, vbs: np.ndarray, hbs: np.ndarray,
-                    qp: int, bit_depth: int = 8) -> np.ndarray:
+                    qp, bit_depth: int = 8) -> np.ndarray:
     """Luma deblock; vbs/hbs: per-cell boundary strength (0/1/2).
-    Returns the filtered plane copy."""
+    qp: scalar or per-8x8-cell map (dQP: clause 8.7.2.5.3 takes the
+    average of the two sides' CU QPs per edge). Returns a filtered
+    copy."""
     h, w = plane.shape
     out = plane.astype(np.int64).copy()
     shift = bit_depth - 8
-    beta = int(BETA_TABLE[min(max(qp, 0), 51)]) << shift
     maxv = (1 << bit_depth) - 1
-    if beta == 0:
-        return out.astype(plane.dtype)
+    qp8 = _qp8_of(qp, h // 8, w // 8)
 
-    def tc_of(bs):
-        return int(TC_TABLE[min(max(qp + 2 * (bs - 1), 0), 53)]) << shift
+    def beta_of(qpv):
+        return int(BETA_TABLE[min(max(qpv, 0), 51)]) << shift
+
+    def tc_of(qpv, bs):
+        return int(TC_TABLE[min(max(qpv + 2 * (bs - 1), 0), 53)]) << shift
 
     # vertical edges (whole picture) first
     for k in range(1, w // 8):
@@ -166,7 +178,11 @@ def deblock_luma_np(plane: np.ndarray, vbs: np.ndarray, hbs: np.ndarray,
         for i in range(h // 8):
             if not vbs[i, k]:
                 continue
-            tc = tc_of(int(vbs[i, k]))
+            qpe = (int(qp8[i, k - 1]) + int(qp8[i, k]) + 1) >> 1
+            beta = beta_of(qpe)
+            if beta == 0:
+                continue
+            tc = tc_of(qpe, int(vbs[i, k]))
             for seg in range(2):
                 y = 8 * i + 4 * seg
                 get = lambda c, r: int(out[y + r, x - 4 + c])
@@ -178,7 +194,11 @@ def deblock_luma_np(plane: np.ndarray, vbs: np.ndarray, hbs: np.ndarray,
         for k in range(w // 8):
             if not hbs[i, k]:
                 continue
-            tc = tc_of(int(hbs[i, k]))
+            qpe = (int(qp8[i - 1, k]) + int(qp8[i, k]) + 1) >> 1
+            beta = beta_of(qpe)
+            if beta == 0:
+                continue
+            tc = tc_of(qpe, int(hbs[i, k]))
             for seg in range(2):
                 x = 8 * k + 4 * seg
                 get = lambda c, r: int(out[y - 4 + c, x + r])
@@ -188,19 +208,24 @@ def deblock_luma_np(plane: np.ndarray, vbs: np.ndarray, hbs: np.ndarray,
 
 
 def deblock_chroma_np(plane: np.ndarray, vmask: np.ndarray,
-                      hmask: np.ndarray, qp_c: int,
+                      hmask: np.ndarray, qp,
                       bit_depth: int = 8) -> np.ndarray:
     """Chroma deblock (bs=2 edges only). vmask/hmask on the LUMA 8-grid;
-    chroma edges exist where the luma coordinate is a multiple of 16."""
+    chroma edges exist where the luma coordinate is a multiple of 16.
+    qp: LUMA qp, scalar or per-luma-8-cell map — the per-edge chroma QP
+    is chroma_qp((QpP + QpQ + 1) >> 1) (clause 8.7.2.5.5)."""
     h, w = plane.shape           # chroma dims
     out = plane.astype(np.int64).copy()
     shift = bit_depth - 8
-    tc = int(TC_TABLE[min(max(qp_c + 2, 0), 53)]) << shift
     maxv = (1 << bit_depth) - 1
-    if tc == 0:
-        return out.astype(plane.dtype)
+    n8y, n8x = vmask.shape
+    qp8 = _qp8_of(qp, n8y, n8x)
 
-    def filt(p1, p0, q0, q1):
+    def tc_of(qpl_p, qpl_q):
+        qpc = chroma_qp((qpl_p + qpl_q + 1) >> 1)
+        return int(TC_TABLE[min(max(qpc + 2, 0), 53)]) << shift
+
+    def filt(tc, p1, p0, q0, q1):
         delta = _c3(-tc, tc, (((q0 - p0) << 2) + p1 - q1 + 4) >> 3)
         return _c3(0, maxv, p0 + delta), _c3(0, maxv, q0 - delta)
 
@@ -209,9 +234,13 @@ def deblock_chroma_np(plane: np.ndarray, vmask: np.ndarray,
         if 2 * k >= vmask.shape[1]:
             continue
         for y in range(h):
-            if not vmask[(2 * y) // 8, 2 * k]:
+            cell_y = (2 * y) // 8
+            if not vmask[cell_y, 2 * k]:
                 continue
-            p0n, q0n = filt(int(out[y, x - 2]), int(out[y, x - 1]),
+            tc = tc_of(int(qp8[cell_y, 2 * k - 1]), int(qp8[cell_y, 2 * k]))
+            if tc == 0:
+                continue
+            p0n, q0n = filt(tc, int(out[y, x - 2]), int(out[y, x - 1]),
                             int(out[y, x]), int(out[y, x + 1]))
             out[y, x - 1] = p0n
             out[y, x] = q0n
@@ -220,9 +249,13 @@ def deblock_chroma_np(plane: np.ndarray, vmask: np.ndarray,
         if 2 * i >= hmask.shape[0]:
             continue
         for x in range(w):
-            if not hmask[2 * i, (2 * x) // 8]:
+            cell_x = (2 * x) // 8
+            if not hmask[2 * i, cell_x]:
                 continue
-            p0n, q0n = filt(int(out[y - 2, x]), int(out[y - 1, x]),
+            tc = tc_of(int(qp8[2 * i - 1, cell_x]), int(qp8[2 * i, cell_x]))
+            if tc == 0:
+                continue
+            p0n, q0n = filt(tc, int(out[y - 2, x]), int(out[y - 1, x]),
                             int(out[y, x]), int(out[y + 1, x]))
             out[y - 1, x] = p0n
             out[y, x] = q0n
@@ -231,12 +264,12 @@ def deblock_chroma_np(plane: np.ndarray, vmask: np.ndarray,
 
 def deblock_frame_np(rec_y: np.ndarray, rec_cb: np.ndarray,
                      rec_cr: np.ndarray, depth8: np.ndarray, ctu: int,
-                     qp: int, bit_depth: int = 8):
+                     qp, bit_depth: int = 8):
+    """qp: scalar or per-8x8-cell luma QP map (per-CTU dQP expanded)."""
     vm, hm = edge_masks_from_depth(depth8, ctu)
-    qpc = chroma_qp(qp)
     return (deblock_luma_np(rec_y, vm * 2, hm * 2, qp, bit_depth),
-            deblock_chroma_np(rec_cb, vm, hm, qpc, bit_depth),
-            deblock_chroma_np(rec_cr, vm, hm, qpc, bit_depth))
+            deblock_chroma_np(rec_cb, vm, hm, qp, bit_depth),
+            deblock_chroma_np(rec_cr, vm, hm, qp, bit_depth))
 
 
 # =============================================================================

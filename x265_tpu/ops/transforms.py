@@ -165,10 +165,13 @@ def idct_batch(coef: jnp.ndarray, size: int, bit_depth: int = 8,
 def quant_batch(coef: jnp.ndarray, size: int, qp, bit_depth: int = 8,
                 intra: bool = True, with_rem: bool = False):
     """Quantize (B, N, N) int32 coeffs. size is static; qp may be a
-    python int or a traced scalar (per-frame rate control). with_rem
-    additionally returns the deltaU rounding remainders."""
+    python int, a traced scalar (per-frame rate control), or a (B,)
+    vector (per-CU dQP from AQ/cuTree). with_rem additionally returns
+    the deltaU rounding remainders."""
     log2n = size.bit_length() - 1
     qp = jnp.asarray(qp, dtype=jnp.int32)
+    if qp.ndim == 1:
+        qp = qp[:, None, None]     # broadcast per-block over (B, N, N)
     per, rem = qp // 6, qp % 6
     qbits = QUANT_SHIFT + per + transform_shift(log2n, bit_depth)
     add = jnp.left_shift(jnp.int32(171 if intra else 85), qbits - 9)
@@ -298,8 +301,11 @@ def sign_hide_batch(coefs: jnp.ndarray, size: int, scan_sel,
 
 def dequant_batch(level: jnp.ndarray, size: int, qp,
                   bit_depth: int = 8) -> jnp.ndarray:
+    """Dequantize; qp may be a scalar or a (B,) per-block vector."""
     log2n = size.bit_length() - 1
     qp = jnp.asarray(qp, dtype=jnp.int32)
+    if qp.ndim == 1:
+        qp = qp[:, None, None]
     per, rem = qp // 6, qp % 6
     shift = bit_depth + log2n - 9
     scale = jnp.left_shift(jnp.take(jnp.asarray(INV_QUANT_SCALES), rem), per)
