@@ -21,3 +21,15 @@ jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches():
+    """Drop live compiled executables between test modules: a full-suite
+    run accumulates hundreds of XLA CPU programs in one process, which
+    has produced allocator segfaults inside backend_compile. The
+    persistent on-disk cache keeps recompiles cheap."""
+    yield
+    jax.clear_caches()

@@ -65,6 +65,31 @@ def test_intra_dqp_large_delta():
     assert np.array_equal(dec.cr, res.recon.cr)
 
 
+def test_pgop_dqp_roundtrip():
+    """Fused P-GOP with per-CTU QP maps: decoder output must match the
+    device pipeline's recon bit-exactly (quant, deblock per-edge QP,
+    effective-QP chaining for CTUs that code nothing)."""
+    cfg = EncoderConfig(width=96, height=64, qp=32, aq_mode=2,
+                        deblock=True)
+    enc = IntraEncoder(cfg)
+    f0 = _frame(64, 96, seed=7)
+    r0 = enc.encode_frame(*f0, qp_map=np.full((2, 3), 32, np.int32))
+    enc.ref = r0.recon
+    enc.poc = 0
+    pf = []
+    for i in range(1, 4):
+        y = np.roll(f0[0], 2 * i, axis=1)
+        pf.append((y, f0[1], f0[2]))
+    qmaps = np.stack([QP_MAP + i for i in range(3)])
+    rs = enc.encode_pgop(pf, qp_maps=qmaps)
+    stream = r0.bitstream + b"".join(r.bitstream for r in rs)
+    dec = decode_annexb(stream)
+    for d, r in zip(dec[1:], rs):
+        assert np.array_equal(d.y, r.recon.y)
+        assert np.array_equal(d.cb, r.recon.cb)
+        assert np.array_equal(d.cr, r.recon.cr)
+
+
 def test_dqp_changes_quantization():
     """Lower-QP CTUs carry more bits / better fidelity."""
     cfg = EncoderConfig(width=96, height=64, qp=32, aq_mode=2)

@@ -80,6 +80,7 @@ class FramePSyntax:
     coeff_cr: np.ndarray
     max_merge: int = 2
     sao_params: tuple | None = None   # (p_y, p_cb, p_cr) per-CTU params
+    qp_map: np.ndarray | None = None  # per-CTU QP (dQP), None = uniform
 
 
 def derive_mpm(cand_a: int, cand_b: int) -> list[int]:

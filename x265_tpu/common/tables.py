@@ -92,6 +92,10 @@ def chroma_qp(qp_i: int, csp420: bool = True) -> int:
     return qp_i - 6
 
 
+# flat LUT for traced per-block chroma QP derivation (qPi 0..57)
+CHROMA_QP_LUT = np.array([chroma_qp(q) for q in range(58)], dtype=np.int32)
+
+
 # --- scan orders (clause 6.5.3) ---------------------------------------------
 
 SCAN_DIAG = 0

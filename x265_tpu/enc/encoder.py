@@ -488,7 +488,8 @@ class IntraEncoder:
 
     def encode_pgop(self, frames, qp: int | None = None,
                     need_recon: bool = True,
-                    poc_step: int = 1) -> list[FrameResult]:
+                    poc_step: int = 1,
+                    qp_maps: np.ndarray | None = None) -> list[FrameResult]:
         """Fused IPPP GOP: every P frame's ME + mode decision + MC +
         transform + recon + deblock runs as ONE device dispatch
         (lax.scan over the chain; enc/pgop_tpu.py), then per-frame
@@ -510,7 +511,7 @@ class IntraEncoder:
         want_recon = need_recon or cfg.hash_sei
         syns, recons, last_ref = encode_pgop_tpu(
             oy, ocb, ocr, self.ref, cfg, qp, need_recon=want_recon,
-            me_range=cfg.me_range)
+            me_range=cfg.me_range, qp_maps=qp_maps)
         results = []
         for i, syn in enumerate(syns):
             recon = recons[i]
@@ -524,7 +525,7 @@ class IntraEncoder:
                 w, h, cfg.log2_ctu, cfg.log2_min_cu,
                 init_states(P_SLICE, qp), mv8=syn.mv8,
                 max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
-                sao_params=sao_params)
+                sao_params=sao_params, qp_map=syn.qp_map, slice_qp=qp)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from ..bitstream.syntax import FramePSyntax
 from ..common.params import EncoderConfig
-from ..common.tables import chroma_qp, lambda_from_qp, lambda2_from_qp
+from ..common.tables import (CHROMA_QP_LUT, chroma_qp, lambda_from_qp,
+                             lambda2_from_qp)
 from ..ops.deblock import BETA_TABLE, TC_TABLE, _luma_filter_batch
 from ..ops.me_win import me_size_windowed, mc_block_batch_ds, pad_ref
 from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
@@ -161,16 +162,28 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 
 def _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y, pad_c,
                   mvs, lam2, qp, qpc, bit_depth, sign_hiding, real_h,
-                  real_w, preds=None):
+                  real_w, preds=None, qp_ctu=None, ctu=32):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds, when given, carries
     the luma predictions already interpolated by the windowed ME
     (me_win contract: pred == normative MC at the returned MV), so
-    only chroma needs a per-block MC gather here. Returns
+    only chroma needs a per-block MC gather here. qp_ctu, when given,
+    is a traced (ncty, nctx) per-CTU QP map (AQ/cuTree dQP): every
+    block quantizes with its covering CTU's QP. Returns
     (rec/cf planes..., depth8, mv8)."""
     h, w = oy.shape
     maxv = (1 << bit_depth) - 1
+
+    def qp_vecs(nn, by, bx):
+        """Per-block (luma_qp, chroma_qp) vectors for an nn-block grid."""
+        if qp_ctu is None:
+            return qp, qpc
+        iy = jnp.arange(by, dtype=jnp.int32) * nn // ctu
+        ix = jnp.arange(bx, dtype=jnp.int32) * nn // ctu
+        q = qp_ctu[iy[:, None], ix[None, :]].reshape(-1)
+        qc = jnp.take(jnp.asarray(CHROMA_QP_LUT), jnp.clip(q, 0, 57))
+        return q, qc
 
     def blocks_of(plane, nn):
         bby, bbx = plane.shape[0] // nn, plane.shape[1] // nn
@@ -220,13 +233,14 @@ def _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y, pad_c,
         x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
         y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
         cn = n >> 1
+        qn, qcn = qp_vecs(n, by, bx)
         rec_y, cf_y = one_plane(oy, ry_pad, pad_y, n, x0s, y0s, mvx,
-                                mvy, qp, True,
+                                mvy, qn, True,
                                 pred=None if preds is None else preds[n])
         rec_cb, cf_cb = one_plane(ocb, rcb_pad, pad_c, cn, x0s // 2,
-                                  y0s // 2, mvx, mvy, qpc, False)
+                                  y0s // 2, mvx, mvy, qcn, False)
         rec_cr, cf_cr = one_plane(ocr, rcr_pad, pad_c, cn, x0s // 2,
-                                  y0s // 2, mvx, mvy, qpc, False)
+                                  y0s // 2, mvx, mvy, qcn, False)
         planes[n] = (to_plane(rec_y, n, h, w), to_plane(cf_y, n, h, w),
                      to_plane(rec_cb, cn, h // 2, w // 2),
                      to_plane(cf_cb, cn, h // 2, w // 2),
@@ -310,20 +324,28 @@ def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int):
 
 
 def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
-                   qp: int, bit_depth: int = 8) -> jnp.ndarray:
+                   qp: int, bit_depth: int = 8,
+                   qp8=None) -> jnp.ndarray:
     """Luma deblock with TRACED bs maps (ops/deblock.deblock_luma takes
-    static numpy maps; inter bs depends on coded data)."""
+    static numpy maps; inter bs depends on coded data). qp8, when
+    given, is a traced per-8x8-cell QP map (dQP): per-edge tc/beta use
+    the two sides' average QP (clause 8.7.2.5.3)."""
     h, w = plane.shape
     shift = bit_depth - 8
-    beta = int(BETA_TABLE[min(max(qp, 0), 51)]) << shift
     maxv = (1 << bit_depth) - 1
-    tc_by_bs = jnp.asarray(np.array(
-        [0] + [int(TC_TABLE[min(max(qp + 2 * (b - 1), 0), 53)]) << shift
-               for b in (1, 2)], dtype=np.int32))
-    if beta == 0 or w < 16:
+    if w < 16:
         return plane
+    beta_j = jnp.asarray(BETA_TABLE)
+    tc_j = jnp.asarray(TC_TABLE)
+    if qp8 is None:
+        beta_c = int(BETA_TABLE[min(max(qp, 0), 51)]) << shift
+        if beta_c == 0:
+            return plane
+        tc_by_bs = jnp.asarray(np.array(
+            [0] + [int(TC_TABLE[min(max(qp + 2 * (b - 1), 0), 53)]) << shift
+                   for b in (1, 2)], dtype=np.int32))
 
-    def vpass(pl, bs_cells):
+    def vpass(pl, bs_cells, q8):
         hh, ww = pl.shape
         ne = ww // 8 - 1
         if ne <= 0:
@@ -334,13 +356,22 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
         seg = g.reshape(hh // 4, 4, ne, 8).transpose(0, 2, 1, 3)
         bs_seg = jnp.repeat(bs_cells[:, 1:], 2, axis=0)[:hh // 4]
         act = bs_seg > 0
-        tcs = jnp.take(tc_by_bs, jnp.clip(bs_seg, 0, 2))
+        if q8 is None:
+            tcs = jnp.take(tc_by_bs, jnp.clip(bs_seg, 0, 2))
+            beta = beta_c
+        else:
+            qe = (q8[:, :-1] + q8[:, 1:] + 1) >> 1     # per-edge avg QP
+            qe = jnp.repeat(qe, 2, axis=0)[:hh // 4]
+            beta = jnp.take(beta_j, jnp.clip(qe, 0, 51)) << shift
+            tcs = jnp.take(tc_j, jnp.clip(qe + 2 * (bs_seg - 1), 0, 53)) \
+                << shift
+            tcs = jnp.where(bs_seg > 0, tcs, 0)
         out = _luma_filter_batch(seg, act, tcs, beta, maxv)
         out = out.transpose(0, 2, 1, 3).reshape(hh, ne, 8)
         return pl.at[:, jnp.asarray(idx)].set(out)
 
-    pl = vpass(plane, vbs)
-    pl = vpass(pl.T, hbs.T).T
+    pl = vpass(plane, vbs, qp8)
+    pl = vpass(pl.T, hbs.T, None if qp8 is None else qp8.T).T
     return pl
 
 
@@ -351,11 +382,13 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
                                    "real_w", "ctu", "deblock", "sao",
                                    "sign_hiding", "me_range",
-                                   "need_recon"))
-def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
+                                   "need_recon", "dqp"))
+def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
+               qp_maps, *,
                qp: int, qpc: int, bit_depth: int, real_h: int,
                real_w: int, ctu: int, deblock: bool, sao: bool,
-               sign_hiding: bool, me_range: int, need_recon: bool):
+               sign_hiding: bool, me_range: int, need_recon: bool,
+               dqp: bool = False):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -375,7 +408,7 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
 
     def body(carry, xs):
         ry, rcb, rcr = carry
-        oy8, ocb8, ocr8 = xs
+        oy8, ocb8, ocr8, qp_ctu = xs
         oy = oy8.astype(jnp.int32)
         ocb = ocb8.astype(jnp.int32)
         ocr = ocr8.astype(jnp.int32)
@@ -408,19 +441,53 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
         (rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8) = \
             _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y,
                           pad_c, mvs, lam2, qp, qpc, bit_depth,
-                          sign_hiding, real_h, real_w, preds=preds)
+                          sign_hiding, real_h, real_w, preds=preds,
+                          qp_ctu=qp_ctu if dqp else None, ctu=ctu)
 
         # --- in-loop filters on the coded-size crop
         ry_c = rec_y[:rh, :rw]
         rcb_c = rec_cb[:rh // 2, :rw // 2]
         rcr_c = rec_cr[:rh // 2, :rw // 2]
+        eff_qp8 = None
+        if dqp:
+            # the QP a decoder infers per CTU: CTUs with no coded
+            # residual keep the predictor (previous QG in raster order)
+            ncty_p, nctx_p = qp_ctu.shape
+
+            def crop_nz(cf, hh, ww, rhh, rww):
+                # only the CODED region's coefficients reach the
+                # bitstream; padded-edge columns must not flip cbf
+                ys = jnp.arange(hh)[:, None] < rhh
+                xs = jnp.arange(ww)[None, :] < rww
+                return jnp.where(ys & xs, cf, 0)
+
+            cf_y_c = crop_nz(cf_y, hp, wp, rh, rw)
+            cf_cb_c = crop_nz(cf_cb, hp // 2, wp // 2, rh // 2, rw // 2)
+            cf_cr_c = crop_nz(cf_cr, hp // 2, wp // 2, rh // 2, rw // 2)
+            cbf_ctu = (cf_y_c.reshape(ncty_p, ctu, nctx_p, ctu) != 0) \
+                .any(axis=(1, 3))
+            cbf_ctu |= (cf_cb_c.reshape(ncty_p, ctu // 2, nctx_p,
+                                        ctu // 2) != 0).any(axis=(1, 3))
+            cbf_ctu |= (cf_cr_c.reshape(ncty_p, ctu // 2, nctx_p,
+                                        ctu // 2) != 0).any(axis=(1, 3))
+            flat_q = qp_ctu.reshape(-1)
+            flat_c = cbf_ctu.reshape(-1)
+            iota = jnp.arange(flat_q.shape[0], dtype=jnp.int32)
+            last_sig = jax.lax.cummax(jnp.where(flat_c, iota, -1))
+            eff = jnp.where(last_sig >= 0,
+                            flat_q[jnp.clip(last_sig, 0, None)],
+                            jnp.int32(qp)).reshape(ncty_p, nctx_p)
+            k8 = ctu // 8
+            eff_qp8 = jnp.repeat(jnp.repeat(eff, k8, 0), k8, 1) \
+                [:rh // 8, :rw // 8]
         if deblock:
             # luma only: all-inter P has bs<=1 and chroma filters only
             # bs==2 edges (clause 8.7.2.4)
             vbs, hbs = _inter_bs_maps_t(
                 depth8[:rh // 8, :rw // 8], mv8[:rh // 8, :rw // 8],
                 cf_y[:rh, :rw], ctu)
-            ry_c = deblock_luma_t(ry_c, vbs, hbs, qp, bit_depth)
+            ry_c = deblock_luma_t(ry_c, vbs, hbs, qp, bit_depth,
+                                  qp8=eff_qp8)
         ncty = (rh + ctu - 1) // ctu
         nctx = (rw + ctu - 1) // ctu
         if sao:
@@ -457,7 +524,7 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr, *,
     carry, outs = jax.lax.scan(
         body, (ref_y.astype(jnp.int32), ref_cb.astype(jnp.int32),
                ref_cr.astype(jnp.int32)),
-        (orig_y, orig_cb, orig_cr))
+        (orig_y, orig_cb, orig_cr, qp_maps))
     f = orig_y.shape[0]
     # 2D layouts for the tunnel (3D-planar D2H is ~100x slower here)
     cf_y2 = outs[2].reshape(f * hp, wp)
@@ -484,16 +551,18 @@ def _pad_gop_j(p2d, *, f: int, h: int, w: int, hp: int, wp: int):
 def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                     orig_cr: np.ndarray, ref: ReconFrame | DeviceRef,
                     cfg: EncoderConfig, qp: int | None = None,
-                    need_recon: bool = True, me_range: int = 6
+                    need_recon: bool = True, me_range: int = 6,
+                    qp_maps: np.ndarray | None = None
                     ) -> tuple[list[FramePSyntax], list[ReconFrame | None],
                                DeviceRef]:
     """Encode F consecutive P frames against a running reference.
 
     orig_y: (F, H, W) planes at the coded (8-aligned) size; ref is the
     post-filter recon of the preceding frame — a host ReconFrame or a
-    device-resident DeviceRef (no H2D). Returns per-frame syntax
-    (cropped to coded size), per-frame recon (or None), and the final
-    reference as a DeviceRef for chaining."""
+    device-resident DeviceRef (no H2D). qp_maps: optional (F, ncty,
+    nctx) per-CTU QP from AQ/cuTree (cu_qp_delta per CTU). Returns
+    per-frame syntax (cropped to coded size), per-frame recon (or
+    None), and the final reference as a DeviceRef for chaining."""
     f, h, w = orig_y.shape
     hp = (h + 31) // 32 * 32
     wp = (w + 31) // 32 * 32
@@ -527,11 +596,28 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         rcb = up(np.asarray(ref.cb)[None], hp // 2, wp // 2)[0]
         rcr = up(np.asarray(ref.cr)[None], hp // 2, wp // 2)[0]
 
+    ctu = cfg.ctu_size
+    ncty_p, nctx_p = hp // ctu, wp // ctu
+    if qp_maps is not None:
+        qmj = np.full((f, ncty_p, nctx_p), qp, np.int32)
+        qsrc = np.clip(np.asarray(qp_maps, np.int32), 0, 51)
+        qmj[:, :qsrc.shape[1], :qsrc.shape[2]] = qsrc[:, :ncty_p, :nctx_p]
+        # padded-edge CTU columns/rows reuse the nearest real entry
+        if qsrc.shape[2] < nctx_p:
+            qmj[:, :, qsrc.shape[2]:] = qmj[:, :, qsrc.shape[2] - 1:
+                                            qsrc.shape[2]]
+        if qsrc.shape[1] < ncty_p:
+            qmj[:, qsrc.shape[1]:, :] = qmj[:, qsrc.shape[1] - 1:
+                                            qsrc.shape[1], :]
+        qp_maps_j = jnp.asarray(qmj)
+    else:
+        qp_maps_j = jnp.zeros((f, ncty_p, nctx_p), jnp.int32)
     res, final_ref = _pgop_scan(
-        ry, rcb, rcr, oy, ocb, ocr, qp=int(qp), qpc=int(qpc),
+        ry, rcb, rcr, oy, ocb, ocr, qp_maps_j, qp=int(qp), qpc=int(qpc),
         bit_depth=cfg.bit_depth, real_h=h, real_w=w, ctu=cfg.ctu_size,
         deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
-        me_range=me_range, need_recon=need_recon)
+        me_range=me_range, need_recon=need_recon,
+        dqp=qp_maps is not None)
 
     from ..ops.compact import fetch_plane_compact
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
@@ -545,6 +631,8 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         rc_np = np.asarray(res[6]).reshape(2 * f, hp // 2, wp // 2) \
             [:, :h // 2, :w // 2]
 
+    ncty_c = (h + ctu - 1) // ctu
+    nctx_c = (w + ctu - 1) // ctu
     syns, recons = [], []
     for i in range(f):
         syns.append(FramePSyntax(
@@ -556,6 +644,8 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         syns[-1].sao_params = (
             (sao_all[i, 0], sao_all[i, 1], sao_all[i, 2])
             if cfg.sao else None)
+        if qp_maps is not None:
+            syns[-1].qp_map = qmj[i, :ncty_c, :nctx_c]
         if need_recon:
             recons.append(ReconFrame(ry_np[i].astype(np.int32),
                                      rc_np[i].astype(np.int32),
