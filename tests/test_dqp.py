@@ -90,6 +90,25 @@ def test_pgop_dqp_roundtrip():
         assert np.array_equal(d.cr, r.recon.cr)
 
 
+def test_encode_sequence_aq_cutree_roundtrip():
+    """encode_sequence with aq-mode 2 + cuTree: the whole stream
+    (I + fused P run, per-CTU dQP everywhere) decodes bit-exactly."""
+    cfg = EncoderConfig(width=96, height=64, qp=34, aq_mode=2,
+                        cutree=True, deblock=True)
+    enc = IntraEncoder(cfg)
+    base = _frame(64, 96, seed=8)
+    frames = [(np.roll(base[0], 2 * i, axis=1), base[1], base[2])
+              for i in range(4)]
+    rs = enc.encode_sequence(frames)
+    stream = b"".join(r.bitstream for r in rs)
+    dec = decode_annexb(stream)
+    assert len(dec) == 4
+    for d, r in zip(dec, rs):
+        assert np.array_equal(d.y, r.recon.y)
+        assert np.array_equal(d.cb, r.recon.cb)
+        assert np.array_equal(d.cr, r.recon.cr)
+
+
 def test_dqp_changes_quantization():
     """Lower-QP CTUs carry more bits / better fidelity."""
     cfg = EncoderConfig(width=96, height=64, qp=32, aq_mode=2)

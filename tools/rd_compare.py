@@ -74,7 +74,16 @@ def run_ours(frames, qp: int, w: int, h: int):
     from x265_tpu.enc import IntraEncoder
     cfg = EncoderConfig(width=w, height=h, qp=qp, deblock=True,
                         sao=False)
+    if os.environ.get("RD_AQ"):           # AQ + cuTree (x265 defaults)
+        cfg.aq_mode = int(os.environ.get("RD_AQ_MODE", "2"))
+        cfg.cutree = os.environ.get("RD_CUTREE", "1") == "1"
     enc = IntraEncoder(cfg)
+    if cfg.dqp_enabled:
+        rs = enc.encode_sequence(frames)
+        bits = sum(r.bits for r in rs)
+        recons = [(np.asarray(r.recon.y), np.asarray(r.recon.cb),
+                   np.asarray(r.recon.cr)) for r in rs]
+        return bits, clip_psnr(frames, recons)
     r0 = enc.encode_frame(*frames[0], qp=max(qp - 3, 0))   # ipratio
     enc.ref = r0.recon
     enc.poc = 0

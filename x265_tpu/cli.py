@@ -60,6 +60,9 @@ def parse_args(argv=None):
                    help="two-pass stats file")
     p.add_argument("--analysis-save", help="save analysis decisions (.npz)")
     p.add_argument("--analysis-load", help="reuse analysis decisions (.npz)")
+    p.add_argument("--aq-mode", type=int, default=None, choices=(0, 1, 2, 3),
+                   help="adaptive quantization (per-CTU dQP)")
+    p.add_argument("--aq-strength", type=float, default=None)
     return p.parse_args(argv)
 
 
@@ -106,6 +109,10 @@ def main(argv=None) -> int:
         cfg.bframes = args.bframes
     if cfg.bframes:
         cfg.num_refs = 2
+    if args.aq_mode is not None:
+        cfg.aq_mode = args.aq_mode
+    if args.aq_strength is not None:
+        cfg.aq_strength = args.aq_strength
     for kv in args.param:
         k, _, v = kv.partition("=")
         cfg.param_parse(k, v)
@@ -185,11 +192,19 @@ def main(argv=None) -> int:
             cplx = rc.frame_complexity(np.asarray(y),
                                        None if is_intra else prev_y)
             fqp = rc.frame_qp(is_intra, cplx)
+        aq_map = None
+        if cfg.dqp_enabled:
+            # per-frame AQ map around the RC-chosen frame QP (cuTree
+            # needs the GOP-batched encode_sequence path)
+            aq_map = enc.lookahead_qp_maps([(y, cb, cr)],
+                                           base_qp=fqp)[0]
         if is_intra:
             flush_minigop(fqp)
-            res = enc.encode_frame(y, cb, cr,
-                                   qp=max(fqp - 3, 0) if cfg.keyint > 1
-                                   else fqp)
+            qp_i = max(fqp - 3, 0) if cfg.keyint > 1 else fqp
+            res = enc.encode_frame(y, cb, cr, qp=qp_i,
+                                   qp_map=None if aq_map is None
+                                   else np.clip(aq_map - (fqp - qp_i),
+                                                0, 51))
             enc.ref = res.recon
             enc.poc = 0
             gop_base = 0
@@ -202,7 +217,9 @@ def main(argv=None) -> int:
             if len(gop_buf) >= cfg.bframes + 1:
                 flush_minigop(fqp)
         else:
-            res = enc.encode_frame_p(y, cb, cr, qp=fqp)
+            res = enc.encode_pgop([(y, cb, cr)], qp=fqp,
+                                  qp_maps=None if aq_map is None
+                                  else aq_map[None])[0]
             rc.frame_done(res.bits, fqp, cplx, False)
             if pass1_log is not None:
                 pass1_log.record("P", fqp, res.bits, max(cplx, 1.0))

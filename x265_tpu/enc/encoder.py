@@ -467,24 +467,64 @@ class IntraEncoder:
         return results
 
     def encode_sequence(self, frames) -> list[FrameResult]:
-        """IPPP with keyint + scene-cut frame-type decisions."""
+        """IPPP with keyint + scene-cut frame-type decisions; P runs
+        are encoded through the fused GOP pipeline, with per-CTU QP
+        maps from the device lookahead (AQ/cuTree) when enabled."""
         from .lookahead import Lookahead
-        la = Lookahead(self.cfg)
-        results = []
+        cfg = self.cfg
+        la = Lookahead(cfg)
+        types = [la.decide(np.asarray(f[0])) for f in frames]
         # CQP I-frame offset (x265 ipratio 1.4 ~= -3 QP, param.cpp):
         # a finer keyframe pays back across every frame that references
         # it; slice QP is signalled per slice so this is free syntax-wise
-        qp_i = max(self.cfg.qp - 3, 0)
-        for y, cb, cr in frames:
-            if la.decide(y) == "I":
-                r = self.encode_frame(y, cb, cr, qp=qp_i)
-                self.ref = r.device_ref if r.device_ref is not None \
-                    else r.recon
-                self.poc = 0
-            else:
-                r = self.encode_frame_p(y, cb, cr)
+        qp_i = max(cfg.qp - 3, 0)
+        results: list[FrameResult] = []
+        i = 0
+        while i < len(frames):
+            # GOP = I frame + following P run
+            j = i + 1
+            while j < len(frames) and types[j] == "P":
+                j += 1
+            gop = frames[i:j]
+            qp_maps = None
+            if cfg.dqp_enabled:
+                qp_maps = self.lookahead_qp_maps(gop)
+            y, cb, cr = gop[0]
+            r = self.encode_frame(
+                y, cb, cr, qp=qp_i,
+                use_device_recon=qp_maps is None,
+                qp_map=None if qp_maps is None
+                else np.clip(qp_maps[0] - 3, 0, 51))
+            self.ref = r.device_ref if r.device_ref is not None \
+                else r.recon
+            self.poc = 0
             results.append(r)
+            if len(gop) > 1:
+                results.extend(self.encode_pgop(
+                    gop[1:],
+                    qp_maps=None if qp_maps is None else qp_maps[1:]))
+            i = j
         return results
+
+    def lookahead_qp_maps(self, gop_frames,
+                          base_qp: int | None = None) -> np.ndarray:
+        """Device lookahead over one GOP: AQ energy + cuTree -> per-CTU
+        QP maps (F, ncty, nctx) around the base QP (slicetype.cpp:444,
+        :2538 behavior; grid = floor(coded/16) reduced to CTUs)."""
+        from .lookahead_tpu import lookahead_gop
+        cfg = self.cfg
+        base_qp = cfg.qp if base_qp is None else base_qp
+        h16 = cfg.height_padded // 16 * 16
+        w16 = cfg.width_padded // 16 * 16
+        ys = np.stack([pad_plane(np.asarray(g[0]), h16, w16)[:h16, :w16]
+                       for g in gop_frames])
+        cbs = np.stack([pad_plane(np.asarray(g[1]), h16 // 2, w16 // 2)
+                        [:h16 // 2, :w16 // 2] for g in gop_frames])
+        crs = np.stack([pad_plane(np.asarray(g[2]), h16 // 2, w16 // 2)
+                        [:h16 // 2, :w16 // 2] for g in gop_frames])
+        off_ctu, _, _, _ = lookahead_gop(ys, cbs, crs, cfg,
+                                         qcomp=cfg.qcomp)
+        return np.clip(np.round(base_qp + off_ctu), 0, 51).astype(np.int32)
 
     def encode_pgop(self, frames, qp: int | None = None,
                     need_recon: bool = True,
