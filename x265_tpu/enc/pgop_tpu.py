@@ -102,13 +102,23 @@ def _mvd_bits_est(mv_field: jnp.ndarray) -> jnp.ndarray:
     return comp(d[..., 0]) + comp(d[..., 1])
 
 
+def _bitlen(a: jnp.ndarray) -> jnp.ndarray:
+    """Integer bit length (== ceil(log2(a+1))) via the float32 exponent
+    field — exact for a < 2^24 and ~10x cheaper than a transcendental
+    log2 over full coefficient planes."""
+    f = a.astype(jnp.float32)
+    e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+    return jnp.where(a > 0, e + 1, 0)
+
+
 def _coeff_bits_est(cf: jnp.ndarray, by: int, bx: int, k: int
                     ) -> jnp.ndarray:
     """Coefficient-bits proxy per k x k block of the plane: sig-flag
     cost per nonzero + level magnitude cost + cbf/lastpos overhead."""
-    a = jnp.abs(cf[:by * k, :bx * k]).astype(jnp.float32)
-    nnz = (a > 0).astype(jnp.float32).reshape(by, k, bx, k).sum((1, 3))
-    slog = jnp.ceil(jnp.log2(a + 1.0)).reshape(by, k, bx, k).sum((1, 3))
+    a = jnp.abs(cf[:by * k, :bx * k])
+    nnz = (a > 0).reshape(by, k, bx, k).sum((1, 3)).astype(jnp.float32)
+    slog = _bitlen(a).reshape(by, k, bx, k).sum((1, 3)) \
+        .astype(jnp.float32)
     return jnp.where(nnz > 0, 1.4 * nnz + 1.2 * slog + 5.0, 0.0)
 
 

@@ -88,34 +88,24 @@ def interp_ext(win: jnp.ndarray, dxi: jnp.ndarray, dyi: jnp.ndarray,
     bank (quarter-pel offset d + 3). Returns rounded predictions,
     bit-exact with ops.interp.mc_block_batch at mv = mvi*4 + d.
 
-    Exactness: horizontal accumulation < 2^17 (f32-exact); vertical
-    operates on 17-bit intermediates split into 8-bit limbs so each
-    f32 contraction stays exact (same scheme as mc_block_batch).
+    Shifted-accumulation formulation: each tap is one integer
+    multiply-add on a shifted (B, S, n) view — exact in int32 (taps
+    <= 64, samples < 2^17: accumulation < 2^24) and never materializes
+    the 9x (B, S, 9, n) expansion the einsum form needed.
     """
     bank = jnp.asarray(_EXT_BANK9)
-    hf = bank[dxi].astype(jnp.float32)          # (B, 9)
-    vf = bank[dyi].astype(jnp.float32)
+    hf = bank[dxi]                               # (B, 9) int32
+    vf = bank[dyi]
     shift1 = bit_depth - 8
-    # horizontal over all window rows: out col c reads window cols c..c+8
-    cols = jnp.arange(n)[None, :] + jnp.arange(9)[:, None]     # (9, n)
-    pt = win[:, :, cols]                        # (B, S, 9, n)
-    tmp = jnp.einsum("bstn,bt->bsn", pt.astype(jnp.float32), hf,
-                     preferred_element_type=jnp.float32)
-    tmp = jnp.round(tmp).astype(jnp.int32)
+    s = win.shape[1]
+    tmp = jnp.zeros((win.shape[0], s, n), jnp.int32)
+    for t in range(9):
+        tmp = tmp + win[:, :, t:t + n] * hf[:, t, None, None]
     if shift1:
         tmp = tmp >> shift1
-    # vertical: out row r reads tmp rows r..r+8
-    rows = jnp.arange(n)[None, :] + jnp.arange(9)[:, None]     # (9, n)
-    tv = tmp[:, rows.T]                         # (B, n, 9, c)
-    lo = tv & 255
-    hi = (tv - lo) >> 8
-
-    def dot(a):
-        return jnp.round(jnp.einsum(
-            "brtc,bt->brc", a.astype(jnp.float32), vf,
-            preferred_element_type=jnp.float32)).astype(jnp.int32)
-
-    out = (dot(hi) << 8) + dot(lo)
+    out = jnp.zeros((win.shape[0], n, n), jnp.int32)
+    for t in range(9):
+        out = out + tmp[:, t:t + n, :] * vf[:, t, None, None]
     total_shift = 12 - shift1
     out = (out + (1 << (total_shift - 1))) >> total_shift
     return jnp.clip(out, 0, (1 << bit_depth) - 1)
@@ -157,15 +147,27 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     side = 2 * radius + 1
     ncand = side * side
 
+    # separable per-axis MV-bits penalty tables (B, side): computed
+    # once instead of per candidate (169x fewer float log2s)
+    offs = jnp.arange(side, dtype=jnp.int32) - radius
+
+    def comp_bits(v):
+        a = jnp.abs(v)
+        return (2 * jnp.ceil(jnp.log2(a.astype(jnp.float32) + 1.0)) + 1) \
+            .astype(jnp.int32)
+
+    penx = lam * comp_bits((sx[:, None] + offs[None, :]) * 4)
+    peny = lam * comp_bits((sy[:, None] + offs[None, :]) * 4)
+
     def int_body(i, state):
         best_cost, best_i = state
         dy = i // side
         dx = i % side
         cand = jax.lax.dynamic_slice(win, (0, dy, dx), (b, n, n))
         sad = jnp.sum(jnp.abs(cur_blocks - cand), axis=(1, 2))
-        mvx = (sx + dx - radius) * 4
-        mvy = (sy + dy - radius) * 4
-        cost = sad + lam * _mv_bits(mvx, mvy)
+        cost = sad + \
+            jax.lax.dynamic_slice(penx, (0, dx), (b, 1))[:, 0] + \
+            jax.lax.dynamic_slice(peny, (0, dy), (b, 1))[:, 0]
         better = cost < best_cost
         return (jnp.where(better, cost, best_cost),
                 jnp.where(better, i, best_i))
@@ -255,29 +257,23 @@ def mc_block_batch_ds(ref_pad: jnp.ndarray, pad: int, x0s: jnp.ndarray,
         ix = x0s + (mvx >> 3)
         iy = y0s + (mvy >> 3)
     bank = jnp.asarray(_filter_bank(is_luma))
-    hf = bank[fx].astype(jnp.float32)
-    vf = bank[fy].astype(jnp.float32)
+    hf = bank[fx]                                # (B, taps) int32
+    vf = bank[fy]
     size = n + taps - 1
     patches = gather_windows_ds(ref_pad, pad, iy - half, ix - half, size)
 
+    # shifted integer accumulation (see interp_ext): exact in int32,
+    # no (B, S, taps, n) materialization
     shift1 = bit_depth - 8
-    cols = jnp.arange(n)[None, :] + jnp.arange(taps)[:, None]
-    pt = patches[:, :, cols]
-    tmp = jnp.einsum("bstn,bt->bsn", pt.astype(jnp.float32), hf,
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    b, s, _ = patches.shape
+    tmp = jnp.zeros((b, s, n), jnp.int32)
+    for t in range(taps):
+        tmp = tmp + patches[:, :, t:t + n] * hf[:, t, None, None]
     if shift1:
         tmp = tmp >> shift1
-    rows = jnp.arange(n)[None, :] + jnp.arange(taps)[:, None]
-    tv = tmp[:, rows.T]
-    lo = tv & 255
-    hi = (tv - lo) >> 8
-
-    def dot(a):
-        return jnp.einsum("brtc,bt->brc", a.astype(jnp.float32), vf,
-                          preferred_element_type=jnp.float32
-                          ).astype(jnp.int32)
-
-    out = (dot(hi) << 8) + dot(lo)
+    out = jnp.zeros((b, n, n), jnp.int32)
+    for t in range(taps):
+        out = out + tmp[:, t:t + n, :] * vf[:, t, None, None]
     total_shift = 12 - shift1
     out = (out + (1 << (total_shift - 1))) >> total_shift
     return jnp.clip(out, 0, (1 << bit_depth) - 1)

@@ -245,11 +245,22 @@ def sign_hide_np(blk: np.ndarray, scan_idx: int,
     return out
 
 
+@lru_cache(maxsize=None)
+def _cg_rank(scan_idx: int) -> np.ndarray:
+    """Scan position (0..15) per raster position — inverse of _cg_perm."""
+    return np.argsort(_cg_perm(scan_idx)).astype(np.int32)
+
+
 def sign_hide_batch(coefs: jnp.ndarray, size: int, scan_sel,
                     delta_u: jnp.ndarray) -> jnp.ndarray:
     """Batched sign-hiding parity fix (see sign_hide_np). coefs /
     delta_u: (B, N, N); scan_sel: per-block scan index (B,) int32 in
-    {0, 1, 2} (traced) or a python int for a uniform scan."""
+    {0, 1, 2} (traced) or a python int for a uniform scan.
+
+    Rank formulation: everything stays in RASTER order; the scan enters
+    only as a per-position rank constant, so there is no per-block
+    permutation gather or argsort (those dominated the P-frame quant
+    stage at ~25 ms/frame on TPU)."""
     b = coefs.shape[0]
     n = size
     ncgs = max(n // 4, 1)
@@ -258,30 +269,27 @@ def sign_hide_batch(coefs: jnp.ndarray, size: int, scan_sel,
         return a.reshape(b, ncgs, 4, ncgs, 4).transpose(0, 1, 3, 2, 4) \
             .reshape(b, ncgs * ncgs, 16)
 
-    cg = to_cg(coefs)
-    perms = jnp.asarray(np.stack([_cg_perm(s) for s in range(3)]))
+    lv = to_cg(coefs)                         # raster order within CG
+    du = to_cg(delta_u)
+    ranks = jnp.asarray(np.stack([_cg_rank(s) for s in range(3)]))
     if isinstance(scan_sel, int):
-        perm = jnp.broadcast_to(perms[scan_sel], (b, 16))
+        rank = jnp.broadcast_to(ranks[scan_sel], (b, 16))[:, None, :]
     else:
-        perm = perms[scan_sel]                              # (B, 16)
-    lv = jnp.take_along_axis(cg, perm[:, None, :], axis=2)  # scan order
-    du = jnp.take_along_axis(to_cg(delta_u), perm[:, None, :], axis=2)
+        rank = ranks[scan_sel][:, None, :]    # (B, 1, 16)
     nzm = lv != 0
-    iota = jnp.arange(16, dtype=jnp.int32)
-    first = jnp.min(jnp.where(nzm, iota, 16), axis=-1)
-    last = jnp.max(jnp.where(nzm, iota, -1), axis=-1)
+    first = jnp.min(jnp.where(nzm, rank, 16), axis=-1)   # min scan rank
+    last = jnp.max(jnp.where(nzm, rank, -1), axis=-1)
     hidden = (last - first) > 3
     sumabs = jnp.abs(lv).sum(-1)
-    firstval = jnp.take_along_axis(
-        lv, jnp.clip(first, 0, 15)[..., None], -1)[..., 0]
+    firstval = jnp.sum(jnp.where(rank == first[..., None], lv, 0),
+                       axis=-1)
     neg = (firstval < 0).astype(jnp.int32)
     fix = hidden & ((sumabs & 1) != neg)
 
     big = jnp.int32(1 << 30)
-    io = iota[None, None, :]
+    is_end = (rank == first[..., None]) | (rank == last[..., None])
     can_lower = nzm & (jnp.abs(lv) < 32768) & \
-        ((jnp.abs(lv) >= 2) |
-         ((io != first[..., None]) & (io != last[..., None])))
+        ((jnp.abs(lv) >= 2) | ~is_end)
     can_raise = nzm & (jnp.abs(lv) < 32767)
     lower_cost = jnp.where(can_lower, du, big)
     raise_cost = jnp.where(can_raise, -du, big)
@@ -289,13 +297,12 @@ def sign_hide_batch(coefs: jnp.ndarray, size: int, scan_sel,
     k = jnp.argmin(costs, axis=-1).astype(jnp.int32)
     pos = jnp.where(k < 16, k, k - 16)
     d = jnp.where(k < 16, -1, 1)
-    tgt = jnp.take_along_axis(lv, pos[..., None], -1)[..., 0]
+    io = jnp.arange(16, dtype=jnp.int32)[None, None, :]
+    sel = io == pos[..., None]
+    tgt = jnp.sum(jnp.where(sel, lv, 0), axis=-1)
     newv = tgt + jnp.where(tgt > 0, d, -d)
-    sel = fix[..., None] & (io == pos[..., None])
-    lv = jnp.where(sel, newv[..., None], lv)
-    inv = jnp.argsort(perm, axis=-1)
-    cg2 = jnp.take_along_axis(lv, inv[:, None, :], axis=2)
-    return cg2.reshape(b, ncgs, ncgs, 4, 4).transpose(0, 1, 3, 2, 4) \
+    lv = jnp.where(fix[..., None] & sel, newv[..., None], lv)
+    return lv.reshape(b, ncgs, ncgs, 4, 4).transpose(0, 1, 3, 2, 4) \
         .reshape(b, n, n)
 
 
