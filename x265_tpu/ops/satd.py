@@ -101,3 +101,31 @@ def sa8d_nxn_batch(diff: jnp.ndarray, n: int) -> jnp.ndarray:
     d = diff.reshape(*lead, m, 8, m, 8)
     d = jnp.swapaxes(d, -3, -2)          # (..., m, m, 8, 8)
     return jnp.sum(sa8d_batch(d), axis=(-2, -1))
+
+
+# --- lanes-last variants (block batch in the trailing/lane axis) -------------
+
+def _fwht_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Walsh-Hadamard butterflies along an arbitrary axis."""
+    n = x.shape[axis]
+    if n == 1:
+        return x
+    a = _fwht_axis(jax.lax.slice_in_dim(x, 0, n // 2, axis=axis), axis)
+    b = _fwht_axis(jax.lax.slice_in_dim(x, n // 2, n, axis=axis), axis)
+    return jnp.concatenate([a + b, a - b], axis=axis)
+
+
+def sa8d_nxn_lanes(diff: jnp.ndarray, n: int) -> jnp.ndarray:
+    """diff: (N, N, B) int32 -> (B,) SA8D/SATD with blocks in the LANE
+    axis — the TPU-native layout for small-block cost sweeps (a
+    (B, 8, 8) batch puts 8-wide rows in the 128-lane dimension at 6%
+    occupancy; (8, 8, B) is fully dense)."""
+    if n == 4:
+        t = _fwht_axis(_fwht_axis(diff, 0), 1)
+        return (jnp.abs(t).sum((0, 1)) + 1) >> 1
+    m = n // 8
+    b = diff.shape[-1]
+    d = diff.reshape(m, 8, m, 8, b)
+    t = _fwht_axis(_fwht_axis(d, 1), 3)
+    s = (jnp.abs(t).sum((1, 3)) + 2) >> 2      # (m, m, B)
+    return s.sum((0, 1)) if m > 1 else s[0, 0]
