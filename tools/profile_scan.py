@@ -78,25 +78,29 @@ def main():
 
     cmv, _ = jax.jit(lambda: _coarse_search_rolled(
         _downsample4(cur), _downsample4(ref)))()
-    cby, cbx = cmv.shape[:2]
-    mvs, preds = {}, {}
-    for n in SIZES:
-        by, bx = hp // n, wp // n
-        iy = jnp.clip((jnp.arange(by) * n + n // 2) // 16, 0, cby - 1)
-        ix = jnp.clip((jnp.arange(bx) * n + n // 2) // 16, 0, cbx - 1)
-        seed = (cmv[iy[:, None], ix[None, :]] * 4).reshape(-1, 2)
+    from x265_tpu.ops.me_win import me_all_sizes
+    from x265_tpu.enc.pgop_tpu import _chroma_preds_windowed
 
-        def mefn(n=n, seed=seed):
-            return me_size_windowed(cur, ry_pad, seed, lam, n,
-                                    radius=me_range, pad=pad_y)
-        t(jax.jit(mefn), f"me_win n={n}")
-        mvs[n], _, preds[n] = jax.jit(mefn)()
+    def mefn():
+        return me_all_sizes(cur, ry_pad, cmv * 4, lam, radius=me_range,
+                            pad=pad_y, sizes=SIZES)
+    t(jax.jit(mefn), "me_all_sizes")
+    meres, seeds = jax.jit(mefn)()
+    mvs = {n: meres[n][0] for n in SIZES}
+    preds = {n: meres[n][2] for n in SIZES}
+
+    cpad2 = jnp.stack([rcb_pad, rcr_pad])
+
+    def chfn():
+        return _chroma_preds_windowed(cpad2, pad_c, refcb, refcr, mvs,
+                                      seeds, me_range, hp, wp, 8)
+    t(jax.jit(chfn), "chroma_preds_windowed")
+    cpreds = jax.jit(chfn)()
 
     def mcall():
-        return _mc_recon_all(cur, curcb, curcr, ry_pad, rcb_pad, rcr_pad,
-                             pad_y, pad_c,
-                             {n: mvs[n] for n in SIZES}, lam2, qp, qpc,
-                             8, True, 1080, 1920, preds=preds)
+        return _mc_recon_all(cur, curcb, curcr, mvs, lam2, qp, qpc,
+                             8, True, 1080, 1920, preds=preds,
+                             cpreds=cpreds)
     t(jax.jit(mcall), "mc_recon_all")
 
     # full fused scan, per frame

@@ -31,7 +31,8 @@ from ..common.params import EncoderConfig
 from ..common.tables import (CHROMA_QP_LUT, chroma_qp, lambda_from_qp,
                              lambda2_from_qp)
 from ..ops.deblock import BETA_TABLE, TC_TABLE, _luma_filter_batch
-from ..ops.me_win import me_size_windowed, mc_block_batch_ds, pad_ref
+from ..ops.me_win import (chroma_mc_from_windows, gather_chroma_windows,
+                          me_all_sizes, pad_ref, seed_floor_off)
 from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
 from ..ops.me import _downsample4
 from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
@@ -76,6 +77,95 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
             jnp.zeros((by, bx, 2), jnp.int32))
     cost, mv = jax.lax.fori_loop(0, ncand, body, init)
     return mv, cost
+
+
+# =============================================================================
+# windowed chroma predictions for every CU size (no per-block gathers:
+# shared per-region windows + one-hot shift selection; ops/me_win.py)
+# =============================================================================
+
+def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
+                           h, w, bit_depth):
+    """cpad2: (2, Hc+2pc, Wc+2pc) stacked padded chroma refs; mvs:
+    {n: (B,2) qpel}; seeds: {16: (sx,sy), 32: (sx,sy)} clamped per-
+    region full-pel seeds. Returns {n: (pred_cb, pred_cr) (B,cn,cn)}.
+
+    MVs from the windowed search satisfy mv in seed +- radius (qpel
+    +-3/4); zero-MV winners fall back to the dense co-located path."""
+    r = radius
+    by16, bx16 = h // 16, w // 16
+    yc16 = jnp.repeat(jnp.arange(by16, dtype=jnp.int32) * 8, bx16)
+    xc16 = jnp.tile(jnp.arange(bx16, dtype=jnp.int32) * 8, by16)
+    sx16, sy16 = seeds[16]
+    s0x16 = seed_floor_off(sx16, r)
+    s0y16 = seed_floor_off(sy16, r)
+    wc16 = r + 12
+    nshift16 = r + 6
+    win16 = gather_chroma_windows(cpad2, pc, yc16, xc16, s0y16, s0x16,
+                                  wc16)
+
+    def zero_blocks(plane, cn):
+        cy, cx = plane.shape
+        return plane.reshape(cy // cn, cn, cx // cn, cn) \
+            .transpose(0, 2, 1, 3).reshape(-1, cn, cn).astype(jnp.int32)
+
+    out = {}
+    for n, cn in ((8, 4), (16, 8), (32, 16)):
+        if n not in mvs:
+            continue
+        mv = mvs[n]
+        if n == 32:
+            by32, bx32 = h // 32, w // 32
+            yc32 = jnp.repeat(jnp.arange(by32, dtype=jnp.int32) * 16,
+                              bx32)
+            xc32 = jnp.tile(jnp.arange(bx32, dtype=jnp.int32) * 16,
+                            by32)
+            sx32, sy32 = seeds[32]
+            s0x = seed_floor_off(sx32, r)
+            s0y = seed_floor_off(sy32, r)
+            wc = r + 20
+            nshift = r + 2
+            win_b = gather_chroma_windows(cpad2, pc, yc32, xc32, s0y,
+                                          s0x, wc)
+            rel_y = rel_x = jnp.zeros_like(s0y)
+            s0ye, s0xe = s0y, s0x
+        elif n == 16:
+            win_b = win16
+            # rel == 0: offsets span only r+2 shifts (window stays 18
+            # so the (cn+3)-patch fits: 11 + (r+2) - 1 == r + 12)
+            wc, nshift = wc16, r + 2
+            rel_y = rel_x = jnp.zeros_like(s0y16)
+            s0ye, s0xe = s0y16, s0x16
+        else:
+            # expand region windows + seeds to the 2x2 sub-blocks
+            win_r = win16.reshape(by16, bx16, 2, wc16, wc16)
+            win_b = jnp.repeat(jnp.repeat(win_r, 2, 0), 2, 1) \
+                .reshape(-1, 2, wc16, wc16)
+            wc, nshift = wc16, nshift16
+
+            def exp2(a):
+                return jnp.repeat(jnp.repeat(a.reshape(by16, bx16),
+                                             2, 0), 2, 1).reshape(-1)
+
+            s0ye, s0xe = exp2(s0y16), exp2(s0x16)
+            by8, bx8 = h // 8, w // 8
+            suby = jnp.repeat(jnp.arange(by8, dtype=jnp.int32) % 2, bx8)
+            subx = jnp.tile(jnp.arange(bx8, dtype=jnp.int32) % 2, by8)
+            rel_y = suby * 4
+            rel_x = subx * 4
+        zero = (mv[:, 0] == 0) & (mv[:, 1] == 0)
+        offy = jnp.clip(rel_y + (mv[:, 1] >> 3) - 1 - s0ye, 0,
+                        nshift - 1)
+        offx = jnp.clip(rel_x + (mv[:, 0] >> 3) - 1 - s0xe, 0,
+                        nshift - 1)
+        pcb, pcr = chroma_mc_from_windows(
+            win_b, offy, offx, mv[:, 0] & 7, mv[:, 1] & 7, cn, nshift,
+            bit_depth)
+        zcb = zero_blocks(refcb, cn)
+        zcr = zero_blocks(refcr, cn)
+        zm = zero[:, None, None]
+        out[n] = (jnp.where(zm, zcb, pcb), jnp.where(zm, zcr, pcr))
+    return out
 
 
 # =============================================================================
@@ -170,18 +260,18 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 # dense MC reconstruction (device compose; inter_frame.py recast)
 # =============================================================================
 
-def _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y, pad_c,
-                  mvs, lam2, qp, qpc, bit_depth, sign_hiding, real_h,
-                  real_w, preds=None, qp_ctu=None, ctu=32):
+def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
+                  sign_hiding, real_h, real_w, preds, cpreds,
+                  qp_ctu=None, ctu=32):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
-    estimated bits, then device compose. preds, when given, carries
-    the luma predictions already interpolated by the windowed ME
-    (me_win contract: pred == normative MC at the returned MV), so
-    only chroma needs a per-block MC gather here. qp_ctu, when given,
-    is a traced (ncty, nctx) per-CTU QP map (AQ/cuTree dQP): every
-    block quantizes with its covering CTU's QP. Returns
-    (rec/cf planes..., depth8, mv8)."""
+    estimated bits, then device compose. preds carries the luma
+    predictions already interpolated by the windowed ME, cpreds the
+    windowed chroma predictions per size (me_win contract: pred ==
+    normative MC at the returned MV) — this stage does NO pixel
+    gathers at all. qp_ctu, when given, is a traced (ncty, nctx)
+    per-CTU QP map (AQ/cuTree dQP): every block quantizes with its
+    covering CTU's QP. Returns (rec/cf planes..., depth8, mv8)."""
     h, w = oy.shape
     maxv = (1 << bit_depth) - 1
 
@@ -205,11 +295,7 @@ def _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y, pad_c,
         return blocks.reshape(bby, bbx, nn, nn).transpose(0, 2, 1, 3) \
             .reshape(hh, ww)
 
-    def one_plane(orig, ref, pad, nn, x0, y0, mvx, mvy, qqp, is_luma,
-                  pred=None):
-        if pred is None:
-            pred = mc_block_batch_ds(ref, pad, x0, y0, mvx, mvy, nn,
-                                     is_luma=is_luma, bit_depth=bit_depth)
+    def one_plane(orig, nn, qqp, pred):
         ob = blocks_of(orig, nn)
         resi = ob - pred
         if sign_hiding:
@@ -238,19 +324,11 @@ def _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y, pad_c,
     for n in SIZES:
         by, bx = h // n, w // n
         grid = mvs[n].reshape(by, bx, 2)
-        mvx = grid[..., 0].reshape(-1)
-        mvy = grid[..., 1].reshape(-1)
-        x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
-        y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
         cn = n >> 1
         qn, qcn = qp_vecs(n, by, bx)
-        rec_y, cf_y = one_plane(oy, ry_pad, pad_y, n, x0s, y0s, mvx,
-                                mvy, qn, True,
-                                pred=None if preds is None else preds[n])
-        rec_cb, cf_cb = one_plane(ocb, rcb_pad, pad_c, cn, x0s // 2,
-                                  y0s // 2, mvx, mvy, qcn, False)
-        rec_cr, cf_cr = one_plane(ocr, rcr_pad, pad_c, cn, x0s // 2,
-                                  y0s // 2, mvx, mvy, qcn, False)
+        rec_y, cf_y = one_plane(oy, n, qn, preds[n])
+        rec_cb, cf_cb = one_plane(ocb, cn, qcn, cpreds[n][0])
+        rec_cr, cf_cr = one_plane(ocr, cn, qcn, cpreds[n][1])
         planes[n] = (to_plane(rec_y, n, h, w), to_plane(cf_y, n, h, w),
                      to_plane(rec_cb, cn, h // 2, w // 2),
                      to_plane(cf_cb, cn, h // 2, w // 2),
@@ -424,34 +502,34 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         ocr = ocr8.astype(jnp.int32)
         h, w = oy.shape
 
-        # --- dense hierarchical ME (windowed: 2 tile-gathers per size)
+        # --- dense hierarchical ME: one shared window gather per
+        # 16-region (serves n=8 and n=16) + one per 32-block
         cmv, _ = _coarse_search_rolled(_downsample4(oy), _downsample4(ry))
-        cby, cbx = cmv.shape[:2]
         lam_i = jnp.int32(round(lam))
         pad_y = 2 * me_range + 8
         pad_c = me_range + 8
         ry_pad = pad_ref(ry, pad_y)
-        rcb_pad = pad_ref(rcb, pad_c)
-        rcr_pad = pad_ref(rcr, pad_c)
-        mvs, preds = {}, {}
-        for n in SIZES:
-            by, bx = h // n, w // n
-            iy = jnp.clip((jnp.arange(by) * n + n // 2) // 16, 0, cby - 1)
-            ix = jnp.clip((jnp.arange(bx) * n + n // 2) // 16, 0, cbx - 1)
-            seed = (cmv[iy[:, None], ix[None, :]] * 4).reshape(-1, 2)
-            mv, cost, pred = me_size_windowed(oy, ry_pad, seed, lam_i, n,
-                                              radius=me_range,
-                                              bit_depth=bit_depth,
-                                              pad=pad_y)
-            mvs[n] = mv
-            preds[n] = pred
+        # the coarse grid (4x4 blocks at quarter res) IS the 16-region
+        # grid at full res; scale quarter-res pels to full-res pels
+        cmv16 = cmv * 4
+        meres, seeds = me_all_sizes(oy, ry_pad, cmv16, lam_i,
+                                    radius=me_range, pad=pad_y,
+                                    bit_depth=bit_depth, sizes=SIZES)
+        mvs = {n: meres[n][0] for n in SIZES}
+        preds = {n: meres[n][2] for n in SIZES}
+
+        # --- windowed chroma predictions for every size (no per-block
+        # plane gathers)
+        cpad2 = jnp.stack([pad_ref(rcb, pad_c), pad_ref(rcr, pad_c)])
+        cpreds = _chroma_preds_windowed(cpad2, pad_c, rcb, rcr, mvs,
+                                        seeds, me_range, h, w, bit_depth)
 
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
         (rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8) = \
-            _mc_recon_all(oy, ocb, ocr, ry_pad, rcb_pad, rcr_pad, pad_y,
-                          pad_c, mvs, lam2, qp, qpc, bit_depth,
+            _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                           sign_hiding, real_h, real_w, preds=preds,
+                          cpreds=cpreds,
                           qp_ctu=qp_ctu if dqp else None, ctu=ctu)
 
         # --- in-loop filters on the coded-size crop

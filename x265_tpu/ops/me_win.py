@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .interp import LUMA_FILTERS
 from .me import _mv_bits
-from .satd import sa8d_nxn_batch
+from .satd import sa8d_nxn_batch, sa8d_nxn_lanes
 
 
 def gather_windows(ref: jnp.ndarray, y0s: jnp.ndarray, x0s: jnp.ndarray,
@@ -111,6 +111,31 @@ def interp_ext(win: jnp.ndarray, dxi: jnp.ndarray, dyi: jnp.ndarray,
     return jnp.clip(out, 0, (1 << bit_depth) - 1)
 
 
+def interp_ext_lanes(win_t: jnp.ndarray, dxi: jnp.ndarray,
+                     dyi: jnp.ndarray, n: int,
+                     bit_depth: int = 8) -> jnp.ndarray:
+    """interp_ext in LANES-LAST layout: win_t (S, S, B), returns
+    (n, n, B). Blocks live in the 128-lane axis, so every tap
+    multiply-add runs at full VPU occupancy regardless of n."""
+    bank = jnp.asarray(_EXT_BANK9)
+    hf = bank[dxi]                               # (B, 9)
+    vf = bank[dyi]
+    shift1 = bit_depth - 8
+    s = win_t.shape[0]
+    b = win_t.shape[2]
+    tmp = jnp.zeros((s, n, b), jnp.int32)
+    for t in range(9):
+        tmp = tmp + win_t[:, t:t + n, :] * hf[None, None, :, t]
+    if shift1:
+        tmp = tmp >> shift1
+    out = jnp.zeros((n, n, b), jnp.int32)
+    for t in range(9):
+        out = out + tmp[t:t + n, :, :] * vf[None, None, :, t]
+    total_shift = 12 - shift1
+    out = (out + (1 << (total_shift - 1))) >> total_shift
+    return jnp.clip(out, 0, (1 << bit_depth) - 1)
+
+
 def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                      seed_mv: jnp.ndarray, lam: jnp.ndarray, n: int,
                      radius: int = 6, bit_depth: int = 8,
@@ -132,8 +157,10 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     b = by * bx
     y0s = jnp.repeat(jnp.arange(by, dtype=jnp.int32) * n, bx)
     x0s = jnp.tile(jnp.arange(bx, dtype=jnp.int32) * n, by)
-    cur_blocks = cur.reshape(by, n, bx, n).transpose(0, 2, 1, 3) \
-        .reshape(b, n, n).astype(jnp.int32)
+    # lanes-last block layout: (n, n, B) keeps the large block axis in
+    # the 128-lane dimension so SAD/SATD sweeps run dense on the VPU
+    cur_t = cur.reshape(by, n, bx, n).transpose(1, 3, 0, 2) \
+        .reshape(n, n, b).astype(jnp.int32)
 
     # clamp seeds so windows stay near-plane (bounds the padded-slice
     # range AND keeps the searchable area real)
@@ -143,11 +170,12 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     wlen = n + 2 * radius
     win = gather_windows_ds(ref_pad, pad, y0s + sy - radius,
                             x0s + sx - radius, wlen)
+    win_t = jnp.transpose(win, (1, 2, 0))        # (wlen, wlen, B)
 
     side = 2 * radius + 1
     ncand = side * side
 
-    # separable per-axis MV-bits penalty tables (B, side): computed
+    # separable per-axis MV-bits penalty tables (side, B): computed
     # once instead of per candidate (169x fewer float log2s)
     offs = jnp.arange(side, dtype=jnp.int32) - radius
 
@@ -156,18 +184,18 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         return (2 * jnp.ceil(jnp.log2(a.astype(jnp.float32) + 1.0)) + 1) \
             .astype(jnp.int32)
 
-    penx = lam * comp_bits((sx[:, None] + offs[None, :]) * 4)
-    peny = lam * comp_bits((sy[:, None] + offs[None, :]) * 4)
+    penx = lam * comp_bits((sx[None, :] + offs[:, None]) * 4)  # (side,B)
+    peny = lam * comp_bits((sy[None, :] + offs[:, None]) * 4)
 
     def int_body(i, state):
         best_cost, best_i = state
         dy = i // side
         dx = i % side
-        cand = jax.lax.dynamic_slice(win, (0, dy, dx), (b, n, n))
-        sad = jnp.sum(jnp.abs(cur_blocks - cand), axis=(1, 2))
+        cand = jax.lax.dynamic_slice(win_t, (dy, dx, 0), (n, n, b))
+        sad = jnp.sum(jnp.abs(cur_t - cand), axis=(0, 1))
         cost = sad + \
-            jax.lax.dynamic_slice(penx, (0, dx), (b, 1))[:, 0] + \
-            jax.lax.dynamic_slice(peny, (0, dy), (b, 1))[:, 0]
+            jax.lax.dynamic_slice(penx, (dx, 0), (1, b))[0] + \
+            jax.lax.dynamic_slice(peny, (dy, 0), (1, b))[0]
         better = cost < best_cost
         return (jnp.where(better, cost, best_cost),
                 jnp.where(better, i, best_i))
@@ -182,8 +210,9 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     # drifted off static content; the AMVP-candidate analog of
     # motion.cpp:739
     ref = ref_pad[pad:pad + h, pad:pad + w]
-    sad0 = jnp.sum(jnp.abs(cur_blocks - gather_zero(ref, y0s, x0s, n)),
-                   axis=(1, 2))
+    zero_t = ref.reshape(by, n, bx, n).transpose(1, 3, 0, 2) \
+        .reshape(n, n, b).astype(jnp.int32)
+    sad0 = jnp.sum(jnp.abs(cur_t - zero_t), axis=(0, 1))
     cost0 = sad0 + lam * _mv_bits(jnp.zeros_like(sx), jnp.zeros_like(sy))
     z = cost0 < best_cost
     mvx_i = jnp.where(z, 0, mvx_i)
@@ -192,12 +221,13 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     # --- sub-pel window (second and last gather)
     swin = gather_windows_ds(ref_pad, pad, y0s + mvy_i - 4,
                              x0s + mvx_i - 4, n + 8)
+    swin_t = jnp.transpose(swin, (1, 2, 0))      # (n+8, n+8, B)
 
     # --- quarter-pel refinement, step 2 then 1, offsets within [-3,3]
     dx = jnp.zeros((b,), jnp.int32)
     dy = jnp.zeros((b,), jnp.int32)
-    pred = interp_ext(swin, dx + 3, dy + 3, n, bit_depth)
-    scost = sa8d_nxn_batch(cur_blocks - pred, n) + \
+    pred = interp_ext_lanes(swin_t, dx + 3, dy + 3, n, bit_depth)
+    scost = sa8d_nxn_lanes(cur_t - pred, n) + \
         lam * _mv_bits(mvx_i * 4, mvy_i * 4)
     best_pred = pred
     neigh = [(1, 0), (-1, 0), (0, 1), (0, -1),
@@ -206,16 +236,224 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         for ox, oy in neigh:
             cx = jnp.clip(dx + ox * step, -3, 3)
             cy = jnp.clip(dy + oy * step, -3, 3)
-            p = interp_ext(swin, cx + 3, cy + 3, n, bit_depth)
-            c = sa8d_nxn_batch(cur_blocks - p, n) + \
+            p = interp_ext_lanes(swin_t, cx + 3, cy + 3, n, bit_depth)
+            c = sa8d_nxn_lanes(cur_t - p, n) + \
                 lam * _mv_bits(mvx_i * 4 + cx, mvy_i * 4 + cy)
             better = c < scost
             scost = jnp.where(better, c, scost)
             dx = jnp.where(better, cx, dx)
             dy = jnp.where(better, cy, dy)
-            best_pred = jnp.where(better[:, None, None], p, best_pred)
+            best_pred = jnp.where(better[None, None, :], p, best_pred)
     mvq = jnp.stack([mvx_i * 4 + dx, mvy_i * 4 + dy], axis=1)
-    return mvq, scost, best_pred
+    # back to block-major (B, n, n) for the recon stage contract
+    pred_bm = jnp.transpose(best_pred, (2, 0, 1))
+    return mvq, scost, pred_bm
+
+
+def select_window_lanes(win_t: jnp.ndarray, offy: jnp.ndarray,
+                        offx: jnp.ndarray, out: int,
+                        nshift: int) -> jnp.ndarray:
+    """Extract (out, out, B) sub-windows at per-block integer offsets
+    from (S, S, B) windows WITHOUT a gather: one-hot masked sums over
+    nshift static shifted slices per axis (measured ~28x faster than
+    vmap(dynamic_slice) on TPU — gathers serialize, shifts are dense).
+    offy/offx: (B,) in [0, nshift)."""
+    s, _, b = win_t.shape
+    rows = jnp.zeros((out, s, b), jnp.int32)
+    for d in range(nshift):
+        m = (offy == d)[None, None, :]
+        rows = rows + jnp.where(m, win_t[d:d + out, :, :], 0)
+    cols = jnp.zeros((out, out, b), jnp.int32)
+    for d in range(nshift):
+        m = (offx == d)[None, None, :]
+        cols = cols + jnp.where(m, rows[:, d:d + out, :], 0)
+    return cols
+
+
+# =============================================================================
+# whole-frame ME with SHARED per-16-region windows
+# =============================================================================
+
+def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
+                 cmv16: jnp.ndarray, lam: jnp.ndarray, *,
+                 radius: int = 6, pad: int, bit_depth: int = 8,
+                 sizes=(8, 16, 32)):
+    """Dense ME for every block of every size with TWO plane gathers
+    per frame (the gathers, not the math, dominate windowed ME on TPU):
+
+      - one (n16 regions, 16+2r+8, ...) window per 16x16 region at that
+        region's coarse seed, shared by the n=16 search AND the four
+        n=8 searches inside it (their seeds are the same coarse MV);
+      - one window per 32x32 block for n=32.
+
+    Integer candidates are static slices of the window; the sub-pel
+    window is a one-hot masked-shift selection (select_window_lanes);
+    quarter-pel refinement runs on the extended filter bank. A dense
+    zero-MV candidate (no gather) is compared at SATD level last.
+
+    cur: (H, W) int32 (H, W multiples of 32); ref_pad edge-padded by
+    `pad` >= 2*radius + 8; cmv16: (H//16, W//16, 2) full-pel coarse
+    seeds. Returns ({n: (mv_qpel (B,2), cost (B,), pred (B,n,n))},
+    {16: (sx, sy), 32: (sx, sy)} clamped per-region seeds — the chroma
+    window stage derives its offsets from these).
+    """
+    h, w = cur.shape
+    r = radius
+    side = 2 * r + 1
+    by16, bx16 = h // 16, w // 16
+    b16 = by16 * bx16
+    y16 = jnp.repeat(jnp.arange(by16, dtype=jnp.int32) * 16, bx16)
+    x16 = jnp.tile(jnp.arange(bx16, dtype=jnp.int32) * 16, by16)
+    # clamp seeds so the padded window slice stays in range
+    sx16 = jnp.clip(cmv16[..., 0].reshape(-1), -(x16 + r + 4),
+                    (w - 16) - x16 + r + 4)
+    sy16 = jnp.clip(cmv16[..., 1].reshape(-1), -(y16 + r + 4),
+                    (h - 16) - y16 + r + 4)
+    wlen16 = 16 + 2 * r + 8
+    w16 = gather_windows_ds(ref_pad, pad, y16 + sy16 - (r + 4),
+                            x16 + sx16 - (r + 4), wlen16)
+
+    out = {}
+
+    def run_size(win_t, cur_t, seedx, seedy, x0s, y0s, n):
+        """win_t: (n+2r+8, n+2r+8, B) windows at seed-(r+4); returns
+        (mv_qpel, cost, pred (n,n,B))."""
+        b = cur_t.shape[-1]
+        offs = jnp.arange(side, dtype=jnp.int32) - r
+
+        def comp_bits(v):
+            a = jnp.abs(v)
+            return (2 * jnp.ceil(jnp.log2(a.astype(jnp.float32) + 1.0))
+                    + 1).astype(jnp.int32)
+
+        penx = lam * comp_bits((seedx[None, :] + offs[:, None]) * 4)
+        peny = lam * comp_bits((seedy[None, :] + offs[:, None]) * 4)
+
+        def int_body(i, state):
+            best_cost, best_i = state
+            dy = i // side
+            dx = i % side
+            cand = jax.lax.dynamic_slice(win_t, (4 + dy, 4 + dx, 0),
+                                         (n, n, b))
+            sad = jnp.sum(jnp.abs(cur_t - cand), axis=(0, 1))
+            cost = sad + \
+                jax.lax.dynamic_slice(penx, (dx, 0), (1, b))[0] + \
+                jax.lax.dynamic_slice(peny, (dy, 0), (1, b))[0]
+            better = cost < best_cost
+            return (jnp.where(better, cost, best_cost),
+                    jnp.where(better, i, best_i))
+
+        init = (jnp.full((b,), 1 << 30, jnp.int32),
+                jnp.zeros((b,), jnp.int32))
+        _, best_i = jax.lax.fori_loop(0, side * side, int_body, init)
+        oy_i = best_i // side          # window offset in [0, 2r]
+        ox_i = best_i % side
+        mvx_i = seedx + ox_i - r
+        mvy_i = seedy + oy_i - r
+
+        # sub-pel window at the best integer position (masked shifts)
+        swin_t = select_window_lanes(win_t, oy_i, ox_i, n + 8, side)
+
+        dx = jnp.zeros((b,), jnp.int32)
+        dy = jnp.zeros((b,), jnp.int32)
+        pred = interp_ext_lanes(swin_t, dx + 3, dy + 3, n, bit_depth)
+        scost = sa8d_nxn_lanes(cur_t - pred, n) + \
+            lam * _mv_bits(mvx_i * 4, mvy_i * 4)
+        best_pred = pred
+        neigh = [(1, 0), (-1, 0), (0, 1), (0, -1),
+                 (1, 1), (1, -1), (-1, 1), (-1, -1)]
+        for step in (2, 1):
+            for ox, oy in neigh:
+                cx = jnp.clip(dx + ox * step, -3, 3)
+                cy = jnp.clip(dy + oy * step, -3, 3)
+                p = interp_ext_lanes(swin_t, cx + 3, cy + 3, n,
+                                     bit_depth)
+                c = sa8d_nxn_lanes(cur_t - p, n) + \
+                    lam * _mv_bits(mvx_i * 4 + cx, mvy_i * 4 + cy)
+                better = c < scost
+                scost = jnp.where(better, c, scost)
+                dx = jnp.where(better, cx, dx)
+                dy = jnp.where(better, cy, dy)
+                best_pred = jnp.where(better[None, None, :], p,
+                                      best_pred)
+        mvqx = mvx_i * 4 + dx
+        mvqy = mvy_i * 4 + dy
+
+        # dense zero-MV candidate (SATD level, no gather)
+        ref = ref_pad[pad:pad + h, pad:pad + w]
+        by, bx = h // n, w // n
+        zero_t = ref.reshape(by, n, bx, n).transpose(1, 3, 0, 2) \
+            .reshape(n, n, b).astype(jnp.int32)
+        zcost = sa8d_nxn_lanes(cur_t - zero_t, n) + lam * 2
+        zwin = zcost < scost
+        scost = jnp.where(zwin, zcost, scost)
+        mvqx = jnp.where(zwin, 0, mvqx)
+        mvqy = jnp.where(zwin, 0, mvqy)
+        best_pred = jnp.where(zwin[None, None, :], zero_t, best_pred)
+        mvq = jnp.stack([mvqx, mvqy], axis=1)
+        return mvq, scost, best_pred
+
+    if 16 in sizes:
+        cur16 = cur.reshape(by16, 16, bx16, 16).transpose(1, 3, 0, 2) \
+            .reshape(16, 16, b16).astype(jnp.int32)
+        w16_t = jnp.transpose(w16, (1, 2, 0))
+        mv, cost, pred = run_size(w16_t, cur16, sx16, sy16, x16, y16, 16)
+        out[16] = (mv, cost, jnp.transpose(pred, (2, 0, 1)))
+
+    if 8 in sizes:
+        by8, bx8 = h // 8, w // 8
+        b8 = by8 * bx8
+        # (28, 28) windows of the four 8-blocks = static slices of the
+        # parent 16-region window (same seed); assemble in raster order
+        w16r = w16.reshape(by16, bx16, wlen16, wlen16)
+        wlen8 = 8 + 2 * r + 8
+        subs = []
+        for jj in (0, 1):
+            row = []
+            for ii in (0, 1):
+                row.append(w16r[:, :, 8 * jj:8 * jj + wlen8,
+                                8 * ii:8 * ii + wlen8])
+            subs.append(row)
+        # (by16, 2, bx16, 2, wlen8, wlen8) -> (B8, wlen8, wlen8)
+        w8 = jnp.stack([jnp.stack(row, axis=2) for row in subs], axis=1) \
+            .reshape(by8, bx8, wlen8, wlen8)
+        w8_t = jnp.transpose(w8.reshape(b8, wlen8, wlen8), (1, 2, 0))
+        cur8 = cur.reshape(by8, 8, bx8, 8).transpose(1, 3, 0, 2) \
+            .reshape(8, 8, b8).astype(jnp.int32)
+        sx8 = jnp.repeat(jnp.repeat(sx16.reshape(by16, bx16), 2, 0),
+                         2, 1).reshape(-1)
+        sy8 = jnp.repeat(jnp.repeat(sy16.reshape(by16, bx16), 2, 0),
+                         2, 1).reshape(-1)
+        y8 = jnp.repeat(jnp.arange(by8, dtype=jnp.int32) * 8, bx8)
+        x8 = jnp.tile(jnp.arange(bx8, dtype=jnp.int32) * 8, by8)
+        mv, cost, pred = run_size(w8_t, cur8, sx8, sy8, x8, y8, 8)
+        out[8] = (mv, cost, jnp.transpose(pred, (2, 0, 1)))
+
+    if 32 in sizes:
+        by32, bx32 = h // 32, w // 32
+        b32 = by32 * bx32
+        y32 = jnp.repeat(jnp.arange(by32, dtype=jnp.int32) * 32, bx32)
+        x32 = jnp.tile(jnp.arange(bx32, dtype=jnp.int32) * 32, by32)
+        # seed: the coarse MV at the 32-block centre
+        c16 = cmv16.reshape(by16, bx16, 2)
+        s32 = c16[1::2, 1::2].reshape(-1, 2)
+        sx32 = jnp.clip(s32[:, 0], -(x32 + r + 4),
+                        (w - 32) - x32 + r + 4)
+        sy32 = jnp.clip(s32[:, 1], -(y32 + r + 4),
+                        (h - 32) - y32 + r + 4)
+        wlen32 = 32 + 2 * r + 8
+        w32 = gather_windows_ds(ref_pad, pad, y32 + sy32 - (r + 4),
+                                x32 + sx32 - (r + 4), wlen32)
+        w32_t = jnp.transpose(w32, (1, 2, 0))
+        cur32 = cur.reshape(by32, 32, bx32, 32).transpose(1, 3, 0, 2) \
+            .reshape(32, 32, b32).astype(jnp.int32)
+        mv, cost, pred = run_size(w32_t, cur32, sx32, sy32, x32, y32, 32)
+        out[32] = (mv, cost, jnp.transpose(pred, (2, 0, 1)))
+        seeds32 = (sx32, sy32)
+    else:
+        seeds32 = None
+
+    return out, {16: (sx16, sy16), 32: seeds32}
 
 
 def gather_zero(ref: jnp.ndarray, y0s: jnp.ndarray, x0s: jnp.ndarray,
@@ -225,6 +463,77 @@ def gather_zero(ref: jnp.ndarray, y0s: jnp.ndarray, x0s: jnp.ndarray,
     by, bx = h // n, w // n
     return ref.reshape(by, n, bx, n).transpose(0, 2, 1, 3) \
         .reshape(by * bx, n, n).astype(jnp.int32)
+
+
+# =============================================================================
+# windowed chroma MC (shared per-16-region windows, no per-block gather)
+# =============================================================================
+
+def interp_chroma_lanes(patch_t: jnp.ndarray, fx: jnp.ndarray,
+                        fy: jnp.ndarray, cn: int,
+                        bit_depth: int = 8) -> jnp.ndarray:
+    """4-tap chroma interpolation, lanes-last: patch_t (cn+3, cn+3, B)
+    starting one sample above/left of the integer position; fx/fy (B,)
+    in [0,8). Bit-exact with ops.interp.chroma_mc semantics."""
+    from .interp import CHROMA_FILTERS
+    bank = jnp.asarray(CHROMA_FILTERS)
+    hf = bank[fx]                                # (B, 4)
+    vf = bank[fy]
+    shift1 = bit_depth - 8
+    s = patch_t.shape[0]
+    b = patch_t.shape[2]
+    tmp = jnp.zeros((s, cn, b), jnp.int32)
+    for t in range(4):
+        tmp = tmp + patch_t[:, t:t + cn, :] * hf[None, None, :, t]
+    if shift1:
+        tmp = tmp >> shift1
+    out = jnp.zeros((cn, cn, b), jnp.int32)
+    for t in range(4):
+        out = out + tmp[t:t + cn, :, :] * vf[None, None, :, t]
+    total_shift = 12 - shift1
+    out = (out + (1 << (total_shift - 1))) >> total_shift
+    return jnp.clip(out, 0, (1 << bit_depth) - 1)
+
+
+def seed_floor_off(seed: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Lowest chroma patch origin (relative to the block's chroma
+    position) reachable by a luma MV in [4*(seed-r)-3, 4*(seed+r)+3]
+    qpel: s0 = ((4*(seed-r) - 3) >> 3) - 1 (the -1 is the 4-tap lead)."""
+    return ((4 * (seed - radius) - 3) >> 3) - 1
+
+
+def gather_chroma_windows(cpad2: jnp.ndarray, pc: int,
+                          reg_cy: jnp.ndarray, reg_cx: jnp.ndarray,
+                          s0y: jnp.ndarray, s0x: jnp.ndarray,
+                          wc: int) -> jnp.ndarray:
+    """Gather (Breg, 2, wc, wc) stacked cb/cr windows with origin
+    (reg + s0) in unpadded chroma coords — ONE slice covers both
+    planes, halving the tile count."""
+    starts = jnp.stack([jnp.zeros_like(reg_cy), reg_cy + s0y + pc,
+                        reg_cx + s0x + pc], axis=1)
+
+    def one(st):
+        return jax.lax.dynamic_slice(cpad2, (st[0], st[1], st[2]),
+                                     (2, wc, wc))
+
+    return jax.vmap(one)(starts)
+
+
+def chroma_mc_from_windows(win_b: jnp.ndarray, offy: jnp.ndarray,
+                           offx: jnp.ndarray, fx: jnp.ndarray,
+                           fy: jnp.ndarray, cn: int, nshift: int,
+                           bit_depth: int = 8):
+    """Chroma MC from per-BLOCK windows: win_b (B, 2, wc, wc); in-window
+    patch offsets offy/offx (B,) in [0, nshift); eighth-pel fractions
+    fx/fy (B,). Returns ((B,cn,cn) cb, (B,cn,cn) cr)."""
+    outs = []
+    for plane in range(2):
+        wt = jnp.transpose(win_b[:, plane], (1, 2, 0))
+        patch = select_window_lanes(wt, offy, offx, cn + 3, nshift)
+        outs.append(jnp.transpose(
+            interp_chroma_lanes(patch, fx, fy, cn, bit_depth),
+            (2, 0, 1)))
+    return outs[0], outs[1]
 
 
 def pad_ref(ref: jnp.ndarray, pad: int) -> jnp.ndarray:
