@@ -70,8 +70,11 @@ def bench_intra() -> None:
 
 
 def bench_ippp() -> None:
-    """IPPP low-delay: I + (gop-1) P frames via the fused device scan."""
-    gop = int(os.environ.get("BENCH_GOP", "8"))
+    """IPPP low-delay: I + (gop-1) P frames via the fused device scan.
+
+    GOP 24 (not the keyint-250 of config 2) keeps the measurement
+    honest about I-frame cost while not being artificially I-heavy."""
+    gop = int(os.environ.get("BENCH_GOP", "24"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     cfg = EncoderConfig(width=1920, height=1080, qp=32, deblock=True,
                         sao=False)

@@ -379,9 +379,46 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         mvqx = mvx_i * 4 + dx
         mvqy = mvy_i * 4 + dy
 
+        # merge-candidate pass (checkMerge2Nx2N_rd0_4 analog,
+        # analysis.cpp:2750): the left/top neighbours' refined MVs are
+        # the batched proxy for the merge list — adopting one costs
+        # ~2 bits instead of an MVD, so bias selection toward them.
+        # Evaluated from the SAME window via masked shifts when the
+        # candidate is in range.
+        by, bx = h // n, w // n
+        for axis, sh in ((1, 1), (0, 1)):      # left, top neighbours
+            fx2 = mvqx.reshape(by, bx)
+            fy2 = mvqy.reshape(by, bx)
+            cqx = jnp.roll(fx2, sh, axis=axis).reshape(-1)
+            cqy = jnp.roll(fy2, sh, axis=axis).reshape(-1)
+            edge_ok = jnp.ones((by, bx), bool)
+            if axis == 1:
+                edge_ok = edge_ok.at[:, 0].set(False)
+            else:
+                edge_ok = edge_ok.at[0, :].set(False)
+            ci_x = cqx >> 2
+            ci_y = cqy >> 2
+            offx2 = ci_x - (seedx - r)
+            offy2 = ci_y - (seedy - r)
+            valid = edge_ok.reshape(-1) & \
+                (offx2 >= 0) & (offx2 <= 2 * r) & \
+                (offy2 >= 0) & (offy2 <= 2 * r) & \
+                ~((cqx == mvqx) & (cqy == mvqy))
+            swc = select_window_lanes(win_t, jnp.clip(offy2, 0, 2 * r),
+                                      jnp.clip(offx2, 0, 2 * r),
+                                      n + 8, side)
+            p = interp_ext_lanes(swc, (cqx & 3) + 3, (cqy & 3) + 3, n,
+                                 bit_depth)
+            c = sa8d_nxn_lanes(cur_t - p, n) + lam * 2
+            c = jnp.where(valid, c, jnp.int32(1 << 30))
+            better = c < scost
+            scost = jnp.where(better, c, scost)
+            mvqx = jnp.where(better, cqx, mvqx)
+            mvqy = jnp.where(better, cqy, mvqy)
+            best_pred = jnp.where(better[None, None, :], p, best_pred)
+
         # dense zero-MV candidate (SATD level, no gather)
         ref = ref_pad[pad:pad + h, pad:pad + w]
-        by, bx = h // n, w // n
         zero_t = ref.reshape(by, n, bx, n).transpose(1, 3, 0, 2) \
             .reshape(n, n, b).astype(jnp.int32)
         zcost = sa8d_nxn_lanes(cur_t - zero_t, n) + lam * 2
