@@ -87,7 +87,10 @@ def bench_ippp() -> None:
         r0 = enc.encode_frame(*frames[0], qp=cfg.qp - 3,   # ipratio
                               use_device_recon=True, need_recon=False)
         enc.ref = r0.device_ref      # reference stays device-resident
-        rs = enc.encode_pgop(frames[1:], need_recon=False)
+        # software-pipelined chunks: upload/scan of chunk k+1 overlaps
+        # download/CABAC of chunk k
+        rs = enc.encode_pgop_pipelined(frames[1:], need_recon=False,
+                                       chunk=8)
         return r0.bits + sum(r.bits for r in rs)
 
     run()                            # warmup / compile

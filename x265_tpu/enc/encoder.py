@@ -500,8 +500,8 @@ class IntraEncoder:
             self.poc = 0
             results.append(r)
             if len(gop) > 1:
-                results.extend(self.encode_pgop(
-                    gop[1:],
+                results.extend(self.encode_pgop_pipelined(
+                    gop[1:], need_recon=True,
                     qp_maps=None if qp_maps is None else qp_maps[1:]))
             i = j
         return results
@@ -552,6 +552,17 @@ class IntraEncoder:
         syns, recons, last_ref = encode_pgop_tpu(
             oy, ocb, ocr, self.ref, cfg, qp, need_recon=want_recon,
             me_range=cfg.me_range, qp_maps=qp_maps)
+        self.ref = last_ref
+        return self._emit_p_frames(syns, recons, qp, poc_step)
+
+    def _emit_p_frames(self, syns, recons, qp: int,
+                       poc_step: int = 1) -> list[FrameResult]:
+        """Slice headers + native CABAC + NAL packaging for a collected
+        P chunk (the serial host tail of the pipeline)."""
+        from ..bitstream.ctx_tables import init_states
+        from ..native.entropy_native import encode_slice_native
+        cfg = self.cfg
+        w, h = cfg.width_padded, cfg.height_padded
         results = []
         for i, syn in enumerate(syns):
             recon = recons[i]
@@ -581,7 +592,53 @@ class IntraEncoder:
             results.append(FrameResult(bitstream=stream, recon=recon,
                                        syntax=syn, bits=len(stream) * 8,
                                        poc=self.poc, ftype="P"))
-        self.ref = last_ref
+        return results
+
+    def encode_pgop_pipelined(self, frames, qp: int | None = None,
+                              chunk: int = 8, need_recon: bool = False,
+                              qp_maps: np.ndarray | None = None,
+                              poc_step: int = 1) -> list[FrameResult]:
+        """Software-pipelined IPPP: submit device work for chunk k+1
+        BEFORE collecting chunk k, so H2D upload + the fused scan of
+        the next chunk overlap the D2H download + host CABAC of the
+        previous one — the host-boundary analog of x265's N in-flight
+        FrameEncoder threads (frameencoder.cpp:427). Reference chaining
+        stays device-side (DeviceRef), so submission never blocks."""
+        from .pgop_tpu import collect_pgop_tpu, submit_pgop_tpu
+        assert self.ref is not None, "no reference: encode an I frame first"
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        w, h = cfg.width_padded, cfg.height_padded
+        want_recon = need_recon or cfg.hash_sei
+
+        def stack(chunk_frames):
+            oy = np.stack([pad_plane(np.asarray(f[0]), h, w)
+                           for f in chunk_frames])
+            ocb = np.stack([pad_plane(np.asarray(f[1]), h // 2, w // 2)
+                            for f in chunk_frames])
+            ocr = np.stack([pad_plane(np.asarray(f[2]), h // 2, w // 2)
+                            for f in chunk_frames])
+            return oy, ocb, ocr
+
+        results: list[FrameResult] = []
+        prev = None
+        for s in range(0, len(frames), chunk):
+            ck = frames[s:s + chunk]
+            qmk = None if qp_maps is None else qp_maps[s:s + chunk]
+            oy, ocb, ocr = stack(ck)
+            pend = submit_pgop_tpu(oy, ocb, ocr, self.ref, cfg, qp,
+                                   need_recon=want_recon,
+                                   me_range=cfg.me_range, qp_maps=qmk)
+            self.ref = pend.last_ref
+            if prev is not None:
+                syns, recons, _ = collect_pgop_tpu(prev)
+                results.extend(self._emit_p_frames(syns, recons, qp,
+                                                   poc_step))
+            prev = pend
+        if prev is not None:
+            syns, recons, _ = collect_pgop_tpu(prev)
+            results.extend(self._emit_p_frames(syns, recons, qp,
+                                               poc_step))
         return results
 
     def encode_gop(self, frames: list[tuple[np.ndarray, np.ndarray,

@@ -636,21 +636,29 @@ def _pad_gop_j(p2d, *, f: int, h: int, w: int, hp: int, wp: int):
     return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
 
-def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
+class PgopPending:
+    """In-flight device work for one P-GOP chunk (submit/collect split:
+    the x265 frame-pipeline analog at the host boundary — submit chunk
+    k+1 while chunk k\'s results transfer and its CABAC runs)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                     orig_cr: np.ndarray, ref: ReconFrame | DeviceRef,
                     cfg: EncoderConfig, qp: int | None = None,
                     need_recon: bool = True, me_range: int = 6,
-                    qp_maps: np.ndarray | None = None
-                    ) -> tuple[list[FramePSyntax], list[ReconFrame | None],
-                               DeviceRef]:
-    """Encode F consecutive P frames against a running reference.
+                    qp_maps: np.ndarray | None = None) -> PgopPending:
+    """Dispatch the fused P-GOP scan + coefficient compaction for F
+    frames WITHOUT synchronizing: every return value is a device
+    future. The final reference is available for chaining the next
+    submit immediately (device-side dependency, no host round trip).
 
     orig_y: (F, H, W) planes at the coded (8-aligned) size; ref is the
     post-filter recon of the preceding frame — a host ReconFrame or a
     device-resident DeviceRef (no H2D). qp_maps: optional (F, ncty,
-    nctx) per-CTU QP from AQ/cuTree (cu_qp_delta per CTU). Returns
-    per-frame syntax (cropped to coded size), per-frame recon (or
-    None), and the final reference as a DeviceRef for chaining."""
+    nctx) per-CTU QP from AQ/cuTree (cu_qp_delta per CTU)."""
     f, h, w = orig_y.shape
     hp = (h + 31) // 32 * 32
     wp = (w + 31) // 32 * 32
@@ -707,18 +715,52 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         me_range=me_range, need_recon=need_recon,
         dqp=qp_maps is not None)
 
-    from ..ops.compact import fetch_plane_compact
+    # dispatch CG compaction now (async): only the compacted
+    # coefficients cross the tunnel in collect
+    from ..ops.compact import compact_cgs
+    capy = max(4096, (f * hp // 4) * (wp // 4) // 8)
+    capc = max(4096, (2 * f * hp // 8) * (wp // 8) // 8)
+    cy_cgs = compact_cgs(res[2], cap=capy)
+    cc_cgs = compact_cgs(res[3], cap=capc)
+    last_ref = DeviceRef(final_ref[0][:h, :w],
+                         final_ref[1][:h // 2, :w // 2],
+                         final_ref[2][:h // 2, :w // 2])
+    return PgopPending(
+        res=res, cy_cgs=cy_cgs, cc_cgs=cc_cgs, capy=capy, capc=capc,
+        qmj=qmj if qp_maps is not None else None, f=f, h=h, w=w, hp=hp,
+        wp=wp, ctu=ctu, sao=cfg.sao, need_recon=need_recon,
+        last_ref=last_ref)
+
+
+def collect_pgop_tpu(p: PgopPending
+                     ) -> tuple[list[FramePSyntax],
+                                list[ReconFrame | None], DeviceRef]:
+    """Synchronize one submitted chunk: download decisions + compacted
+    coefficients, build per-frame syntax structs."""
+    from ..ops.compact import expand_cgs_np
+    res, f, h, w, hp, wp = p.res, p.f, p.h, p.w, p.hp, p.wp
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
     mv8 = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]
-    cf_y = fetch_plane_compact(res[2]).reshape(f, hp, wp)[:, :h, :w]
-    cf_c = fetch_plane_compact(res[3]) \
+
+    def fetch_compact(cgs, cap, plane2d, hh, ww):
+        vals, idx, total = cgs
+        t = int(total)
+        if t > cap:
+            return np.asarray(plane2d).astype(np.int32)
+        return expand_cgs_np(np.asarray(vals), np.asarray(idx), t, hh, ww)
+
+    cf_y = fetch_compact(p.cy_cgs, p.capy, res[2], f * hp, wp) \
+        .reshape(f, hp, wp)[:, :h, :w]
+    cf_c = fetch_compact(p.cc_cgs, p.capc, res[3], 2 * f * (hp // 2),
+                         wp // 2) \
         .reshape(2 * f, hp // 2, wp // 2)[:, :h // 2, :w // 2]
     sao_all = np.asarray(res[4]).astype(np.int32)   # (F, 3, ncty, nctx, 6)
-    if need_recon:
+    if p.need_recon:
         ry_np = np.asarray(res[5]).reshape(f, hp, wp)[:, :h, :w]
         rc_np = np.asarray(res[6]).reshape(2 * f, hp // 2, wp // 2) \
             [:, :h // 2, :w // 2]
 
+    ctu = p.ctu
     ncty_c = (h + ctu - 1) // ctu
     nctx_c = (w + ctu - 1) // ctu
     syns, recons = [], []
@@ -731,16 +773,26 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
             coeff_cr=cf_c[f + i].astype(np.int32)))
         syns[-1].sao_params = (
             (sao_all[i, 0], sao_all[i, 1], sao_all[i, 2])
-            if cfg.sao else None)
-        if qp_maps is not None:
-            syns[-1].qp_map = qmj[i, :ncty_c, :nctx_c]
-        if need_recon:
+            if p.sao else None)
+        if p.qmj is not None:
+            syns[-1].qp_map = p.qmj[i, :ncty_c, :nctx_c]
+        if p.need_recon:
             recons.append(ReconFrame(ry_np[i].astype(np.int32),
                                      rc_np[i].astype(np.int32),
                                      rc_np[f + i].astype(np.int32)))
         else:
             recons.append(None)
-    last_ref = DeviceRef(final_ref[0][:h, :w],
-                         final_ref[1][:h // 2, :w // 2],
-                         final_ref[2][:h // 2, :w // 2])
-    return syns, recons, last_ref
+    return syns, recons, p.last_ref
+
+
+def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
+                    orig_cr: np.ndarray, ref: ReconFrame | DeviceRef,
+                    cfg: EncoderConfig, qp: int | None = None,
+                    need_recon: bool = True, me_range: int = 6,
+                    qp_maps: np.ndarray | None = None
+                    ) -> tuple[list[FramePSyntax], list[ReconFrame | None],
+                               DeviceRef]:
+    """Synchronous wrapper: submit + collect in one call."""
+    return collect_pgop_tpu(submit_pgop_tpu(
+        orig_y, orig_cb, orig_cr, ref, cfg, qp, need_recon=need_recon,
+        me_range=me_range, qp_maps=qp_maps))
