@@ -63,6 +63,8 @@ def parse_args(argv=None):
     p.add_argument("--aq-mode", type=int, default=None, choices=(0, 1, 2, 3),
                    help="adaptive quantization (per-CTU dQP)")
     p.add_argument("--aq-strength", type=float, default=None)
+    p.add_argument("--ssim", action="store_true",
+                   help="report SSIM per frame and globally")
     return p.parse_args(argv)
 
 
@@ -151,12 +153,21 @@ def main(argv=None) -> int:
     gop_buf: list = []          # pending display frames for a mini-GOP
     gop_base = 0                # display index of the current anchor
 
+    ssim_acc = 0.0
+
     def emit(res, orig, ftype, fqp):
-        nonlocal total_bits, psnr_acc, n
+        nonlocal total_bits, psnr_acc, ssim_acc, n
         out.write(res.bitstream)
         total_bits += res.bits
         py = psnr(res.recon.y[:h, :w], np.asarray(orig[0]), maxv)
         psnr_acc += py
+        ssim_txt = ""
+        if args.ssim:
+            from .ops.metrics import ssim_plane
+            sv = ssim_plane(np.asarray(orig[0]),
+                            np.asarray(res.recon.y[:h, :w]), depth)
+            ssim_acc += sv
+            ssim_txt = f" SSIM {sv:.5f}"
         if recon_w:
             recon_w.write_frame(res.recon.y[:h, :w],
                                 res.recon.cb[:h // 2, :w // 2],
@@ -164,7 +175,7 @@ def main(argv=None) -> int:
         if csv:
             csv.write(f"{n},{ftype},{fqp},{res.bits},{py:.4f}\n")
         print(f"frame {n:5d} {ftype} qp {fqp} bits {res.bits:8d} "
-              f"Y-PSNR {py:6.3f}", file=sys.stderr)
+              f"Y-PSNR {py:6.3f}{ssim_txt}", file=sys.stderr)
         n += 1
 
     def flush_minigop(fqp):
@@ -243,9 +254,14 @@ def main(argv=None) -> int:
                             frames=np.array(analysis_store, dtype=object))
     fps = n / dt if dt > 0 else 0
     kbps = total_bits * (fps_num / fps_den) / max(n, 1) / 1000
+    extra = ""
+    if args.ssim and n:
+        from .ops.metrics import ssim_to_db
+        mean_ssim = ssim_acc / n
+        extra = f", SSIM {mean_ssim:.5f} ({ssim_to_db(mean_ssim):.3f} dB)"
     print(f"encoded {n} frames in {dt:.2f}s ({fps:.2f} fps), "
-          f"{kbps:.1f} kb/s, avg Y-PSNR {psnr_acc / max(n, 1):.3f} dB",
-          file=sys.stderr)
+          f"{kbps:.1f} kb/s, avg Y-PSNR {psnr_acc / max(n, 1):.3f} dB"
+          f"{extra}", file=sys.stderr)
     return 0
 
 

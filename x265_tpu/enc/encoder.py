@@ -11,6 +11,7 @@ Encoder::encode -> frameencoder.cpp compressFrame.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -59,6 +60,20 @@ def effective_qp_map(qp_map: np.ndarray, coeff_y: np.ndarray,
 
 
 @dataclass
+class FrameStats:
+    """Per-frame statistics record (the x265_frame_stats analog,
+    x265.h:264-314): coding results + encode-latency telemetry (the
+    m_row0WaitTime/wallTime analog, frameencoder.h:175)."""
+    poc: int = 0
+    ftype: str = "I"
+    qp: int = 0
+    bits: int = 0
+    wall_time: float = 0.0        # seconds spent producing this frame
+    cu_pct_by_depth: tuple = ()   # % of picture area per CU depth
+    skip_pct: float = 0.0
+
+
+@dataclass
 class EncoderStats:
     """Global encode statistics (the x265_stats analog, x265.h:655)."""
     frame_count: int = 0
@@ -68,13 +83,26 @@ class EncoderStats:
                                                          "B": 0})
     bits_by_type: dict = field(default_factory=lambda: {"I": 0, "P": 0,
                                                         "B": 0})
+    total_wall: float = 0.0
+    frames: list = field(default_factory=list)   # FrameStats records
 
-    def add(self, ftype: str, bits: int, qp: int) -> None:
+    def add(self, ftype: str, bits: int, qp: int, *, poc: int = 0,
+            wall_time: float = 0.0, syn=None) -> None:
         self.frame_count += 1
         self.total_bits += bits
         self.qp_sum += qp
         self.count_by_type[ftype] += 1
         self.bits_by_type[ftype] += bits
+        self.total_wall += wall_time
+        fs = FrameStats(poc=poc, ftype=ftype, qp=qp, bits=bits,
+                        wall_time=wall_time)
+        if syn is not None and getattr(syn, "depth8", None) is not None:
+            d8 = np.asarray(syn.depth8)
+            tot = max(d8.size, 1)
+            fs.cu_pct_by_depth = tuple(
+                round(float((d8 == d).sum()) * 100.0 / tot, 2)
+                for d in range(3))
+        self.frames.append(fs)
 
     def summary(self, fps: float = 25.0) -> dict:
         n = max(self.frame_count, 1)
@@ -84,6 +112,8 @@ class EncoderStats:
             "avg_qp": self.qp_sum / n,
             "count_by_type": dict(self.count_by_type),
             "bits_by_type": dict(self.bits_by_type),
+            "encode_fps": (self.frame_count / self.total_wall
+                           if self.total_wall > 0 else 0.0),
         }
 
 
@@ -140,6 +170,7 @@ class IntraEncoder:
         the PPS carries the flag). Currently drives the host recon
         path."""
         cfg = self.cfg
+        t_start = time.perf_counter()
         qp = cfg.qp if qp is None else qp
         w, h = cfg.width_padded, cfg.height_padded
         yp = pad_plane(np.asarray(y), h, w)
@@ -292,7 +323,8 @@ class IntraEncoder:
                                                cfg.bit_depth))
         stream = annexb_stream(nals)
         self.frame_count += 1
-        self.stats.add("I", len(stream) * 8, qp)
+        self.stats.add("I", len(stream) * 8, qp, poc=0, syn=syn,
+                       wall_time=time.perf_counter() - t_start)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8, poc=0, ftype="I",
                            device_ref=device_ref)
@@ -367,7 +399,7 @@ class IntraEncoder:
                                                cfg.bit_depth))
         stream = annexb_stream(nals)
         self.frame_count += 1
-        self.stats.add("B", len(stream) * 8, qp)
+        self.stats.add("B", len(stream) * 8, qp, poc=poc, syn=syn)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
                            bits=len(stream) * 8, poc=poc, ftype="B")
 
@@ -588,7 +620,8 @@ class IntraEncoder:
                     recon.y, recon.cb, recon.cr, cfg.bit_depth))
             stream = annexb_stream(nals)
             self.frame_count += 1
-            self.stats.add("P", len(stream) * 8, qp)
+            self.stats.add("P", len(stream) * 8, qp, poc=self.poc,
+                           syn=syn)
             results.append(FrameResult(bitstream=stream, recon=recon,
                                        syntax=syn, bits=len(stream) * 8,
                                        poc=self.poc, ftype="P"))
