@@ -72,7 +72,8 @@ class FrameBSyntax:
 
 @dataclass
 class FramePSyntax:
-    """P-frame decisions: all-inter 2Nx2N CUs, single L0 reference."""
+    """P-frame decisions: inter 2Nx2N CUs (single L0 reference) plus
+    optional 8x8 intra CUs (checkIntraInInter analog)."""
     depth8: np.ndarray     # (n8y, n8x) uint8
     mv8: np.ndarray        # (n8y, n8x, 2) int32 qpel MV of covering CU
     coeff_y: np.ndarray
@@ -81,6 +82,8 @@ class FramePSyntax:
     max_merge: int = 2
     sao_params: tuple | None = None   # (p_y, p_cb, p_cr) per-CTU params
     qp_map: np.ndarray | None = None  # per-CTU QP (dQP), None = uniform
+    intra8: np.ndarray | None = None  # (n8y, n8x) bool: 8x8 intra CUs
+    mode8: np.ndarray | None = None   # luma intra mode where intra8
 
 
 def derive_mpm(cand_a: int, cand_b: int) -> list[int]:

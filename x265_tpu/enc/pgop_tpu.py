@@ -715,18 +715,16 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         me_range=me_range, need_recon=need_recon,
         dqp=qp_maps is not None)
 
-    # dispatch CG compaction now (async): only the compacted
-    # coefficients cross the tunnel in collect
-    from ..ops.compact import compact_cgs
-    capy = max(4096, (f * hp // 4) * (wp // 4) // 8)
-    capc = max(4096, (2 * f * hp // 8) * (wp // 8) // 8)
-    cy_cgs = compact_cgs(res[2], cap=capy)
-    cc_cgs = compact_cgs(res[3], cap=capc)
+    # dispatch mask-directed CG compaction (async): collect downloads
+    # the nonzero bitmask, then gathers exactly the nonzero rows
+    from ..ops.compact import cg_rows
+    cy_cgs = cg_rows(res[2])
+    cc_cgs = cg_rows(res[3])
     last_ref = DeviceRef(final_ref[0][:h, :w],
                          final_ref[1][:h // 2, :w // 2],
                          final_ref[2][:h // 2, :w // 2])
     return PgopPending(
-        res=res, cy_cgs=cy_cgs, cc_cgs=cc_cgs, capy=capy, capc=capc,
+        res=res, cy_cgs=cy_cgs, cc_cgs=cc_cgs,
         qmj=qmj if qp_maps is not None else None, f=f, h=h, w=w, hp=hp,
         wp=wp, ctu=ctu, sao=cfg.sao, need_recon=need_recon,
         last_ref=last_ref)
@@ -737,22 +735,14 @@ def collect_pgop_tpu(p: PgopPending
                                 list[ReconFrame | None], DeviceRef]:
     """Synchronize one submitted chunk: download decisions + compacted
     coefficients, build per-frame syntax structs."""
-    from ..ops.compact import expand_cgs_np
+    from ..ops.compact import fetch_compact_v2
     res, f, h, w, hp, wp = p.res, p.f, p.h, p.w, p.hp, p.wp
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
     mv8 = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]
 
-    def fetch_compact(cgs, cap, plane2d, hh, ww):
-        vals, idx, total = cgs
-        t = int(total)
-        if t > cap:
-            return np.asarray(plane2d).astype(np.int32)
-        return expand_cgs_np(np.asarray(vals), np.asarray(idx), t, hh, ww)
-
-    cf_y = fetch_compact(p.cy_cgs, p.capy, res[2], f * hp, wp) \
+    cf_y = fetch_compact_v2(p.cy_cgs + (f * hp, wp)) \
         .reshape(f, hp, wp)[:, :h, :w]
-    cf_c = fetch_compact(p.cc_cgs, p.capc, res[3], 2 * f * (hp // 2),
-                         wp // 2) \
+    cf_c = fetch_compact_v2(p.cc_cgs + (2 * f * (hp // 2), wp // 2)) \
         .reshape(2 * f, hp // 2, wp // 2)[:, :h // 2, :w // 2]
     sao_all = np.asarray(res[4]).astype(np.int32)   # (F, 3, ncty, nctx, 6)
     if p.need_recon:

@@ -60,3 +60,51 @@ def fetch_plane_compact(plane2d, cap_frac: int = 8) -> np.ndarray:
     if t > cap:
         return np.asarray(plane2d).astype(np.int32)
     return expand_cgs_np(np.asarray(vals), np.asarray(idx), t, h, w)
+
+
+# =============================================================================
+# mask-directed compaction (v2): the argsort formulation above costs
+# ~0.8 s per GOP-stacked plane on TPU (a 1M-key sort + a capacity-sized
+# row gather). v2 downloads the tiny nonzero-CG bitmask instead, lets
+# the HOST compute the row indices, and gathers exactly the nonzero
+# rows — device work is one `any` reduction plus a t-row take.
+# =============================================================================
+
+@jax.jit
+def cg_rows(plane2d: jnp.ndarray):
+    """(H, W) plane -> ((ncg, 16) int16 CG rows, (ncg,) bool nonzero)."""
+    h, w = plane2d.shape
+    cg = plane2d.reshape(h // 4, 4, w // 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(-1, 16).astype(jnp.int16)
+    return cg, jnp.any(cg != 0, axis=1)
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def _take_rows(cg: jnp.ndarray, idx: jnp.ndarray, *, rows: int):
+    return jnp.take(cg, idx, axis=0)
+
+
+def fetch_rows(cg: jnp.ndarray, idx_np: np.ndarray) -> np.ndarray:
+    """Gather + download the given CG rows; idx padded to power-of-two
+    buckets so the take jit compiles O(log) times, not per length."""
+    t = len(idx_np)
+    if t == 0:
+        return np.zeros((0, 16), np.int16)
+    bucket = 1 << max(t - 1, 1).bit_length()
+    idx_pad = np.zeros(bucket, np.int32)
+    idx_pad[:t] = idx_np
+    vals = _take_rows(cg, jnp.asarray(idx_pad), rows=bucket)
+    return np.asarray(vals)[:t]
+
+
+def fetch_compact_v2(pending) -> np.ndarray:
+    """pending: (cg, nz, h, w) from a prior cg_rows dispatch -> dense
+    (h, w) int32 plane on the host."""
+    cg, nz, h, w = pending
+    nzh = np.asarray(nz)
+    idx = np.nonzero(nzh)[0].astype(np.int32)
+    vals = fetch_rows(cg, idx)
+    out = np.zeros((len(nzh), 16), np.int32)
+    out[idx] = vals
+    return out.reshape(h // 4, w // 4, 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(h, w)
