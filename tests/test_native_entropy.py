@@ -62,7 +62,8 @@ def test_native_p_slice_matches_python():
         1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
         cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
         cfg.log2_min_cu, init_states(1, 31), mv8=syn.mv8,
-        max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding)
+        max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
+        intra8=syn.intra8, mode8=syn.mode8)
     assert nat == py_bytes and (tv, tb) == py_tail
 
 

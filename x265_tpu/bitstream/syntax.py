@@ -352,10 +352,65 @@ class SliceSyntaxEncoder:
 
     # -- P-slice coding unit (clauses 7.3.8.5-7.3.8.9) --------------------------
 
+    def _neighbor_mode_p(self, x: int, y: int, *, above: bool) -> int:
+        """candIntraPredMode for P slices: non-intra neighbours give DC
+        (clause 8.4.2)."""
+        if above:
+            if y == 0 or ((y - 1) >> self.cfg.log2_ctu) != \
+                    (y >> self.cfg.log2_ctu):
+                return INTRA_DC
+            ny, nx = y - 1, x
+        else:
+            if x == 0:
+                return INTRA_DC
+            ny, nx = y, x - 1
+        if self.syn.intra8 is None or not self.syn.intra8[ny >> 3, nx >> 3]:
+            return INTRA_DC
+        return int(self.syn.mode8[ny >> 3, nx >> 3])
+
+    def _code_cu_p_intra(self, x0: int, y0: int, log2_size: int) -> None:
+        """Intra CU inside a P slice (checkIntraInInter analog):
+        cu_skip 0, pred_mode 1, PART_2Nx2N, DM chroma."""
+        cab = self.cab
+        syn = self.syn
+        ctx = 0
+        if x0 > 0 and self.skip8[y0 >> 3, (x0 - 1) >> 3]:
+            ctx += 1
+        if y0 > 0 and self.skip8[(y0 - 1) >> 3, x0 >> 3]:
+            ctx += 1
+        cab.encode_bin(OFF["cu_skip_flag"] + ctx, 0)
+        s = (1 << log2_size) >> 3
+        self.skip8[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s] = False
+        self.field.set_cu(x0, y0, 1 << log2_size, (0, 0), inter=False)
+        cab.encode_bin(OFF["pred_mode_flag"], 1)      # MODE_INTRA
+        if log2_size == self.cfg.log2_min_cu:
+            cab.encode_bin(OFF["part_mode"], 1)       # PART_2Nx2N
+        mode = int(syn.mode8[y0 >> 3, x0 >> 3])
+        mpm = derive_mpm(self._neighbor_mode_p(x0, y0, above=False),
+                         self._neighbor_mode_p(x0, y0, above=True))
+        cab.encode_bin(OFF["prev_intra_luma_pred_flag"],
+                       int(mode in mpm))
+        if mode in mpm:
+            idx = mpm.index(mode)
+            cab.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                cab.encode_bypass(idx - 1)
+        else:
+            rem = mode
+            for m in sorted(mpm, reverse=True):
+                if mode > m:
+                    rem -= 1
+            cab.encode_bypass_bins(rem, 5)
+        cab.encode_bin(OFF["intra_chroma_pred_mode"], 0)   # DM
+        self._code_transform_unit(x0, y0, log2_size, mode, mode)
+
     def _code_cu_p(self, x0: int, y0: int, log2_size: int) -> None:
         from ..common.mv_derive import merge_candidates, amvp_candidates
         cab = self.cab
         syn = self.syn
+        if syn.intra8 is not None and syn.intra8[y0 >> 3, x0 >> 3]:
+            self._code_cu_p_intra(x0, y0, log2_size)
+            return
         size = 1 << log2_size
         mv = (int(syn.mv8[y0 >> 3, x0 >> 3, 0]),
               int(syn.mv8[y0 >> 3, x0 >> 3, 1]))

@@ -64,6 +64,8 @@ class EncoderConfig:
     me_range: int = 6            # windowed full-search radius around the
     #                              coarse seed (merange analog) — the
     #                              fused P-GOP path's search effort
+    intra_in_inter: bool = True  # 8x8 intra CUs in P frames
+    #                              (checkIntraInInter, search.cpp:1291)
     aq_mode: int = 0             # 0 off, 1 variance, 2 autovariance,
     #                              3 autovariance-biased (x265 default 2,
     #                              param.cpp:268)

@@ -260,12 +260,22 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
         frame = dec.decode()
         frame.poc = poc
         if not pps.deblock_disabled:
-            from ..ops.deblock import deblock_luma_np, inter_bs_maps
+            from ..ops.deblock import (deblock_chroma_np, deblock_luma_np,
+                                       inter_bs_maps)
             vbs, hbs = inter_bs_maps(frame.depth8, frame.mv8,
-                                     frame.coeff_y, 1 << sps.log2_ctu)
+                                     frame.coeff_y, 1 << sps.log2_ctu,
+                                     intra8=dec.intra8)
             dqp = dec.qp8 if pps.cu_qp_delta else qp
             frame.y = deblock_luma_np(frame.y, vbs, hbs, dqp,
                                       sps.bit_depth)
+            if dec.intra8.any():
+                # chroma filters only bs==2 (intra) edges
+                frame.cb = deblock_chroma_np(frame.cb, vbs == 2,
+                                             hbs == 2, dqp,
+                                             sps.bit_depth)
+                frame.cr = deblock_chroma_np(frame.cr, vbs == 2,
+                                             hbs == 2, dqp,
+                                             sps.bit_depth)
         _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
         return frame
     # B slice
@@ -863,6 +873,11 @@ class PSliceDecoder:
         self.mv8 = np.zeros((n8y, n8x, 2), dtype=np.int32)
         self.skip8 = np.zeros((n8y, n8x), dtype=bool)
         self.coded8 = np.zeros((n8y, n8x), dtype=bool)
+        # intra-in-inter state: intra CUs give no MV candidates and
+        # carry a luma mode for MPM derivation
+        self.inter8 = np.zeros((n8y, n8x), dtype=bool)
+        self.imode8 = np.full((n8y, n8x), 255, dtype=np.uint8)
+        self.intra8 = np.zeros((n8y, n8x), dtype=bool)
         self.coeff_y = np.zeros((self.h, self.w), dtype=np.int32)
         self.qp_c = chroma_qp(qp)
         self._init_dqp()
@@ -934,6 +949,8 @@ class PSliceDecoder:
             return None
         if not self.coded8[ny >> 3, nx >> 3]:
             return None
+        if not self.inter8[ny >> 3, nx >> 3]:
+            return None            # intra neighbour: no MV candidate
         return (int(self.mv8[ny >> 3, nx >> 3, 0]),
                 int(self.mv8[ny >> 3, nx >> 3, 1]))
 
@@ -1000,7 +1017,9 @@ class PSliceDecoder:
             self._finish_cu(x0, y0, size, mv, None, None, None, True, sl, d)
             return
         pred_mode = cab.decode_bin(OFF["pred_mode_flag"])
-        assert pred_mode == 0, "intra CUs in P frames not emitted yet"
+        if pred_mode:
+            self._cu_intra_in_p(x0, y0, log2_size, sl, d)
+            return
         part = cab.decode_bin(OFF["part_mode"])
         assert part == 1, "only 2Nx2N emitted"
         if cab.decode_bin(OFF["merge_flag"]):
@@ -1068,11 +1087,122 @@ class PSliceDecoder:
             count += 1
         return value + cab.decode_bypass_bins(count)
 
+    def _neighbor_mode_p(self, x, y, above):
+        """candIntraPredMode in a P slice: non-intra neighbours -> DC."""
+        if above:
+            if y == 0 or ((y - 1) >> self.sps.log2_ctu) != \
+                    (y >> self.sps.log2_ctu):
+                return INTRA_DC
+            ny, nx = y - 1, x
+        else:
+            if x == 0:
+                return INTRA_DC
+            ny, nx = y, x - 1
+        if not self.intra8[ny >> 3, nx >> 3]:
+            return INTRA_DC
+        return int(self.imode8[ny >> 3, nx >> 3])
+
+    def _cu_intra_in_p(self, x0, y0, log2_size, sl, d):
+        """Intra CU inside a P slice: PART_2Nx2N, DM chroma; predicts
+        from the already-decoded planes (the encoder's parity
+        independent-set guarantees those neighbours are inter)."""
+        cab = self.cab
+        n = 1 << log2_size
+        bd = self.bd
+        if log2_size == self.sps.log2_min_cu:
+            assert cab.decode_bin(OFF["part_mode"]) == 1, \
+                "only 2Nx2N intra emitted in P"
+        mpm = derive_mpm(self._neighbor_mode_p(x0, y0, False),
+                         self._neighbor_mode_p(x0, y0, True))
+        if cab.decode_bin(OFF["prev_intra_luma_pred_flag"]):
+            idx = cab.decode_bypass()
+            if idx:
+                idx += cab.decode_bypass()
+            mode = mpm[idx]
+        else:
+            mode = cab.decode_bypass_bins(5)
+            for m in sorted(mpm):
+                if mode >= m:
+                    mode += 1
+        assert cab.decode_bin(OFF["intra_chroma_pred_mode"]) == 0, \
+            "only DM chroma emitted in P"
+        cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
+        cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
+        cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1)
+        if cbf_y or cbf_cb or cbf_cr:
+            self._parse_dqp()
+        cy_ = ccb = ccr = None
+        if cbf_y:
+            cy_ = self._residual(log2_size, 0,
+                                 intra_scan_idx(mode, log2_size, True))
+        cscan = intra_scan_idx(mode, log2_size - 1, False)
+        if cbf_cb:
+            ccb = self._residual(log2_size - 1, 1, cscan)
+        if cbf_cr:
+            ccr = self._residual(log2_size - 1, 2, cscan)
+
+        self.depth8[sl] = d
+        self.skip8[sl] = False
+        self.coded8[sl] = True
+        self.inter8[sl] = False
+        self.intra8[sl] = True
+        self.imode8[sl] = mode
+        qpy = self.qp_y
+        qpc = chroma_qp(qpy) if self.dqp_on else self.qp_c
+        maxv = (1 << bd) - 1
+
+        def avail_from_coded(x, y):
+            if x < 0 or y < 0 or x >= self.w or y >= self.h:
+                return False
+            return bool(self.coded8[y >> 3, x >> 3])
+
+        # luma
+        av = np.zeros(4 * n + 1, dtype=bool)
+        for i in range(4 * n + 1):
+            if i < 2 * n:
+                xx, yy = x0 - 1, y0 + (2 * n - 1 - i)
+            elif i == 2 * n:
+                xx, yy = x0 - 1, y0 - 1
+            else:
+                xx, yy = x0 + (i - 2 * n - 1), y0 - 1
+            av[i] = avail_from_coded(xx, yy)
+        refs = canonical_refs(self.y, x0, y0, n, av, bd)
+        filt = filter_refs(refs, n, bd)
+        pred = intra_pred_np(refs, mode, n, is_luma=True, bit_depth=bd,
+                             filtered=filt)
+        resi = 0
+        if cy_ is not None:
+            self.coeff_y[y0:y0 + n, x0:x0 + n] = cy_
+            resi = idct_np(dequant_np(cy_, qpy, bd), bd)
+        self.y[y0:y0 + n, x0:x0 + n] = np.clip(pred + resi, 0, maxv)
+        # chroma (DM), 4:2:0
+        cn = n >> 1
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        avc = np.zeros(4 * cn + 1, dtype=bool)
+        for i in range(4 * cn + 1):
+            if i < 2 * cn:
+                xx, yy = cx0 - 1, cy0 + (2 * cn - 1 - i)
+            elif i == 2 * cn:
+                xx, yy = cx0 - 1, cy0 - 1
+            else:
+                xx, yy = cx0 + (i - 2 * cn - 1), cy0 - 1
+            avc[i] = avail_from_coded(xx * 2, yy * 2)
+        for plane, coeff in ((self.cb, ccb), (self.cr, ccr)):
+            refs_c = canonical_refs(plane, cx0, cy0, cn, avc, bd)
+            pred_c = intra_pred_np(refs_c, mode, cn, is_luma=False,
+                                   bit_depth=bd)
+            resi_c = 0
+            if coeff is not None:
+                resi_c = idct_np(dequant_np(coeff, qpc, bd), bd)
+            plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
+                pred_c + resi_c, 0, maxv)
+
     def _finish_cu(self, x0, y0, size, mv, cy_, ccb, ccr, skip, sl, d):
         self.depth8[sl] = d
         self.mv8[sl] = mv
         self.skip8[sl] = skip
         self.coded8[sl] = True
+        self.inter8[sl] = True
         bd = self.bd
         pred = luma_mc_np(self.ref.y, x0, y0, size, mv[0], mv[1], bd)
         qpy = self.qp_y

@@ -177,6 +177,9 @@ class IntraEncoder:
         cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
         crp = pad_plane(np.asarray(cr), h // 2, w // 2)
         device_ref = None
+        if qp_map is None and cfg.dqp_enabled:
+            # PPS signals cu_qp_delta: every slice must code deltas
+            qp_map = np.full((cfg.ctu_rows, cfg.ctu_cols), qp, np.int32)
         if qp_map is not None:
             assert cfg.dqp_enabled, "qp_map needs cfg.aq_mode/cutree on"
             qp_map = np.clip(np.asarray(qp_map, np.int32), 0, 51)
@@ -386,8 +389,14 @@ class IntraEncoder:
             ref_delta_poc=poc - poc_refs[0],
             ref_delta_poc_after=poc_refs[1] - poc,
             max_merge=syn.max_merge, rps_neg=rps_neg, rps_pos=rps_pos)
+        # with cu_qp_delta signalled in the PPS, B slices code uniform
+        # (zero-delta) maps — the host B path quantizes at the slice QP
+        bqp_map = None
+        if cfg.dqp_enabled:
+            bqp_map = np.full((cfg.ctu_rows, cfg.ctu_cols), qp, np.int32)
         syntax = SliceSyntaxEncoder(cfg, syn, B_SLICE, qp,
-                                    sao_params=sao_params)
+                                    sao_params=sao_params,
+                                    qp_map=bqp_map)
         cab = syntax.encode_slice_data()
         cab.finish_into(sw)
         sw.align_one()
@@ -608,7 +617,8 @@ class IntraEncoder:
                 w, h, cfg.log2_ctu, cfg.log2_min_cu,
                 init_states(P_SLICE, qp), mv8=syn.mv8,
                 max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
-                sao_params=sao_params, qp_map=syn.qp_map, slice_qp=qp)
+                sao_params=sao_params, qp_map=syn.qp_map, slice_qp=qp,
+                mode8=syn.mode8, intra8=syn.intra8)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)

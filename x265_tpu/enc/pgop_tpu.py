@@ -362,13 +362,225 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
 
 
 # =============================================================================
+# intra-in-inter: 8x8 intra CU candidates for P frames
+# (checkIntraInInter analog, search.cpp:1291 — evaluated densely for
+# every min-CU from the COMPOSED inter reconstruction, accepted in four
+# non-adjacent parity phases so no intra block ever predicts from
+# another intra block's reconstruction)
+# =============================================================================
+
+def _strided_refs8(rec: jnp.ndarray, n: int):
+    """Canonical intra refs for EVERY aligned nxn block of the plane,
+    built from strided views (no gathers): returns (B, 4n+1) int32 in
+    [L[2n-1]..L[0], corner, T[0..2n-1]] order. Out-of-picture entries
+    are garbage — the availability mask covers them."""
+    h, w = rec.shape
+    by, bx = h // n, w // n
+    r = jnp.pad(rec, ((1, 2 * n), (1, 2 * n)))  # +1 lead, +2n tail slack
+    # T rows: r[Y, X+1+t] with Y = by*n (r row Y == rec row Y-1)
+    tr = r[0::n, :][:by]                         # (by, w+1+2n)
+    t0 = tr[:, 1:1 + w].reshape(by, bx, n)
+    t1 = tr[:, 1 + n:1 + n + w].reshape(by, bx, n)
+    top = jnp.concatenate([t0, t1], axis=2)      # T[0..2n-1]
+    corner = tr[:, 0::n][:, :bx]                 # (by, bx)
+    # L cols: r[Y+1+k, X] (r col X == rec col X-1)
+    lc = r[1:, 0::n][:, :bx]                     # (h+2n, bx)
+    l0 = lc[:by * n].reshape(by, n, bx)
+    l1 = lc[n:by * n + n].reshape(by, n, bx)
+    left = jnp.concatenate([l0, l1], axis=1)     # (by, 2n, bx) L[0..2n-1]
+    left = jnp.transpose(left, (0, 2, 1))[:, :, ::-1]   # L[2n-1]..L[0]
+    refs = jnp.concatenate(
+        [left.reshape(by * bx, 2 * n),
+         corner.reshape(by * bx, 1),
+         top.reshape(by * bx, 2 * n)], axis=1)
+    return refs.astype(jnp.int32)
+
+
+def _zok_table(n: int, ctu: int) -> np.ndarray:
+    """(16, 4n+1) static decode-order availability per z-position class
+    (cell (bx%4, by%4) of its CTU)."""
+    from .intra_recon_tpu import _ref_geometry, _zindex
+    cell = ctu // 4
+    tab = np.zeros((16, 4 * n + 1), dtype=bool)
+    for cy in range(4):
+        for cx in range(4):
+            p = _zindex(cx, cy)
+            _, _, z_ok = _ref_geometry(n, cx * cell, cy * cell, p, ctu)
+            tab[p] = z_ok
+    return tab
+
+
+def _avail_refs(n: int, ctu: int, by: int, bx: int, real_h: int,
+                real_w: int) -> np.ndarray:
+    """(B, 4n+1) static availability: z-order class + picture border."""
+    from .intra_recon_tpu import _zindex
+    cell = ctu // n if False else None  # noqa (documentation aid)
+    tab = _zok_table(n, ctu)
+    cls = np.array([[_zindex(x % 4, y % 4) for x in range(bx)]
+                    for y in range(by)], np.int32)
+    zok = tab[cls]                              # (by, bx, 4n+1)
+    # border: ref i coords relative to block origin
+    k = 4 * n + 1
+    rx = np.zeros(k, np.int32)
+    ry = np.zeros(k, np.int32)
+    for i in range(k):
+        if i < 2 * n:
+            rx[i], ry[i] = -1, 2 * n - 1 - i
+        elif i == 2 * n:
+            rx[i], ry[i] = -1, -1
+        else:
+            rx[i], ry[i] = i - 2 * n - 1, -1
+    gx = (np.arange(bx) * n)[None, :, None] + rx[None, None, :]
+    gy = (np.arange(by) * n)[:, None, None] + ry[None, None, :]
+    border = (gx >= 0) & (gy >= 0) & (gx < real_w) & (gy < real_h)
+    return (zok & border).reshape(by * bx, k)
+
+
+def _intra_tu_batch(orig_blocks, pred, n, qp_vec, bit_depth,
+                    sign_hiding, modes):
+    """Intra TU pipeline for (B, n, n) blocks: returns (recon, coefs)."""
+    maxv = (1 << bit_depth) - 1
+    resi = orig_blocks - pred
+    dst = n == 4 and False      # 8x8 luma / 4x4 chroma use DCT here
+    if sign_hiding:
+        coefs, du = quant_batch(dct_batch(resi, n, bit_depth), n,
+                                qp_vec, bit_depth, intra=True,
+                                with_rem=True)
+        if n <= 8:
+            sel = jnp.where((modes >= 6) & (modes <= 14), 2,
+                            jnp.where((modes >= 22) & (modes <= 30),
+                                      1, 0)).astype(jnp.int32)
+        else:
+            sel = 0
+        coefs = sign_hide_batch(coefs, n, sel, du)
+    else:
+        coefs = quant_batch(dct_batch(resi, n, bit_depth), n, qp_vec,
+                            bit_depth, intra=True)
+    cbf = jnp.any(coefs != 0, axis=(1, 2))
+    r = idct_batch(dequant_batch(coefs, n, qp_vec, bit_depth), n,
+                   bit_depth)
+    rec = jnp.where(cbf[:, None, None], jnp.clip(pred + r, 0, maxv),
+                    pred)
+    coefs = jnp.where(cbf[:, None, None], coefs, 0)
+    return rec, coefs
+
+
+def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
+                    cf_cr, depth8, inter_cost8, lam, qp, qpc, qp_ctu,
+                    ctu, real_h, real_w, bit_depth, sign_hiding):
+    """Evaluate an 8x8 intra CU at every min-CU position from the
+    composed inter recon; accept where it beats the inter SA8D cost,
+    restricted to (a) cells the depth decision already coded as 8x8
+    CUs and (b) a 4-phase parity independent set (no accepted block is
+    8-adjacent to another, so every accepted block's references are
+    inter reconstruction a decoder reproduces). Returns updated planes
+    + (intra8, mode8)."""
+    from ..ops.intra import intra_pred_all_modes
+    from ..ops.satd import sa8d_batch, satd4_batch
+    from .intra_analysis import _MODE_BITS
+    h, w = rec_y.shape
+    by, bx = h // 8, w // 8
+    b = by * bx
+
+    def qp_vec_of(nn_by, nn_bx, nn):
+        if qp_ctu is None:
+            return qp, qpc
+        iy = jnp.arange(nn_by, dtype=jnp.int32) * nn // ctu
+        ix = jnp.arange(nn_bx, dtype=jnp.int32) * nn // ctu
+        q = qp_ctu[iy[:, None], ix[None, :]].reshape(-1)
+        qc = jnp.take(jnp.asarray(CHROMA_QP_LUT), jnp.clip(q, 0, 57))
+        return q, qc
+
+    # --- luma: all 35 modes for every 8x8 block
+    refs = _strided_refs8(rec_y, 8)
+    avail = jnp.asarray(_avail_refs(8, ctu, by, bx, real_h, real_w))
+    from .intra_recon_tpu import _substitute
+    refs = _substitute(refs, avail, bit_depth)
+    preds = intra_pred_all_modes(refs, 8, is_luma=True,
+                                 bit_depth=bit_depth)    # (B, 35, 8, 8)
+    ob = oy.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
+        .reshape(b, 8, 8).astype(jnp.int32)
+    lam_bits = jnp.asarray(
+        np.round(np.asarray(_MODE_BITS, np.float64)).astype(np.int32))
+    costs = sa8d_batch(ob[:, None] - preds) + lam * lam_bits[None, :]
+    mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
+    icost = jnp.min(costs, axis=1) + lam * 6   # pred_mode/part/cbf bits
+    pred = jnp.take_along_axis(preds, mode[:, None, None, None],
+                               axis=1)[:, 0]
+
+    # acceptance: beats inter AND cell is an 8x8 CU already
+    accept0 = (icost < inter_cost8) & (depth8.reshape(-1) == 2)
+    # 4-phase parity independent set (8-neighbourhood exclusion)
+    yy = np.arange(by)[:, None] % 2
+    xx = np.arange(bx)[None, :] % 2
+    acc = jnp.zeros((by, bx), bool)
+    a0 = accept0.reshape(by, bx)
+    for py in (0, 1):
+        for px in (0, 1):
+            par = jnp.asarray((yy == py) & (xx == px))
+            accp = jnp.pad(acc, 1)
+            nbr = (accp[:-2, :-2] | accp[:-2, 1:-1] | accp[:-2, 2:] |
+                   accp[1:-1, :-2] | accp[1:-1, 2:] |
+                   accp[2:, :-2] | accp[2:, 1:-1] | accp[2:, 2:])
+            acc = acc | (a0 & par & ~nbr)
+    intra8 = acc
+    sel = intra8.reshape(-1)
+
+    qv, qcv = qp_vec_of(by, bx, 8)
+    rec8, cf8 = _intra_tu_batch(ob, pred, 8, qv, bit_depth,
+                                sign_hiding, mode)
+
+    def compose(plane, blocks, nn, mask8):
+        hh, ww = plane.shape
+        bby, bbx = hh // nn, ww // nn
+        bp = blocks.reshape(bby, bbx, nn, nn).transpose(0, 2, 1, 3) \
+            .reshape(hh, ww)
+        mpx = jnp.repeat(jnp.repeat(mask8, nn, 0), nn, 1)
+        return jnp.where(mpx, bp, plane)
+
+    rec_y = compose(rec_y, rec8, 8, intra8)
+    cf_y = compose(cf_y, cf8, 8, intra8)
+
+    # --- chroma 4x4 TUs at DM mode (same z availability, chroma CTU)
+    crefs_b = _strided_refs8(rec_cb, 4)
+    crefs_r = _strided_refs8(rec_cr, 4)
+    cavail = jnp.asarray(_avail_refs(4, ctu // 2, by, bx,
+                                     real_h // 2, real_w // 2))
+    ocb_b = ocb.reshape(by, 4, bx, 4).transpose(0, 2, 1, 3) \
+        .reshape(b, 4, 4).astype(jnp.int32)
+    ocr_b = ocr.reshape(by, 4, bx, 4).transpose(0, 2, 1, 3) \
+        .reshape(b, 4, 4).astype(jnp.int32)
+    from .intra_recon_tpu import _substitute as _sub2
+    for crefs, ocx, plane, cfp, which in (
+            (crefs_b, ocb_b, rec_cb, cf_cb, 0),
+            (crefs_r, ocr_b, rec_cr, cf_cr, 1)):
+        cr = _sub2(crefs, cavail, bit_depth)
+        from ..ops.intra import intra_pred_single_mode
+        cpred = intra_pred_single_mode(cr, mode, 4, is_luma=False,
+                                       bit_depth=bit_depth)
+        crec, ccf = _intra_tu_batch(ocx, cpred, 4, qcv, bit_depth,
+                                    sign_hiding, mode)
+        if which == 0:
+            rec_cb = compose(plane, crec, 4, intra8)
+            cf_cb = compose(cfp, ccf, 4, intra8)
+        else:
+            rec_cr = compose(plane, crec, 4, intra8)
+            cf_cr = compose(cfp, ccf, 4, intra8)
+
+    mode8 = jnp.where(intra8, mode.reshape(by, bx), 255) \
+        .astype(jnp.uint8)
+    return (rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr, intra8, mode8)
+
+
+# =============================================================================
 # in-graph deblock with data-dependent boundary strengths
 # =============================================================================
 
-def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int):
+def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int, intra8=None):
     """Traced boundary-strength maps (ops/deblock.inter_bs_maps recast):
-    bs = 1 on CU boundaries where either side's TU has coefficients or
-    the MV difference reaches a full pel."""
+    bs = 2 when either side is intra (clause 8.7.2.4), else 1 on CU
+    boundaries where either side's TU has coefficients or the MV
+    difference reaches a full pel."""
     n8y, n8x = depth8.shape
     nz8 = cf_y[:n8y * 8, :n8x * 8].reshape(n8y, 8, n8x, 8)
     nz8 = jnp.any(nz8 != 0, axis=(1, 3))
@@ -395,20 +607,77 @@ def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int):
     hmask = (ys % size) == 0
     hmask = hmask.at[0, :].set(False)
 
-    def bs_of(mP, mQ, mvP, mvQ):
+    if intra8 is None:
+        intra8 = jnp.zeros((n8y, n8x), bool)
+
+    def bs_of(mP, mQ, mvP, mvQ, iP, iQ):
         mvd = (jnp.abs(mvP[..., 0] - mvQ[..., 0]) >= 4) | \
               (jnp.abs(mvP[..., 1] - mvQ[..., 1]) >= 4)
-        return (mP | mQ | mvd).astype(jnp.int32)
+        bs1 = (mP | mQ | mvd).astype(jnp.int32)
+        return jnp.where(iP | iQ, 2, bs1)
 
     vbs = jnp.zeros((n8y, n8x), jnp.int32)
     vbs = vbs.at[:, 1:].set(bs_of(cbf8[:, :-1], cbf8[:, 1:],
-                                  mv8[:, :-1], mv8[:, 1:]))
+                                  mv8[:, :-1], mv8[:, 1:],
+                                  intra8[:, :-1], intra8[:, 1:]))
     vbs = vbs * vmask
     hbs = jnp.zeros((n8y, n8x), jnp.int32)
     hbs = hbs.at[1:, :].set(bs_of(cbf8[:-1, :], cbf8[1:, :],
-                                  mv8[:-1, :], mv8[1:, :]))
+                                  mv8[:-1, :], mv8[1:, :],
+                                  intra8[:-1, :], intra8[1:, :]))
     hbs = hbs * hmask
     return vbs, hbs
+
+
+def deblock_chroma_t(plane: jnp.ndarray, vbs: jnp.ndarray,
+                     hbs: jnp.ndarray, qp: int, bit_depth: int = 8,
+                     qp8=None) -> jnp.ndarray:
+    """Traced chroma deblock: filters bs==2 edges only (clause
+    8.7.2.5.5 — intra edges), per-edge chroma QP from the luma average
+    via the Table 8-10 map. vbs/hbs: LUMA-cell bs maps; chroma edges
+    exist where the luma coordinate is a multiple of 16 (4:2:0)."""
+    h, w = plane.shape            # chroma dims
+    shift = bit_depth - 8
+    maxv = (1 << bit_depth) - 1
+    if w < 16 or h < 16:
+        return plane
+    tc_j = jnp.asarray(TC_TABLE)
+    lut = jnp.asarray(CHROMA_QP_LUT)
+
+    def vpass(pl, bs_cells, q8):
+        hh, ww = pl.shape
+        ne = ww // 8 - 1
+        if ne <= 0:
+            return pl
+        # 4 samples around each chroma edge col 8k: p1 p0 | q0 q1
+        idx = (np.arange(1, ww // 8)[:, None] * 8 - 2 +
+               np.arange(4)[None, :]).astype(np.int32)
+        g = jnp.take(pl, jnp.asarray(idx), axis=1)    # (hh, ne, 4)
+        p1, p0, q0, q1 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+        # active: luma cell (2y//8, 2k) has bs==2
+        cells = bs_cells[:, 2::2][:, :ne]             # (n8y_l, ne)
+        act = jnp.repeat(cells == 2, 4, axis=0)[:hh]
+        if q8 is None:
+            qpc = chroma_qp(min(max(qp, 0), 57))
+            tc = int(TC_TABLE[min(max(qpc + 2, 0), 53)]) << shift
+            tcs = jnp.full((hh, ne), tc, jnp.int32)
+        else:
+            qe = (q8[:, 1::2][:, :ne] + q8[:, 2::2][:, :ne] + 1) >> 1
+            qpc = jnp.take(lut, jnp.clip(qe, 0, 57))
+            tcs = jnp.take(tc_j, jnp.clip(qpc + 2, 0, 53)) << shift
+            tcs = jnp.repeat(tcs, 4, axis=0)[:hh]
+        delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3,
+                         -tcs, tcs)
+        np0 = jnp.where(act, jnp.clip(p0 + delta, 0, maxv), p0)
+        nq0 = jnp.where(act, jnp.clip(q0 - delta, 0, maxv), q0)
+        cols = (np.arange(1, ww // 8) * 8).astype(np.int32)
+        pl = pl.at[:, jnp.asarray(cols - 1)].set(np0)
+        pl = pl.at[:, jnp.asarray(cols)].set(nq0)
+        return pl
+
+    pl = vpass(plane, vbs, qp8)
+    pl = vpass(pl.T, hbs.T, None if qp8 is None else qp8.T).T
+    return pl
 
 
 def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
@@ -470,13 +739,13 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
                                    "real_w", "ctu", "deblock", "sao",
                                    "sign_hiding", "me_range",
-                                   "need_recon", "dqp"))
+                                   "need_recon", "dqp", "intra_ii"))
 def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                qp_maps, *,
                qp: int, qpc: int, bit_depth: int, real_h: int,
                real_w: int, ctu: int, deblock: bool, sao: bool,
                sign_hiding: bool, me_range: int, need_recon: bool,
-               dqp: bool = False):
+               dqp: bool = False, intra_ii: bool = True):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -532,6 +801,18 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                           cpreds=cpreds,
                           qp_ctu=qp_ctu if dqp else None, ctu=ctu)
 
+        # --- intra-in-inter: 8x8 intra CUs where intra beats inter
+        if intra_ii:
+            (rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr, intra8,
+             imode8) = _intra_in_inter(
+                oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
+                cf_cr, depth8, meres[8][1], lam_i, qp, qpc,
+                qp_ctu if dqp else None, ctu, real_h, real_w,
+                bit_depth, sign_hiding)
+        else:
+            intra8 = jnp.zeros_like(depth8, dtype=bool)
+            imode8 = jnp.full(depth8.shape, 255, jnp.uint8)
+
         # --- in-loop filters on the coded-size crop
         ry_c = rec_y[:rh, :rw]
         rcb_c = rec_cb[:rh // 2, :rw // 2]
@@ -569,13 +850,18 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
             eff_qp8 = jnp.repeat(jnp.repeat(eff, k8, 0), k8, 1) \
                 [:rh // 8, :rw // 8]
         if deblock:
-            # luma only: all-inter P has bs<=1 and chroma filters only
-            # bs==2 edges (clause 8.7.2.4)
             vbs, hbs = _inter_bs_maps_t(
                 depth8[:rh // 8, :rw // 8], mv8[:rh // 8, :rw // 8],
-                cf_y[:rh, :rw], ctu)
+                cf_y[:rh, :rw], ctu,
+                intra8=intra8[:rh // 8, :rw // 8] if intra_ii else None)
             ry_c = deblock_luma_t(ry_c, vbs, hbs, qp, bit_depth,
                                   qp8=eff_qp8)
+            if intra_ii:
+                # chroma filters only bs==2 edges (intra boundaries)
+                rcb_c = deblock_chroma_t(rcb_c, vbs, hbs, qp, bit_depth,
+                                         qp8=eff_qp8)
+                rcr_c = deblock_chroma_t(rcr_c, vbs, hbs, qp, bit_depth,
+                                         qp8=eff_qp8)
         ncty = (rh + ctu - 1) // ctu
         nctx = (rw + ctu - 1) // ctu
         if sao:
@@ -603,7 +889,8 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         outs = (depth8.astype(jnp.uint8), mv8.astype(jnp.int16),
                 cf_y.astype(jnp.int16), cf_cb.astype(jnp.int16),
                 cf_cr.astype(jnp.int16),
-                jnp.stack([p_y, p_cb, p_cr]).astype(jnp.int8))
+                jnp.stack([p_y, p_cb, p_cr]).astype(jnp.int8),
+                intra8.astype(jnp.uint8), imode8.astype(jnp.uint8))
         if need_recon:
             outs = outs + (rec_y.astype(rdt), rec_cb.astype(rdt),
                            rec_cr.astype(rdt))
@@ -618,10 +905,10 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
     cf_y2 = outs[2].reshape(f * hp, wp)
     cf_c2 = jnp.concatenate([outs[3], outs[4]]).reshape(
         2 * f * (hp // 2), wp // 2)
-    res = (outs[0], outs[1], cf_y2, cf_c2, outs[5])
+    res = (outs[0], outs[1], cf_y2, cf_c2, outs[5], outs[6], outs[7])
     if need_recon:
-        rec_y2 = outs[6].reshape(f * hp, wp)
-        rec_c2 = jnp.concatenate([outs[7], outs[8]]).reshape(
+        rec_y2 = outs[8].reshape(f * hp, wp)
+        rec_c2 = jnp.concatenate([outs[9], outs[10]]).reshape(
             2 * f * (hp // 2), wp // 2)
         res = res + (rec_y2, rec_c2)
     return res, carry              # final ref stays int32 device-side
@@ -664,6 +951,11 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     wp = (w + 31) // 32 * 32
     qp = cfg.qp if qp is None else qp
     qpc = chroma_qp(qp)
+    if qp_maps is None and cfg.dqp_enabled:
+        # PPS signals cu_qp_delta: every slice must code deltas
+        qp_maps = np.full((f, (h + cfg.ctu_size - 1) // cfg.ctu_size,
+                           (w + cfg.ctu_size - 1) // cfg.ctu_size),
+                          qp, np.int32)
     src_dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
 
     def up(p, ph, pw2):
@@ -713,7 +1005,7 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         bit_depth=cfg.bit_depth, real_h=h, real_w=w, ctu=cfg.ctu_size,
         deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
         me_range=me_range, need_recon=need_recon,
-        dqp=qp_maps is not None)
+        dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter)
 
     # dispatch mask-directed CG compaction (async): collect downloads
     # the nonzero bitmask, then gathers exactly the nonzero rows
@@ -745,9 +1037,11 @@ def collect_pgop_tpu(p: PgopPending
     cf_c = fetch_compact_v2(p.cc_cgs + (2 * f * (hp // 2), wp // 2)) \
         .reshape(2 * f, hp // 2, wp // 2)[:, :h // 2, :w // 2]
     sao_all = np.asarray(res[4]).astype(np.int32)   # (F, 3, ncty, nctx, 6)
+    intra8 = np.asarray(res[5])[:, :h // 8, :w // 8] != 0
+    imode8 = np.asarray(res[6])[:, :h // 8, :w // 8]
     if p.need_recon:
-        ry_np = np.asarray(res[5]).reshape(f, hp, wp)[:, :h, :w]
-        rc_np = np.asarray(res[6]).reshape(2 * f, hp // 2, wp // 2) \
+        ry_np = np.asarray(res[7]).reshape(f, hp, wp)[:, :h, :w]
+        rc_np = np.asarray(res[8]).reshape(2 * f, hp // 2, wp // 2) \
             [:, :h // 2, :w // 2]
 
     ctu = p.ctu
@@ -764,6 +1058,9 @@ def collect_pgop_tpu(p: PgopPending
         syns[-1].sao_params = (
             (sao_all[i, 0], sao_all[i, 1], sao_all[i, 2])
             if p.sao else None)
+        if intra8[i].any():
+            syns[-1].intra8 = intra8[i]
+            syns[-1].mode8 = imode8[i]
         if p.qmj is not None:
             syns[-1].qp_map = p.qmj[i, :ncty_c, :nctx_c]
         if p.need_recon:

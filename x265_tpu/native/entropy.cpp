@@ -260,6 +260,7 @@ struct SliceEnc {
     int max_merge = 2;
     int sign_hiding = 0;
     const uint8_t* cmode8 = nullptr;   // chroma pred mode; null = DM
+    const uint8_t* intra8 = nullptr;   // P slices: 8x8 intra CU flags
     const uint8_t* nxn8 = nullptr;     // PART_NxN flags at min CU
     const uint8_t* mode4 = nullptr;    // per-PU modes, 4x4 granularity
     const int32_t* sao_p[3] = {nullptr, nullptr, nullptr};
@@ -400,6 +401,8 @@ struct SliceEnc {
     }
     bool mv_at(int nx, int ny, int cux, int cuy, int out[2]) const {
         if (!z_avail(nx, ny, cux, cuy)) return false;
+        if (intra8 && intra8[(ny >> 3) * n8x + (nx >> 3)])
+            return false;              // intra neighbour: no MV
         const int32_t* m = mv8 + ((ny >> 3) * n8x + (nx >> 3)) * 2;
         out[0] = m[0]; out[1] = m[1];
         return true;
@@ -484,7 +487,62 @@ struct SliceEnc {
             cab.encode_bypass(my < 0);
         }
     }
+    int neighbor_mode_p(int x, int y, bool above) const {
+        // candIntraPredMode in a P slice: non-intra neighbours -> DC
+        int nx = x, ny = y;
+        if (above) {
+            if (y == 0 || ((y - 1) >> log2_ctu) != (y >> log2_ctu))
+                return 1;
+            ny = y - 1;
+        } else {
+            if (x == 0) return 1;
+            nx = x - 1;
+        }
+        if (!intra8 || !intra8[(ny >> 3) * n8x + (nx >> 3)]) return 1;
+        return mode8[(ny >> 3) * n8x + (nx >> 3)];
+    }
+
+    void code_cu_p_intra(int x0, int y0, int l2) {
+        // intra CU inside a P slice (checkIntraInInter analog):
+        // cu_skip 0, pred_mode 1, PART_2Nx2N, DM chroma
+        int ctx = 0;
+        if (x0 > 0 && skip8[(y0 >> 3) * n8x + ((x0 - 1) >> 3)]) ctx++;
+        if (y0 > 0 && skip8[((y0 - 1) >> 3) * n8x + (x0 >> 3)]) ctx++;
+        cab.encode_bin(OFF_CU_SKIP_FLAG + ctx, 0);
+        int s = (1 << l2) >> 3;
+        for (int j = 0; j < s; j++)
+            for (int i = 0; i < s; i++) {
+                skip8[((y0 >> 3) + j) * n8x + (x0 >> 3) + i] = 0;
+                coded8[((y0 >> 3) + j) * n8x + (x0 >> 3) + i] = 1;
+            }
+        cab.encode_bin(OFF_PRED_MODE_FLAG, 1);
+        if (l2 == log2_min_cu) cab.encode_bin(OFF_PART_MODE, 1);
+        int mode = mode8[(y0 >> 3) * n8x + (x0 >> 3)];
+        int a = neighbor_mode_p(x0, y0, false);
+        int b2 = neighbor_mode_p(x0, y0, true);
+        int mpm[3];
+        if (a == b2) {
+            if (a < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
+            else { mpm[0] = a; mpm[1] = 2 + ((a + 29) % 32);
+                   mpm[2] = 2 + ((a - 2 + 1) % 32); }
+        } else {
+            mpm[0] = a; mpm[1] = b2;
+            if (a != 0 && b2 != 0) mpm[2] = 0;
+            else if (a != 1 && b2 != 1) mpm[2] = 1;
+            else mpm[2] = 26;
+        }
+        bool in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
+        cab.encode_bin(OFF_PREV_INTRA_LUMA_PRED_FLAG, in_mpm);
+        code_luma_mode(mode, mpm);
+        cab.encode_bin(OFF_INTRA_CHROMA_PRED_MODE, 0);   // DM
+        transform_unit(x0, y0, l2, mode, mode);
+    }
+
     void code_cu_p(int x0, int y0, int l2) {
+        if (intra8 && intra8[(y0 >> 3) * n8x + (x0 >> 3)]) {
+            code_cu_p_intra(x0, y0, l2);
+            return;
+        }
         int size = 1 << l2;
         const int32_t* m = mv8 + ((y0 >> 3) * n8x + (x0 >> 3)) * 2;
         int mv[2] = {m[0], m[1]};
@@ -872,6 +930,7 @@ int encode_slice(int slice_type, const uint8_t* depth8,
                  const int32_t* sao_py, const int32_t* sao_pcb,
                  const int32_t* sao_pcr,
                  const uint8_t* nxn8, const uint8_t* mode4,
+                 const uint8_t* intra8,
                  const int32_t* qp_map, int slice_qp,
                  int w, int h, int log2_ctu, int log2_min_cu,
                  uint8_t* init_states, int num_ctx,
@@ -887,6 +946,7 @@ int encode_slice(int slice_type, const uint8_t* depth8,
     enc.cmode8 = cmode8;
     enc.nxn8 = nxn8;
     enc.mode4 = mode4;
+    enc.intra8 = intra8;
     enc.qp_map = qp_map;
     enc.slice_qp = slice_qp;
     enc.sao_p[0] = sao_py; enc.sao_p[1] = sao_pcb; enc.sao_p[2] = sao_pcr;

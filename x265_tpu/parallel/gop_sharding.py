@@ -72,7 +72,7 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             tuple(p[None] for p in final_ref) + (total_rate,)
         return out
 
-    n_out = 7 + 3  # res 7-tuple (with recon planes) + final_ref triple
+    n_out = 9 + 3  # res 9-tuple (with recon planes) + final_ref triple
     # check_rep off: the body is fully per-device (no cross-chain data
     # flow except the final psum), but its internal fori_loop carries
     # are built from constants the replication analysis rejects
@@ -88,9 +88,9 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             jnp.asarray(ref_y), jnp.asarray(ref_cb), jnp.asarray(ref_cr),
             jnp.asarray(oy), jnp.asarray(ocb), jnp.asarray(ocr))
         jax.block_until_ready(outs)
-    res = outs[:7]
-    final_ref = outs[7:10]
-    total_rate = float(outs[10])
+    res = outs[:9]
+    final_ref = outs[9:12]
+    total_rate = float(outs[12])
     return res, final_ref, total_rate
 
 
@@ -137,8 +137,10 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
     cf_c = np.asarray(res[3]).reshape(c, 2 * f, hp // 2, wp // 2) \
         [:, :, :h // 2, :w // 2]
     sao_all = np.asarray(res[4]).astype(np.int32)
-    rec_y = np.asarray(res[5]).reshape(c, f, hp, wp)[:, :, :h, :w]
-    rec_c = np.asarray(res[6]).reshape(c, 2 * f, hp // 2, wp // 2) \
+    intra8 = np.asarray(res[5])[:, :, :h // 8, :w // 8] != 0
+    imode8 = np.asarray(res[6])[:, :, :h // 8, :w // 8]
+    rec_y = np.asarray(res[7]).reshape(c, f, hp, wp)[:, :, :h, :w]
+    rec_c = np.asarray(res[8]).reshape(c, 2 * f, hp // 2, wp // 2) \
         [:, :, :h // 2, :w // 2]
 
     out = []
@@ -153,6 +155,9 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
                 coeff_cr=cf_c[ci, f + i].astype(np.int32))
             syn.sao_params = ((sao_all[ci, i, 0], sao_all[ci, i, 1],
                                sao_all[ci, i, 2]) if cfg.sao else None)
+            if intra8[ci, i].any():
+                syn.intra8 = intra8[ci, i]
+                syn.mode8 = imode8[ci, i]
             syns.append(syn)
             recons.append(ReconFrame(rec_y[ci, i].astype(np.int32),
                                      rec_c[ci, i].astype(np.int32),
