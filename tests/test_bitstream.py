@@ -87,7 +87,8 @@ def test_nal_wrap_and_split():
     stream = (wrap_nal(NalUnitType.SPS, rbsp1) +
               wrap_nal(NalUnitType.PPS, rbsp2, long_start_code=False))
     units = split_annexb(stream)
-    assert [t for t, _ in units] == [int(NalUnitType.SPS), int(NalUnitType.PPS)]
+    assert [t for t, _, _ in units] == [int(NalUnitType.SPS),
+                                        int(NalUnitType.PPS)]
     assert units[0][1] == rbsp1
     assert units[1][1] == rbsp2
 

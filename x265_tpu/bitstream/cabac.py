@@ -265,6 +265,16 @@ class CabacEncoder:
         if nbits > 0:
             bw.write(val, nbits)
 
+    def finish_aligned(self) -> bytes:
+        """finish() + tail + byte_alignment (stop bit 1 + zero pad) —
+        one self-contained WPP substream (Entropy::finishSlice
+        analog, entropy.h:154)."""
+        from .bitwriter import BitWriter
+        bw = BitWriter()
+        self.finish_into(bw)
+        bw.align_one()
+        return bw.get_bytes()
+
 
 class CabacDecoder:
     """Arithmetic decoder written from H.265 clauses 9.3.4.3.2-9.3.4.3.5."""

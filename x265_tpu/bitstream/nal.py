@@ -92,19 +92,29 @@ def wrap_nal(nal_type: NalUnitType, rbsp: bytes, *, long_start_code: bool = True
     return start + nal_header(nal_type, 0, temporal_id) + emulation_prevention(rbsp)
 
 
-def annexb_stream(nals: list[tuple[NalUnitType, bytes]]) -> bytes:
-    """Serialize a list of (type, rbsp) into one Annex-B access unit stream.
-    VPS/SPS/PPS and the first NAL of an AU get 4-byte start codes."""
+def annexb_stream(nals: list[tuple]) -> bytes:
+    """Serialize a list of (type, rbsp[, preescaped_data]) into one
+    Annex-B access unit stream. VPS/SPS/PPS and the first NAL of an AU
+    get 4-byte start codes. An optional third element carries payload
+    that is ALREADY emulation-prevented (WPP substream concatenations,
+    whose entry point offsets count escaped bytes — the
+    serializeSubstreams contract, nal.cpp:176)."""
     out = bytearray()
-    for i, (t, rbsp) in enumerate(nals):
+    for i, item in enumerate(nals):
+        t, rbsp = item[0], item[1]
+        pre = item[2] if len(item) > 2 else b""
         long_sc = i == 0 or t in (NalUnitType.VPS, NalUnitType.SPS, NalUnitType.PPS,
                                   NalUnitType.AUD)
         out += wrap_nal(t, rbsp, long_start_code=long_sc)
+        out += pre
     return bytes(out)
 
 
-def split_annexb(stream: bytes) -> list[tuple[int, bytes]]:
-    """Parse an Annex-B stream into (nal_type, rbsp) units (validation decoder)."""
+def split_annexb(stream: bytes) -> list[tuple[int, bytes, bytes]]:
+    """Parse an Annex-B stream into (nal_type, rbsp, raw_payload)
+    units (validation decoder). raw_payload is the emulation-prevented
+    payload after the 2-byte NAL header — WPP entry point offsets
+    count bytes in that domain (clause 7.4.7.1)."""
     n = len(stream)
     # start-code prefix positions: index of the byte AFTER each 00 00 01
     starts: list[int] = []
@@ -120,7 +130,7 @@ def split_annexb(stream: bytes) -> list[tuple[int, bytes]]:
             i += 3
         else:
             i += 1
-    units: list[tuple[int, bytes]] = []
+    units: list[tuple[int, bytes, bytes]] = []
     bounds = sc_begin[1:] + [n]
     for s, e in zip(starts, bounds):
         payload = stream[s:e]
@@ -128,5 +138,5 @@ def split_annexb(stream: bytes) -> list[tuple[int, bytes]]:
             continue
         nal_type = (payload[0] >> 1) & 0x3F
         rbsp = remove_emulation_prevention(payload[2:])
-        units.append((nal_type, rbsp))
+        units.append((nal_type, rbsp, payload[2:]))
     return units

@@ -148,6 +148,33 @@ class SliceSyntaxEncoder:
             self.cab.encode_terminate(1 if addr == n_ctu - 1 else 0)
         return self.cab
 
+    def encode_slice_data_wpp(self) -> list[bytes]:
+        """WPP (entropy_coding_sync): one byte-aligned substream per
+        CTU row; row r+1's contexts fork from the state saved after
+        CTU 1 of row r (frameencoder.cpp:1509-1537); qPY_PREV resets
+        to the slice QP at each row (clause 8.6.1)."""
+        cfg = self.cfg
+        rows, cols = cfg.ctu_rows, cfg.ctu_cols
+        n_ctu = rows * cols
+        init = self.cab.ctx.states.copy()
+        subs: list[bytes] = []
+        saved = init       # cols == 1: rows re-init (no above-right CTU)
+        for row in range(rows):
+            ctx = ContextSet(0)
+            ctx.states = init.copy() if row == 0 else saved.copy()
+            self.cab = CabacEncoder(ctx)
+            self.prev_qp = self.qp
+            for col in range(cols):
+                addr = row * cols + col
+                self.encode_ctu(col * cfg.ctu_size, row * cfg.ctu_size)
+                self.cab.encode_terminate(1 if addr == n_ctu - 1 else 0)
+                if col == 1 and rows > 1:
+                    saved = ctx.states.copy()
+            if row < rows - 1:
+                self.cab.encode_terminate(1)   # end_of_subset_one_bit
+            subs.append(self.cab.finish_aligned())
+        return subs
+
     def encode_ctu(self, x0: int, y0: int) -> None:
         if self.qp_map is not None:
             self.dqp_pending = True

@@ -160,7 +160,7 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
     pps: PpsInfo | None = None
     frames: list[DecodedFrame] = []
     dpb: dict[int, DecodedFrame] = {}   # reference pictures by POC
-    for nal_type, rbsp in split_annexb(stream):
+    for nal_type, rbsp, raw in split_annexb(stream):
         if nal_type == NalUnitType.SPS:
             sps = parse_sps(rbsp)
         elif nal_type == NalUnitType.PPS:
@@ -168,14 +168,15 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
         elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
                           NalUnitType.CRA_NUT):
             assert sps is not None and pps is not None
-            f = _decode_slice(rbsp, sps, pps, idr=True)
+            f = _decode_slice(rbsp, sps, pps, idr=True, raw=raw)
             frames.append(f)
             dpb.clear()
             dpb[0] = f
         elif nal_type in (NalUnitType.TRAIL_R, NalUnitType.TRAIL_N):
             assert sps is not None and pps is not None and dpb
             is_ref = nal_type == NalUnitType.TRAIL_R
-            f = _decode_slice(rbsp, sps, pps, idr=False, dpb=dpb)
+            f = _decode_slice(rbsp, sps, pps, idr=False, dpb=dpb,
+                              raw=raw)
             frames.append(f)
             if is_ref:
                 dpb[f.poc] = f
@@ -197,7 +198,8 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
 
 
 def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
-                  idr: bool, dpb: dict | None = None) -> DecodedFrame:
+                  idr: bool, dpb: dict | None = None,
+                  raw: bytes | None = None) -> DecodedFrame:
     r = BitReader(rbsp)
     assert r.read_flag() == 1      # first_slice_segment_in_pic_flag
     if idr:
@@ -238,13 +240,34 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
     qp = pps.init_qp + r.read_se()
     if sps.sao or not pps.deblock_disabled:
         r.read_flag()              # slice_loop_filter_across_slices_enabled
+    entry_offsets: list[int] = []
+    if pps.wpp:
+        nep = r.read_ue()          # num_entry_point_offsets
+        if nep:
+            olen = r.read_ue() + 1
+            entry_offsets = [r.read(olen) + 1 for _ in range(nep)]
     # byte_alignment(): one alignment bit (always present) + zero pad
     assert r.read_flag() == 1, "alignment_bit_equal_to_one"
     r.byte_align()
     data = rbsp[r.bit_position // 8:]
+    substreams = None
+    if pps.wpp and entry_offsets:
+        # entry offsets count EMULATION-PREVENTED bytes (7.4.7.1):
+        # locate the header end in the raw payload, split, un-escape
+        from ..bitstream.nal import (emulation_prevention,
+                                     remove_emulation_prevention)
+        assert raw is not None, "WPP slices need the raw NAL payload"
+        hdr_raw_len = len(emulation_prevention(rbsp[:r.bit_position // 8]))
+        raw_data = raw[hdr_raw_len:]
+        bounds = [0]
+        for o in entry_offsets:
+            bounds.append(bounds[-1] + o)
+        bounds.append(len(raw_data))
+        substreams = [remove_emulation_prevention(raw_data[a:b])
+                      for a, b in zip(bounds[:-1], bounds[1:])]
     if slice_type == 2:
         dec = SliceDecoder(sps, pps, qp, data, sao=sps.sao)
-        frame = dec.decode()
+        frame = dec.decode(substreams=substreams)
         if not pps.deblock_disabled:
             from ..ops.deblock import deblock_frame_np
             dqp = dec.qp8 if pps.cu_qp_delta else qp
@@ -257,7 +280,7 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
         ref = dpb[poc - delta_s0]
         dec = PSliceDecoder(sps, pps, qp, data, ref, max_merge,
                             sao=sps.sao)
-        frame = dec.decode()
+        frame = dec.decode(substreams=substreams)
         frame.poc = poc
         if not pps.deblock_disabled:
             from ..ops.deblock import (deblock_chroma_np, deblock_luma_np,
@@ -284,7 +307,7 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
     dec = BSliceDecoder(sps, pps, qp, data, ref0, ref1, max_merge,
                         (poc - delta_s0, poc + delta_s1), poc,
                         sao=sps.sao)
-    frame = dec.decode()
+    frame = dec.decode(substreams=substreams)
     frame.poc = poc
     if not pps.deblock_disabled:
         from ..ops.deblock import deblock_luma_np, inter_bs_maps_b
@@ -446,7 +469,10 @@ class SliceDecoder:
                     p[ty, tx, 1] = ptab[1][ty, tx, 1]
             p[ty, tx, 2:6] = offs
 
-    def decode(self) -> DecodedFrame:
+    def _decode_ctus(self, substreams=None) -> None:
+        """CTU parse loop; substreams given = WPP (one per row, ctx
+        forked from the saved state after CTU 1 of the row above,
+        qPY_PREV reset per row — clauses 9.3.1 / 8.6.1)."""
         log2_ctu = self.sps.log2_ctu
         ctu = 1 << log2_ctu
         rows = (self.h + ctu - 1) >> log2_ctu
@@ -455,16 +481,45 @@ class SliceDecoder:
             self.sao_py = np.zeros((rows, cols, 6), np.int32)
             self.sao_pcb = np.zeros((rows, cols, 6), np.int32)
             self.sao_pcr = np.zeros((rows, cols, 6), np.int32)
-        for addr in range(rows * cols):
-            cy, cx = divmod(addr, cols)
-            self._ctu_qp_start(cx * ctu, cy * ctu)
-            if self.sao_on:
-                self._parse_sao(cx, cy)
-            self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
-            self._ctu_qp_end(cx * ctu, cy * ctu)
-            end = self.cab.decode_terminate()
-            assert end == (1 if addr == rows * cols - 1 else 0), \
-                f"end_of_slice mismatch at CTU {addr}"
+        if substreams is None:
+            for addr in range(rows * cols):
+                cy, cx = divmod(addr, cols)
+                self._ctu_qp_start(cx * ctu, cy * ctu)
+                if self.sao_on:
+                    self._parse_sao(cx, cy)
+                self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
+                self._ctu_qp_end(cx * ctu, cy * ctu)
+                end = self.cab.decode_terminate()
+                assert end == (1 if addr == rows * cols - 1 else 0), \
+                    f"end_of_slice mismatch at CTU {addr}"
+            return
+        assert len(substreams) == rows, "one substream per CTU row"
+        init = self.cab.ctx.states.copy()
+        saved = init
+        for row in range(rows):
+            ctx = ContextSet(0)
+            ctx.states = init.copy() if row == 0 else saved.copy()
+            self.cab = CabacDecoder(substreams[row], ctx)
+            if self.dqp_on:
+                self.prev_qp = self.qp
+            for col in range(cols):
+                addr = row * cols + col
+                self._ctu_qp_start(col * ctu, row * ctu)
+                if self.sao_on:
+                    self._parse_sao(col, row)
+                self._cu_tree(col * ctu, row * ctu, log2_ctu)
+                self._ctu_qp_end(col * ctu, row * ctu)
+                end = self.cab.decode_terminate()
+                assert end == (1 if addr == rows * cols - 1 else 0), \
+                    f"end_of_slice mismatch at CTU {addr}"
+                if col == 1 and rows > 1:
+                    saved = ctx.states.copy()
+            if row < rows - 1:
+                assert self.cab.decode_terminate() == 1, \
+                    "end_of_subset_one_bit"
+
+    def decode(self, substreams=None) -> DecodedFrame:
+        self._decode_ctus(substreams)
         return DecodedFrame(self.y, self.cb, self.cr, self.qp,
                             self.depth8, self.mode8)
 
@@ -882,24 +937,10 @@ class PSliceDecoder:
         self.qp_c = chroma_qp(qp)
         self._init_dqp()
 
-    def decode(self) -> DecodedFrame:
-        log2_ctu = self.sps.log2_ctu
-        ctu = 1 << log2_ctu
-        rows = (self.h + ctu - 1) >> log2_ctu
-        cols = (self.w + ctu - 1) >> log2_ctu
-        if self.sao_on:
-            self.sao_py = np.zeros((rows, cols, 6), np.int32)
-            self.sao_pcb = np.zeros((rows, cols, 6), np.int32)
-            self.sao_pcr = np.zeros((rows, cols, 6), np.int32)
-        for addr in range(rows * cols):
-            cy, cx = divmod(addr, cols)
-            self._ctu_qp_start(cx * ctu, cy * ctu)
-            if self.sao_on:
-                self._parse_sao(cx, cy)
-            self._cu_tree(cx * ctu, cy * ctu, log2_ctu)
-            self._ctu_qp_end(cx * ctu, cy * ctu)
-            end = self.cab.decode_terminate()
-            assert end == (1 if addr == rows * cols - 1 else 0)
+    _decode_ctus = SliceDecoder._decode_ctus
+
+    def decode(self, substreams=None) -> DecodedFrame:
+        self._decode_ctus(substreams)
         return DecodedFrame(self.y, self.cb, self.cr, self.qp,
                             depth8=self.depth8, mv8=self.mv8,
                             coeff_y=self.coeff_y)
@@ -1272,6 +1313,7 @@ class BSliceDecoder:
         self._init_dqp()
 
     decode = PSliceDecoder.decode
+    _decode_ctus = SliceDecoder._decode_ctus
     _depth_at = PSliceDecoder._depth_at
     _cu_tree = PSliceDecoder._cu_tree
     _merge_idx = PSliceDecoder._merge_idx

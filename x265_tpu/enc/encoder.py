@@ -293,10 +293,36 @@ class IntraEncoder:
                                            cfg.bit_depth))
                 sao_params = (p_y, p_cb, p_cr)
 
-        sw = write_slice_header(cfg, I_SLICE, idr=True, slice_qp=qp)
-        if use_native_cabac:
-            from ..bitstream.ctx_tables import init_states
+        from ..bitstream.ctx_tables import init_states
+        pre_data = b""
+        if cfg.wpp:
+            # WPP: per-row substreams + entry point offsets (counted in
+            # escaped bytes, clause 7.4.7.1)
+            from ..bitstream.nal import emulation_prevention
+            if use_native_cabac:
+                from ..native.entropy_native import \
+                    encode_slice_wpp_native
+                subs = encode_slice_wpp_native(
+                    2, syn.depth8, syn.coeff_y, syn.coeff_cb,
+                    syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
+                    init_states(I_SLICE, qp), mode8=syn.mode8,
+                    sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8,
+                    sao_params=sao_params, nxn8=syn.nxn8,
+                    mode4=syn.mode4, qp_map=qp_map, slice_qp=qp)
+            else:
+                syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, qp,
+                                            sao_params=sao_params,
+                                            qp_map=qp_map)
+                subs = syntax.encode_slice_data_wpp()
+            escaped = [emulation_prevention(s) for s in subs]
+            sw = write_slice_header(
+                cfg, I_SLICE, idr=True, slice_qp=qp,
+                num_entry_points=len(subs) - 1,
+                entry_point_offsets=[len(e) for e in escaped[:-1]])
+            pre_data = b"".join(escaped)
+        elif use_native_cabac:
             from ..native.entropy_native import encode_slice_native
+            sw = write_slice_header(cfg, I_SLICE, idr=True, slice_qp=qp)
             payload, tail_val, tail_bits = encode_slice_native(
                 2, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
                 w, h, cfg.log2_ctu, cfg.log2_min_cu,
@@ -307,19 +333,21 @@ class IntraEncoder:
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)
+            sw.align_one()
         else:
+            sw = write_slice_header(cfg, I_SLICE, idr=True, slice_qp=qp)
             syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, qp,
                                         sao_params=sao_params,
                                         qp_map=qp_map)
             cab = syntax.encode_slice_data()
             cab.finish_into(sw)
-        sw.align_one()
+            sw.align_one()
         slice_rbsp = sw.get_bytes()
 
-        nals: list[tuple[NalUnitType, bytes]] = []
+        nals: list[tuple] = []
         if self.frame_count == 0:
             nals.extend(self.headers())
-        nals.append((NalUnitType.IDR_W_RADL, slice_rbsp))
+        nals.append((NalUnitType.IDR_W_RADL, slice_rbsp, pre_data))
         if cfg.hash_sei:
             from ..bitstream.sei import write_picture_hash_sei
             nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
@@ -384,11 +412,6 @@ class IntraEncoder:
                 apply_sao_component_np(recon.cr, p_cr, cfg.ctu_size // 2,
                                        cfg.bit_depth))
             sao_params = (p_y, p_cb, p_cr)
-        sw = write_slice_header(
-            cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
-            ref_delta_poc=poc - poc_refs[0],
-            ref_delta_poc_after=poc_refs[1] - poc,
-            max_merge=syn.max_merge, rps_neg=rps_neg, rps_pos=rps_pos)
         # with cu_qp_delta signalled in the PPS, B slices code uniform
         # (zero-delta) maps — the host B path quantizes at the slice QP
         bqp_map = None
@@ -397,11 +420,31 @@ class IntraEncoder:
         syntax = SliceSyntaxEncoder(cfg, syn, B_SLICE, qp,
                                     sao_params=sao_params,
                                     qp_map=bqp_map)
-        cab = syntax.encode_slice_data()
-        cab.finish_into(sw)
-        sw.align_one()
+        pre_data = b""
+        if cfg.wpp:
+            from ..bitstream.nal import emulation_prevention
+            subs = syntax.encode_slice_data_wpp()
+            escaped = [emulation_prevention(s) for s in subs]
+            sw = write_slice_header(
+                cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
+                ref_delta_poc=poc - poc_refs[0],
+                ref_delta_poc_after=poc_refs[1] - poc,
+                max_merge=syn.max_merge, rps_neg=rps_neg,
+                rps_pos=rps_pos, num_entry_points=len(subs) - 1,
+                entry_point_offsets=[len(e) for e in escaped[:-1]])
+            pre_data = b"".join(escaped)
+        else:
+            sw = write_slice_header(
+                cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
+                ref_delta_poc=poc - poc_refs[0],
+                ref_delta_poc_after=poc_refs[1] - poc,
+                max_merge=syn.max_merge, rps_neg=rps_neg,
+                rps_pos=rps_pos)
+            cab = syntax.encode_slice_data()
+            cab.finish_into(sw)
+            sw.align_one()
         nal_type = NalUnitType.TRAIL_R if is_ref else NalUnitType.TRAIL_N
-        nals = [(nal_type, sw.get_bytes())]
+        nals = [(nal_type, sw.get_bytes(), pre_data)]
         if cfg.hash_sei:
             from ..bitstream.sei import write_picture_hash_sei
             nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
@@ -609,21 +652,45 @@ class IntraEncoder:
             recon = recons[i]
             sao_params = syn.sao_params
             self.poc += poc_step
-            sw = write_slice_header(cfg, P_SLICE, idr=False, poc=self.poc,
-                                    ref_delta_poc=poc_step,
-                                    max_merge=syn.max_merge, slice_qp=qp)
-            payload, tail_val, tail_bits = encode_slice_native(
-                1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
-                w, h, cfg.log2_ctu, cfg.log2_min_cu,
-                init_states(P_SLICE, qp), mv8=syn.mv8,
-                max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
-                sao_params=sao_params, qp_map=syn.qp_map, slice_qp=qp,
-                mode8=syn.mode8, intra8=syn.intra8)
-            sw.write_bytes(payload)
-            if tail_bits:
-                sw.write(tail_val, tail_bits)
-            sw.align_one()
-            nals = [(NalUnitType.TRAIL_R, sw.get_bytes())]
+            pre_data = b""
+            if cfg.wpp:
+                from ..bitstream.nal import emulation_prevention
+                from ..native.entropy_native import \
+                    encode_slice_wpp_native
+                subs = encode_slice_wpp_native(
+                    1, syn.depth8, syn.coeff_y, syn.coeff_cb,
+                    syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
+                    init_states(P_SLICE, qp), mv8=syn.mv8,
+                    max_merge=syn.max_merge,
+                    sign_hiding=cfg.sign_hiding,
+                    sao_params=sao_params, qp_map=syn.qp_map,
+                    slice_qp=qp, mode8=syn.mode8, intra8=syn.intra8)
+                escaped = [emulation_prevention(s) for s in subs]
+                sw = write_slice_header(
+                    cfg, P_SLICE, idr=False, poc=self.poc,
+                    ref_delta_poc=poc_step, max_merge=syn.max_merge,
+                    slice_qp=qp, num_entry_points=len(subs) - 1,
+                    entry_point_offsets=[len(e) for e in escaped[:-1]])
+                pre_data = b"".join(escaped)
+            else:
+                sw = write_slice_header(cfg, P_SLICE, idr=False,
+                                        poc=self.poc,
+                                        ref_delta_poc=poc_step,
+                                        max_merge=syn.max_merge,
+                                        slice_qp=qp)
+                payload, tail_val, tail_bits = encode_slice_native(
+                    1, syn.depth8, syn.coeff_y, syn.coeff_cb,
+                    syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
+                    init_states(P_SLICE, qp), mv8=syn.mv8,
+                    max_merge=syn.max_merge,
+                    sign_hiding=cfg.sign_hiding,
+                    sao_params=sao_params, qp_map=syn.qp_map,
+                    slice_qp=qp, mode8=syn.mode8, intra8=syn.intra8)
+                sw.write_bytes(payload)
+                if tail_bits:
+                    sw.write(tail_val, tail_bits)
+                sw.align_one()
+            nals = [(NalUnitType.TRAIL_R, sw.get_bytes(), pre_data)]
             if cfg.hash_sei:
                 from ..bitstream.sei import write_picture_hash_sei
                 nals.append(write_picture_hash_sei(

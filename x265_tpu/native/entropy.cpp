@@ -86,6 +86,12 @@ struct Cabac {
 
     explicit Cabac(uint8_t* states) : ctx(states) { out.reserve(1 << 16); }
 
+    void reset() {
+        low = 0; range = 510; bits_left = -12;
+        buffered_byte = 0xFF; num_buffered = 0;
+        out.clear();
+    }
+
     void write_out() {
         uint32_t lead = (uint32_t)(low >> (13 + bits_left));
         low &= ((uint64_t)1 << (13 + bits_left)) - 1;
@@ -271,6 +277,12 @@ struct SliceEnc {
     int prev_qp = 26;
     int dqp_target = 26;
     bool dqp_pending = false;
+    // WPP (entropy_coding_sync): one byte-aligned substream per CTU
+    // row; row r+1 starts from the contexts saved after CTU 1 of row r
+    // (frameencoder.cpp:1509-1537 behavior)
+    int wpp = 0;
+    int num_ctx = 0;
+    std::vector<std::vector<uint8_t>> substreams;
     std::vector<uint8_t> skip8, coded8;
 
     SliceEnc(uint8_t* states, const uint8_t* d8, const uint8_t* m8,
@@ -303,6 +315,55 @@ struct SliceEnc {
             if (sao_p[0]) code_sao(cx, cy_, cols);
             cu_tree(cx * ctu, cy_ * ctu, log2_ctu);
             cab.encode_terminate(a == nctu - 1 ? 1 : 0);
+        }
+    }
+
+    // flush the current cabac into a byte-aligned substream
+    // (Entropy::finishSlice analog: finish + byte alignment)
+    void flush_substream() {
+        uint32_t tv; int tb;
+        cab.finish(&tv, &tb);
+        std::vector<uint8_t>& out = cab.out;
+        // append tail bits, then alignment: stop bit 1 + zero pad
+        uint32_t acc = 0; int nb = 0;
+        for (int i = tb - 1; i >= 0; i--) {
+            acc = (acc << 1) | ((tv >> i) & 1);
+            if (++nb == 8) { out.push_back((uint8_t)acc); acc = 0; nb = 0; }
+        }
+        acc = (acc << 1) | 1; nb++;            // alignment one bit
+        acc <<= (8 - nb);                      // zero pad
+        out.push_back((uint8_t)acc);
+        substreams.push_back(out);
+    }
+
+    void run_wpp() {
+        int ctu = 1 << log2_ctu;
+        int rows = (h + ctu - 1) >> log2_ctu;
+        int cols = (w + ctu - 1) >> log2_ctu;
+        int nctu = rows * cols;
+        std::vector<uint8_t> saved(num_ctx);
+        memcpy(saved.data(), cab.ctx, num_ctx);  // cols==1: re-init rows
+        for (int row = 0; row < rows; row++) {
+            if (row > 0) {
+                memcpy(cab.ctx, saved.data(), num_ctx);
+                cab.reset();
+            }
+            prev_qp = slice_qp;   // qPY_PREV resets per CTU row (8.6.1)
+            for (int col = 0; col < cols; col++) {
+                int a = row * cols + col;
+                if (qp_map) {
+                    dqp_pending = true;
+                    dqp_target = qp_map[a];
+                }
+                if (sao_p[0]) code_sao(col, row, cols);
+                cu_tree(col * ctu, row * ctu, log2_ctu);
+                cab.encode_terminate(a == nctu - 1 ? 1 : 0);
+                if (col == 1 && rows > 1)
+                    memcpy(saved.data(), cab.ctx, num_ctx);
+            }
+            if (row < rows - 1)
+                cab.encode_terminate(1);       // end_of_subset_one_bit
+            flush_substream();
         }
     }
 
@@ -977,6 +1038,53 @@ int encode_intra_slice(const uint8_t* depth8, const uint8_t* mode8,
     if (nbytes > out_cap) return -1;
     memcpy(out, enc.cab.out.data(), nbytes);
     return nbytes;
+}
+
+// WPP slice encoder: one byte-aligned substream per CTU row. Writes
+// the concatenated raw substreams into out and per-substream lengths
+// into sub_lens; returns total bytes or -1.
+int encode_slice_wpp(int slice_type, const uint8_t* depth8,
+                     const uint8_t* mode8, const int32_t* mv8,
+                     int max_merge, int sign_hiding,
+                     const uint8_t* cmode8,
+                     const int16_t* coeff_y, const int16_t* coeff_cb,
+                     const int16_t* coeff_cr,
+                     const int32_t* sao_py, const int32_t* sao_pcb,
+                     const int32_t* sao_pcr,
+                     const uint8_t* nxn8, const uint8_t* mode4,
+                     const uint8_t* intra8,
+                     const int32_t* qp_map, int slice_qp,
+                     int w, int h, int log2_ctu, int log2_min_cu,
+                     uint8_t* init_states, int num_ctx,
+                     uint8_t* out, int out_cap,
+                     int* sub_lens, int max_subs) {
+    SliceEnc enc(init_states, depth8, mode8, coeff_y, coeff_cb, coeff_cr,
+                 w, h, log2_ctu, log2_min_cu);
+    enc.slice_type = slice_type;
+    enc.mv8 = mv8;
+    enc.max_merge = max_merge;
+    enc.sign_hiding = sign_hiding;
+    enc.cmode8 = cmode8;
+    enc.nxn8 = nxn8;
+    enc.mode4 = mode4;
+    enc.intra8 = intra8;
+    enc.qp_map = qp_map;
+    enc.slice_qp = slice_qp;
+    enc.wpp = 1;
+    enc.num_ctx = num_ctx;
+    enc.sao_p[0] = sao_py; enc.sao_p[1] = sao_pcb; enc.sao_p[2] = sao_pcr;
+    enc.run_wpp();
+    int nsubs = (int)enc.substreams.size();
+    if (nsubs > max_subs) return -1;
+    int total = 0;
+    for (int s = 0; s < nsubs; s++) {
+        int len = (int)enc.substreams[s].size();
+        if (total + len > out_cap) return -1;
+        memcpy(out + total, enc.substreams[s].data(), len);
+        sub_lens[s] = len;
+        total += len;
+    }
+    return total;
 }
 
 int ctx_layout_checksum() {
