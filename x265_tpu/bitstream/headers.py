@@ -130,8 +130,44 @@ def _write_vui(w: BitWriter, cfg: EncoderConfig) -> None:
     w.write(cfg.fps_den, 32)          # vui_num_units_in_tick
     w.write(cfg.fps_num, 32)          # vui_time_scale
     w.write_flag(0)                   # vui_poc_proportional_to_timing_flag
-    w.write_flag(0)                   # vui_hrd_parameters_present_flag
+    if cfg.vbv_enabled:
+        w.write_flag(1)               # vui_hrd_parameters_present_flag
+        _write_hrd(w, cfg)
+    else:
+        w.write_flag(0)               # vui_hrd_parameters_present_flag
     w.write_flag(0)                   # bitstream_restriction_flag
+
+
+# HRD fixed-point field widths (shared with the buffering period /
+# pic timing SEI writers, sei.py)
+HRD_INIT_DELAY_LEN = 23
+HRD_AU_DELAY_LEN = 23
+HRD_DPB_DELAY_LEN = 23
+HRD_BIT_RATE_SCALE = 4
+HRD_CPB_SIZE_SCALE = 4
+
+
+def _write_hrd(w: BitWriter, cfg: EncoderConfig) -> None:
+    """hrd_parameters — Annex E.2.2, one NAL CPB (the VBV signalling,
+    ratecontrol.cpp:2277 initHRD analog)."""
+    w.write_flag(1)                   # nal_hrd_parameters_present_flag
+    w.write_flag(0)                   # vcl_hrd_parameters_present_flag
+    w.write_flag(0)                   # sub_pic_hrd_params_present_flag
+    w.write(HRD_BIT_RATE_SCALE, 4)    # bit_rate_scale
+    w.write(HRD_CPB_SIZE_SCALE, 4)    # cpb_size_scale
+    w.write(HRD_INIT_DELAY_LEN - 1, 5)
+    w.write(HRD_AU_DELAY_LEN - 1, 5)
+    w.write(HRD_DPB_DELAY_LEN - 1, 5)
+    # sub-layer 0
+    w.write_flag(1)                   # fixed_pic_rate_general_flag
+    w.write_ue(0)                     # elemental_duration_in_tc_minus1
+    w.write_ue(0)                     # cpb_cnt_minus1
+    # sub_layer_hrd_parameters, CPB 0
+    br = (cfg.vbv_maxrate * 1000) >> (6 + HRD_BIT_RATE_SCALE)
+    cs = (cfg.vbv_bufsize * 1000) >> (4 + HRD_CPB_SIZE_SCALE)
+    w.write_ue(max(br, 1) - 1)        # bit_rate_value_minus1
+    w.write_ue(max(cs, 1) - 1)        # cpb_size_value_minus1
+    w.write_flag(0)                   # cbr_flag
 
 
 def write_pps(cfg: EncoderConfig) -> bytes:

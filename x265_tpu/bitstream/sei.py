@@ -1,4 +1,6 @@
-"""SEI messages (Annex D). Currently: decoded_picture_hash (MD5).
+"""SEI messages (Annex D): decoded_picture_hash (MD5), buffering
+period, picture timing, recovery point, user data unregistered, and
+the access unit delimiter helper.
 
 Reference behavior: x265 source/encoder/sei.{h,cpp} SEIDecodedPictureHash
 and source/common/md5.cpp; frameencoder.cpp:1167 computes the hash over
@@ -73,3 +75,91 @@ def parse_picture_hash_sei(rbsp: bytes) -> list[bytes] | None:
             return [payload[1 + 16 * k:1 + 16 * (k + 1)] for k in range(3)]
         i += size
     return None
+
+
+SEI_BUFFERING_PERIOD = 0
+SEI_PIC_TIMING = 1
+SEI_RECOVERY_POINT = 6
+SEI_USER_DATA_UNREGISTERED = 5
+
+
+def _sei_nal(ptype: int, payload_bits: BitWriter,
+             prefix: bool = True) -> tuple[NalUnitType, bytes]:
+    """Wrap one SEI payload (already bit-exact, byte-aligned via its
+    own alignment) into an SEI NAL rbsp."""
+    payload_bits.align_one()          # payload rbsp trailing bits
+    payload = payload_bits.get_bytes()
+    w = BitWriter()
+    t = ptype
+    while t >= 255:
+        w.write(255, 8)
+        t -= 255
+    w.write(t, 8)
+    size = len(payload)
+    while size >= 255:
+        w.write(255, 8)
+        size -= 255
+    w.write(size, 8)
+    w.write_bytes(payload)
+    w.align_one()                     # sei rbsp trailing
+    return (NalUnitType.PREFIX_SEI if prefix else NalUnitType.SUFFIX_SEI,
+            w.get_bytes())
+
+
+def write_buffering_period_sei(cfg, initial_fill_bits: float
+                               ) -> tuple[NalUnitType, bytes]:
+    """buffering_period SEI (D.2.2) for the single NAL CPB signalled in
+    the VUI (ratecontrol.cpp:2277 HRD analog). Delays are in 90 kHz
+    ticks of buffer drain time."""
+    from .headers import HRD_AU_DELAY_LEN, HRD_INIT_DELAY_LEN
+    w = BitWriter()
+    w.write_ue(0)                     # bp_seq_parameter_set_id
+    # irap_cpb_params_present_flag absent (no sub_pic, rap_cpb_params=0)
+    w.write_flag(0)                   # concatenation_flag
+    w.write(0, HRD_AU_DELAY_LEN)      # au_cpb_removal_delay_delta_minus1
+    delay = int(90000.0 * initial_fill_bits /
+                max(cfg.vbv_maxrate * 1000.0, 1.0))
+    maxd = (1 << HRD_INIT_DELAY_LEN) - 1
+    w.write(min(max(delay, 1), maxd), HRD_INIT_DELAY_LEN)
+    w.write(0, HRD_INIT_DELAY_LEN)    # initial_cpb_removal_offset
+    return _sei_nal(SEI_BUFFERING_PERIOD, w)
+
+
+def write_pic_timing_sei(cfg, au_index_in_bp: int, dpb_delay: int = 1
+                         ) -> tuple[NalUnitType, bytes]:
+    """pic_timing SEI (D.2.3): CPB removal + DPB output delays (the
+    frame_field part is absent — frame_field_info_present_flag = 0)."""
+    from .headers import HRD_AU_DELAY_LEN, HRD_DPB_DELAY_LEN
+    w = BitWriter()
+    w.write(max(au_index_in_bp, 1) - 1 if au_index_in_bp else 0,
+            HRD_AU_DELAY_LEN)         # au_cpb_removal_delay_minus1
+    w.write(dpb_delay, HRD_DPB_DELAY_LEN)  # pic_dpb_output_delay
+    return _sei_nal(SEI_PIC_TIMING, w)
+
+
+def write_recovery_point_sei(poc_offset: int = 0
+                             ) -> tuple[NalUnitType, bytes]:
+    """recovery_point SEI (D.2.8)."""
+    w = BitWriter()
+    w.write_se(poc_offset)            # recovery_poc_cnt
+    w.write_flag(1)                   # exact_match_flag
+    w.write_flag(0)                   # broken_link_flag
+    return _sei_nal(SEI_RECOVERY_POINT, w)
+
+
+def write_user_data_sei(text: bytes) -> tuple[NalUnitType, bytes]:
+    """user_data_unregistered SEI (D.2.7): 16-byte UUID + payload
+    (the x265 version-banner SEI analog, encoder.cpp getStreamHeaders)."""
+    uuid = bytes.fromhex("2ca2de09b51747dbbb55a4fe7fc2fc4e")
+    w = BitWriter()
+    w.write_bytes(uuid + text)
+    return _sei_nal(SEI_USER_DATA_UNREGISTERED, w)
+
+
+def write_aud(slice_types_present: int) -> tuple[NalUnitType, bytes]:
+    """access_unit_delimiter_rbsp (7.3.2.5): pic_type 0=I, 1=I/P,
+    2=I/P/B."""
+    w = BitWriter()
+    w.write(slice_types_present, 3)
+    w.align_one()
+    return NalUnitType.AUD, w.get_bytes()

@@ -65,6 +65,12 @@ def parse_args(argv=None):
     p.add_argument("--aq-strength", type=float, default=None)
     p.add_argument("--ssim", action="store_true",
                    help="report SSIM per frame and globally")
+    p.add_argument("--vbv-bufsize", type=int, default=0,
+                   help="VBV buffer size (kbits)")
+    p.add_argument("--vbv-maxrate", type=int, default=0,
+                   help="VBV max rate (kbps)")
+    p.add_argument("--aud", action="store_true",
+                   help="emit access unit delimiters")
     return p.parse_args(argv)
 
 
@@ -111,6 +117,12 @@ def main(argv=None) -> int:
         cfg.bframes = args.bframes
     if cfg.bframes:
         cfg.num_refs = 2
+    if args.vbv_bufsize:
+        cfg.vbv_bufsize = args.vbv_bufsize
+    if args.vbv_maxrate:
+        cfg.vbv_maxrate = args.vbv_maxrate
+    if args.aud:
+        cfg.aud = True
     if args.aq_mode is not None:
         cfg.aq_mode = args.aq_mode
     if args.aq_strength is not None:
@@ -154,9 +166,28 @@ def main(argv=None) -> int:
     gop_base = 0                # display index of the current anchor
 
     ssim_acc = 0.0
+    au_since_bp = 0
 
     def emit(res, orig, ftype, fqp):
-        nonlocal total_bits, psnr_acc, ssim_acc, n
+        nonlocal total_bits, psnr_acc, ssim_acc, n, au_since_bp
+        # AU prefix: delimiter + HRD timing SEIs (frameencoder.cpp
+        # :468-792 AUD/SEI emission analog)
+        pre = []
+        if cfg.aud:
+            from .bitstream.sei import write_aud
+            pic_type = 0 if cfg.keyint == 1 else (2 if cfg.bframes else 1)
+            pre.append(write_aud(pic_type))
+        if cfg.vbv_enabled:
+            from .bitstream.sei import (write_buffering_period_sei,
+                                        write_pic_timing_sei)
+            if ftype == "I":
+                pre.append(write_buffering_period_sei(cfg, rc.vbv_fill))
+                au_since_bp = 0
+            pre.append(write_pic_timing_sei(cfg, au_since_bp))
+            au_since_bp += 1
+        if pre:
+            from .bitstream.nal import annexb_stream
+            out.write(annexb_stream(pre))
         out.write(res.bitstream)
         total_bits += res.bits
         py = psnr(res.recon.y[:h, :w], np.asarray(orig[0]), maxv)

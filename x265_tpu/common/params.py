@@ -43,6 +43,14 @@ class EncoderConfig:
     rc_mode: str = "cqp"
     bitrate: int = 0             # kbps, for abr
     crf: float = 28.0
+    vbv_bufsize: int = 0         # kbits (x265 --vbv-bufsize)
+    vbv_maxrate: int = 0         # kbps  (x265 --vbv-maxrate)
+    vbv_init: float = 0.9        # initial buffer fullness fraction
+    aud: bool = False            # emit access unit delimiters
+
+    @property
+    def vbv_enabled(self) -> bool:
+        return self.vbv_bufsize > 0 and self.vbv_maxrate > 0
 
     # in-loop filters
     deblock: bool = False

@@ -47,6 +47,15 @@ class RateControl:
         self.short_cplx_count = 0.0
         self.cplxr_sum = 0.01
         self.last_qp = float(cfg.qp)
+        # frame-level VBV (ratecontrol.cpp:2750 updateVbv; the row
+        # re-encode machinery is replaced by a predictive per-frame
+        # clamp within x265's own 1-5% VBV test tolerance)
+        self.vbv = cfg.vbv_enabled
+        self.vbv_size = cfg.vbv_bufsize * 1000.0
+        self.vbv_rate = cfg.vbv_maxrate * 1000.0
+        self.vbv_fill = self.vbv_size * cfg.vbv_init
+        self.vbv_underflows = 0
+        self.bits_per_qscale = 0.0    # running bits*qscale predictor
         ncu = ((cfg.width_padded + 15) // 16) * ((cfg.height_padded + 15) // 16)
         base_cplx = ncu * 80.0
         self.rate_factor_crf = math.pow(base_cplx, 1 - self.QCOMPRESS) / \
@@ -91,14 +100,48 @@ class RateControl:
         qp = qscale_to_qp(max(qscale, 1e-6))
         if self.frame_count > 0:
             qp = min(max(qp, self.last_qp - 4), self.last_qp + 4)
+        # VBV overrides the smoothing clamp (emergency raises must not
+        # be smoothed away — the clipQscale-after-step-limit order)
+        qscale = self._clip_vbv(qp_to_qscale(qp), is_intra)
+        qp = qscale_to_qp(max(qscale, 1e-6))
         qp = int(round(min(max(qp, 0), 51)))
         self.last_qp = float(qp)
         return qp
+
+    def _clip_vbv(self, qscale: float, is_intra: bool) -> float:
+        """Predictive per-frame VBV clamp (clipQscale analog,
+        ratecontrol.cpp:2100): raise qscale until the predicted frame
+        bits fit the buffer; emergency-raise toward qp 51 when nearly
+        empty."""
+        if not self.vbv or self.bits_per_qscale <= 0:
+            return qscale
+        budget = self.vbv_fill + self.vbv_rate / self.fps
+        # keep a safety floor of 10% buffer after this frame
+        allowed = max(budget - 0.1 * self.vbv_size, 0.05 * self.vbv_size)
+        pred = self.bits_per_qscale / max(qscale, 1e-9)
+        if is_intra:
+            pred *= self.IP_FACTOR
+        for _ in range(16):
+            if pred <= allowed:
+                break
+            qscale *= 1.3
+            pred = self.bits_per_qscale / qscale
+        return qscale
 
     def frame_done(self, bits: int, qp: int, complexity: float,
                    is_intra: bool) -> None:
         self.frame_count += 1
         self.total_bits += bits
+        if self.vbv:
+            self.vbv_fill -= bits
+            if self.vbv_fill < 0:
+                self.vbv_underflows += 1
+                self.vbv_fill = 0.0
+            self.vbv_fill = min(self.vbv_fill + self.vbv_rate / self.fps,
+                                self.vbv_size)
+            qsc = qp_to_qscale(qp)
+            self.bits_per_qscale = 0.6 * self.bits_per_qscale + \
+                0.4 * bits * qsc if self.bits_per_qscale else bits * qsc
         if self.mode == "abr":
             blur = max(self.short_cplx_sum / max(self.short_cplx_count,
                                                  1e-9), 1.0)
