@@ -253,15 +253,31 @@ def main(argv=None) -> int:
             rc.frame_done(res.bits, fqp, cplx, True)
             if pass1_log is not None:
                 pass1_log.record("I", fqp, res.bits, max(cplx, 1.0))
+            if analysis_store is not None:
+                analysis_store.append(dict(type="I",
+                                           depth8=res.syntax.depth8))
             emit(res, (y, cb, cr), "I", fqp)
         elif cfg.bframes > 0:
             gop_buf.append((y, cb, cr))
             if len(gop_buf) >= cfg.bframes + 1:
                 flush_minigop(fqp)
         else:
+            seeds16 = None
+            if analysis_src is not None:
+                # analysis reuse: prior-pass MVs seed the windowed
+                # search (readAnalysisFile analog, encoder.cpp:4324)
+                stored = analysis_src["frames"]
+                if n < len(stored) and stored[n].get("type") == "P":
+                    mv8 = np.asarray(stored[n]["mv8"], np.int32)
+                    by16 = mv8.shape[0] // 2
+                    bx16 = mv8.shape[1] // 2
+                    s = mv8[:by16 * 2, :bx16 * 2] \
+                        .reshape(by16, 2, bx16, 2, 2).mean((1, 3))
+                    seeds16 = np.round(s / 4.0).astype(np.int32)[None]
             res = enc.encode_pgop([(y, cb, cr)], qp=fqp,
                                   qp_maps=None if aq_map is None
-                                  else aq_map[None])[0]
+                                  else aq_map[None],
+                                  seeds16=seeds16)[0]
             rc.frame_done(res.bits, fqp, cplx, False)
             if pass1_log is not None:
                 pass1_log.record("P", fqp, res.bits, max(cplx, 1.0))

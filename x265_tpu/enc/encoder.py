@@ -420,10 +420,20 @@ class IntraEncoder:
         syntax = SliceSyntaxEncoder(cfg, syn, B_SLICE, qp,
                                     sao_params=sao_params,
                                     qp_map=bqp_map)
+        from ..bitstream.ctx_tables import init_states
+        from ..common.params import B_SLICE as _B
+        mvb = syn.mv8.reshape(syn.mv8.shape[0], syn.mv8.shape[1], 4)
         pre_data = b""
         if cfg.wpp:
             from ..bitstream.nal import emulation_prevention
-            subs = syntax.encode_slice_data_wpp()
+            from ..native.entropy_native import encode_slice_wpp_native
+            subs = encode_slice_wpp_native(
+                0, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
+                cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
+                cfg.log2_min_cu, init_states(_B, qp), mvb=mvb,
+                pf8=syn.pf8, poc=poc, poc_refs=poc_refs,
+                max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
+                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp)
             escaped = [emulation_prevention(s) for s in subs]
             sw = write_slice_header(
                 cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
@@ -434,14 +444,23 @@ class IntraEncoder:
                 entry_point_offsets=[len(e) for e in escaped[:-1]])
             pre_data = b"".join(escaped)
         else:
+            from ..native.entropy_native import encode_slice_native
             sw = write_slice_header(
                 cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
                 ref_delta_poc=poc - poc_refs[0],
                 ref_delta_poc_after=poc_refs[1] - poc,
                 max_merge=syn.max_merge, rps_neg=rps_neg,
                 rps_pos=rps_pos)
-            cab = syntax.encode_slice_data()
-            cab.finish_into(sw)
+            payload, tail_val, tail_bits = encode_slice_native(
+                0, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
+                cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
+                cfg.log2_min_cu, init_states(_B, qp), mvb=mvb,
+                pf8=syn.pf8, poc=poc, poc_refs=poc_refs,
+                max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
+                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp)
+            sw.write_bytes(payload)
+            if tail_bits:
+                sw.write(tail_val, tail_bits)
             sw.align_one()
         nal_type = NalUnitType.TRAIL_R if is_ref else NalUnitType.TRAIL_N
         nals = [(nal_type, sw.get_bytes(), pre_data)]
@@ -613,7 +632,8 @@ class IntraEncoder:
     def encode_pgop(self, frames, qp: int | None = None,
                     need_recon: bool = True,
                     poc_step: int = 1,
-                    qp_maps: np.ndarray | None = None) -> list[FrameResult]:
+                    qp_maps: np.ndarray | None = None,
+                    seeds16: np.ndarray | None = None) -> list[FrameResult]:
         """Fused IPPP GOP: every P frame's ME + mode decision + MC +
         transform + recon + deblock runs as ONE device dispatch
         (lax.scan over the chain; enc/pgop_tpu.py), then per-frame
@@ -635,7 +655,7 @@ class IntraEncoder:
         want_recon = need_recon or cfg.hash_sei
         syns, recons, last_ref = encode_pgop_tpu(
             oy, ocb, ocr, self.ref, cfg, qp, need_recon=want_recon,
-            me_range=cfg.me_range, qp_maps=qp_maps)
+            me_range=cfg.me_range, qp_maps=qp_maps, seeds16=seeds16)
         self.ref = last_ref
         return self._emit_p_frames(syns, recons, qp, poc_step)
 

@@ -739,13 +739,15 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
                                    "real_w", "ctu", "deblock", "sao",
                                    "sign_hiding", "me_range",
-                                   "need_recon", "dqp", "intra_ii"))
+                                   "need_recon", "dqp", "intra_ii",
+                                   "use_seeds"))
 def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
-               qp_maps, *,
+               qp_maps, seeds16, *,
                qp: int, qpc: int, bit_depth: int, real_h: int,
                real_w: int, ctu: int, deblock: bool, sao: bool,
                sign_hiding: bool, me_range: int, need_recon: bool,
-               dqp: bool = False, intra_ii: bool = True):
+               dqp: bool = False, intra_ii: bool = True,
+               use_seeds: bool = False):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -765,7 +767,7 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
 
     def body(carry, xs):
         ry, rcb, rcr = carry
-        oy8, ocb8, ocr8, qp_ctu = xs
+        oy8, ocb8, ocr8, qp_ctu, seed16_f = xs
         oy = oy8.astype(jnp.int32)
         ocb = ocb8.astype(jnp.int32)
         ocr = ocr8.astype(jnp.int32)
@@ -773,14 +775,21 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
 
         # --- dense hierarchical ME: one shared window gather per
         # 16-region (serves n=8 and n=16) + one per 32-block
-        cmv, _ = _coarse_search_rolled(_downsample4(oy), _downsample4(ry))
         lam_i = jnp.int32(round(lam))
         pad_y = 2 * me_range + 8
         pad_c = me_range + 8
         ry_pad = pad_ref(ry, pad_y)
-        # the coarse grid (4x4 blocks at quarter res) IS the 16-region
-        # grid at full res; scale quarter-res pels to full-res pels
-        cmv16 = cmv * 4
+        if use_seeds:
+            # analysis reuse (readAnalysisFile analog, encoder.cpp:4324):
+            # prior-pass MVs (full-pel) replace the coarse search
+            cmv16 = seed16_f
+        else:
+            cmv, _ = _coarse_search_rolled(_downsample4(oy),
+                                           _downsample4(ry))
+            # the coarse grid (4x4 blocks at quarter res) IS the
+            # 16-region grid at full res; scale quarter-res pels to
+            # full-res full-pel
+            cmv16 = cmv * 4
         meres, seeds = me_all_sizes(oy, ry_pad, cmv16, lam_i,
                                     radius=me_range, pad=pad_y,
                                     bit_depth=bit_depth, sizes=SIZES)
@@ -899,7 +908,7 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
     carry, outs = jax.lax.scan(
         body, (ref_y.astype(jnp.int32), ref_cb.astype(jnp.int32),
                ref_cr.astype(jnp.int32)),
-        (orig_y, orig_cb, orig_cr, qp_maps))
+        (orig_y, orig_cb, orig_cr, qp_maps, seeds16))
     f = orig_y.shape[0]
     # 2D layouts for the tunnel (3D-planar D2H is ~100x slower here)
     cf_y2 = outs[2].reshape(f * hp, wp)
@@ -936,7 +945,8 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                     orig_cr: np.ndarray, ref: ReconFrame | DeviceRef,
                     cfg: EncoderConfig, qp: int | None = None,
                     need_recon: bool = True, me_range: int = 6,
-                    qp_maps: np.ndarray | None = None) -> PgopPending:
+                    qp_maps: np.ndarray | None = None,
+                    seeds16: np.ndarray | None = None) -> PgopPending:
     """Dispatch the fused P-GOP scan + coefficient compaction for F
     frames WITHOUT synchronizing: every return value is a device
     future. The final reference is available for chaining the next
@@ -1000,12 +1010,22 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         qp_maps_j = jnp.asarray(qmj)
     else:
         qp_maps_j = jnp.zeros((f, ncty_p, nctx_p), jnp.int32)
+    by16, bx16 = hp // 16, wp // 16
+    if seeds16 is not None:
+        sj = np.zeros((f, by16, bx16, 2), np.int32)
+        s = np.asarray(seeds16, np.int32)
+        sj[:, :s.shape[1], :s.shape[2]] = s[:, :by16, :bx16]
+        seeds16_j = jnp.asarray(sj)
+    else:
+        seeds16_j = jnp.zeros((f, by16, bx16, 2), jnp.int32)
     res, final_ref = _pgop_scan(
-        ry, rcb, rcr, oy, ocb, ocr, qp_maps_j, qp=int(qp), qpc=int(qpc),
+        ry, rcb, rcr, oy, ocb, ocr, qp_maps_j, seeds16_j,
+        qp=int(qp), qpc=int(qpc),
         bit_depth=cfg.bit_depth, real_h=h, real_w=w, ctu=cfg.ctu_size,
         deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
         me_range=me_range, need_recon=need_recon,
-        dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter)
+        dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter,
+        use_seeds=seeds16 is not None)
 
     # dispatch mask-directed CG compaction (async): collect downloads
     # the nonzero bitmask, then gathers exactly the nonzero rows
@@ -1076,10 +1096,11 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                     orig_cr: np.ndarray, ref: ReconFrame | DeviceRef,
                     cfg: EncoderConfig, qp: int | None = None,
                     need_recon: bool = True, me_range: int = 6,
-                    qp_maps: np.ndarray | None = None
+                    qp_maps: np.ndarray | None = None,
+                    seeds16: np.ndarray | None = None
                     ) -> tuple[list[FramePSyntax], list[ReconFrame | None],
                                DeviceRef]:
     """Synchronous wrapper: submit + collect in one call."""
     return collect_pgop_tpu(submit_pgop_tpu(
         orig_y, orig_cb, orig_cr, ref, cfg, qp, need_recon=need_recon,
-        me_range=me_range, qp_maps=qp_maps))
+        me_range=me_range, qp_maps=qp_maps, seeds16=seeds16))

@@ -264,6 +264,13 @@ struct SliceEnc {
     int slice_type = 2;
     const int32_t* mv8 = nullptr;
     int max_merge = 2;
+    // B-slice state: per-cell pred flags + MVs per list, POCs for the
+    // AMVP scaling pass (mv_derive.py MvFieldB twin)
+    const int32_t* mvb = nullptr;      // (n8, 2 lists, 2)
+    const uint8_t* pf8 = nullptr;
+    int poc = 0, poc_ref0 = 0, poc_ref1 = 0;
+    std::vector<uint8_t> fld_pf;       // coded motion field (parse order)
+    std::vector<int32_t> fld_mv;       // (n8*4): [cell][list][xy]
     int sign_hiding = 0;
     const uint8_t* cmode8 = nullptr;   // chroma pred mode; null = DM
     const uint8_t* intra8 = nullptr;   // P slices: 8x8 intra CU flags
@@ -291,7 +298,8 @@ struct SliceEnc {
         : cab(states), depth8(d8), mode8(m8), cy(y), ccb(cb), ccr(cr),
           w(w_), h(h_), n8x(w_ / 8), n8y(h_ / 8),
           log2_ctu(l2ctu), log2_min_cu(l2min),
-          skip8(n8x * n8y, 0), coded8(n8x * n8y, 0) {}
+          skip8(n8x * n8y, 0), coded8(n8x * n8y, 0),
+          fld_pf(n8x * n8y, 0), fld_mv(n8x * n8y * 4, 0) {}
 
     int depth_at(int x, int y) const { return depth8[(y >> 3) * n8x + (x >> 3)]; }
     // IntraPredModeY at PU (4x4) granularity (mode4 carries NxN PUs)
@@ -599,6 +607,254 @@ struct SliceEnc {
         transform_unit(x0, y0, l2, mode, mode);
     }
 
+    // ---- B-slice motion field + candidates (mv_derive.py twins) ----------
+    struct MI { int pf; int mv[2][2]; };
+
+    bool mi_at(int nx, int ny, int cux, int cuy, MI* out) const {
+        if (!z_avail(nx, ny, cux, cuy)) return false;
+        int c = (ny >> 3) * n8x + (nx >> 3);
+        int pf = fld_pf[c];
+        if (!pf) return false;
+        out->pf = pf;
+        for (int l = 0; l < 2; l++)
+            for (int k = 0; k < 2; k++)
+                out->mv[l][k] = fld_mv[c * 4 + l * 2 + k];
+        return true;
+    }
+
+    static bool mi_eq(const MI& a, const MI& b) {
+        if (a.pf != b.pf) return false;
+        // normalized comparison: unused lists are zeroed by callers
+        for (int l = 0; l < 2; l++)
+            for (int k = 0; k < 2; k++)
+                if (a.mv[l][k] != b.mv[l][k]) return false;
+        return true;
+    }
+
+    static void mi_norm(MI* m) {
+        if (!(m->pf & 1)) { m->mv[0][0] = 0; m->mv[0][1] = 0; }
+        if (!(m->pf & 2)) { m->mv[1][0] = 0; m->mv[1][1] = 0; }
+    }
+
+    int merge_cands_b(int x0, int y0, int n, MI cands[5]) const {
+        MI a1, b1, b0, a0, b2;
+        bool ha1 = mi_at(x0 - 1, y0 + n - 1, x0, y0, &a1);
+        bool hb1 = mi_at(x0 + n - 1, y0 - 1, x0, y0, &b1);
+        bool hb0 = mi_at(x0 + n, y0 - 1, x0, y0, &b0);
+        bool ha0 = mi_at(x0 - 1, y0 + n, x0, y0, &a0);
+        int cnt = 0;
+        if (ha1) cands[cnt++] = a1;
+        if (hb1 && (!ha1 || !mi_eq(b1, a1))) cands[cnt++] = b1;
+        if (hb0 && (!hb1 || !mi_eq(b0, b1))) cands[cnt++] = b0;
+        if (ha0 && (!ha1 || !mi_eq(a0, a1))) cands[cnt++] = a0;
+        if (cnt < 4) {
+            bool hb2 = mi_at(x0 - 1, y0 - 1, x0, y0, &b2);
+            if (hb2 && (!ha1 || !mi_eq(b2, a1)) &&
+                (!hb1 || !mi_eq(b2, b1)))
+                cands[cnt++] = b2;
+        }
+        if (cnt > max_merge) cnt = max_merge;
+        // combined bi-predictive candidates (8.5.3.2.4)
+        static const int comb[12][2] = {
+            {0,1},{1,0},{0,2},{2,0},{1,2},{2,1},
+            {0,3},{3,0},{1,3},{3,1},{2,3},{3,2}};
+        int norig = cnt;
+        if (norig > 1) {
+            for (int i = 0; i < 12 && cnt < max_merge; i++) {
+                int l0i = comb[i][0], l1i = comb[i][1];
+                if (l0i >= norig || l1i >= norig) continue;
+                if (!(cands[l0i].pf & 1) || !(cands[l1i].pf & 2))
+                    continue;
+                MI c;
+                c.pf = 3;
+                c.mv[0][0] = cands[l0i].mv[0][0];
+                c.mv[0][1] = cands[l0i].mv[0][1];
+                c.mv[1][0] = cands[l1i].mv[1][0];
+                c.mv[1][1] = cands[l1i].mv[1][1];
+                cands[cnt++] = c;
+            }
+        }
+        while (cnt < max_merge) {
+            MI z; z.pf = 3;
+            z.mv[0][0] = z.mv[0][1] = z.mv[1][0] = z.mv[1][1] = 0;
+            cands[cnt++] = z;
+        }
+        return max_merge;
+    }
+
+    static void scale_mv(const int in[2], int tb, int td, int out[2]) {
+        // POC-distance MV scaling (8.5.3.2.8)
+        if (td > 127) td = 127; if (td < -128) td = -128;
+        if (tb > 127) tb = 127; if (tb < -128) tb = -128;
+        int q = 16384 + (td >= 0 ? td >> 1 : (-td) >> 1);
+        int tx = td > 0 ? q / td : -(q / -td);
+        long long dsf = (long long)tb * tx + 32;
+        dsf >>= 6;
+        if (dsf > 4095) dsf = 4095; if (dsf < -4096) dsf = -4096;
+        for (int k = 0; k < 2; k++) {
+            long long s = dsf * in[k];
+            long long a = (s >= 0 ? s : -s);
+            long long v = ((a + 127) >> 8);
+            if (s < 0) v = -v;
+            if (v > 32767) v = 32767; if (v < -32768) v = -32768;
+            out[k] = (int)v;
+        }
+    }
+
+    void amvp_cands_b(int lx, int x0, int y0, int n, int cands[2][2]) {
+        int ly = 1 - lx;
+        int poc_refs[2] = {poc_ref0, poc_ref1};
+        int target = poc_refs[lx];
+        MI nb[5];
+        bool have[5];
+        have[0] = mi_at(x0 - 1, y0 + n, x0, y0, &nb[0]);      // a0
+        have[1] = mi_at(x0 - 1, y0 + n - 1, x0, y0, &nb[1]);  // a1
+        have[2] = mi_at(x0 + n, y0 - 1, x0, y0, &nb[2]);      // b0
+        have[3] = mi_at(x0 + n - 1, y0 - 1, x0, y0, &nb[3]);  // b1
+        have[4] = mi_at(x0 - 1, y0 - 1, x0, y0, &nb[4]);      // b2
+
+        auto unscaled = [&](const MI& c, int out[2]) -> bool {
+            if (c.pf & (1 << lx)) {
+                out[0] = c.mv[lx][0]; out[1] = c.mv[lx][1];
+                return true;
+            }
+            return false;
+        };
+        auto scaled_of = [&](const MI& c, int out[2]) -> bool {
+            int order[2] = {lx, ly};
+            for (int oi = 0; oi < 2; oi++) {
+                int li = order[oi];
+                if (c.pf & (1 << li)) {
+                    int tb = poc - target;
+                    int td = poc - poc_refs[li];
+                    if (td == tb) {
+                        out[0] = c.mv[li][0]; out[1] = c.mv[li][1];
+                    } else {
+                        scale_mv(c.mv[li], tb, td, out);
+                    }
+                    return true;
+                }
+            }
+            return false;
+        };
+
+        int mvp_a[2]; bool has_a = false;
+        for (int i = 0; i < 2 && !has_a; i++)
+            if (have[i]) has_a = unscaled(nb[i], mvp_a);
+        bool is_scaled_a = have[0] || have[1];
+        if (!has_a)
+            for (int i = 0; i < 2 && !has_a; i++)
+                if (have[i]) has_a = scaled_of(nb[i], mvp_a);
+
+        int mvp_b[2]; bool has_b = false;
+        for (int i = 2; i < 5 && !has_b; i++)
+            if (have[i]) has_b = unscaled(nb[i], mvp_b);
+        if (!has_a) {
+            if (has_b) { mvp_a[0] = mvp_b[0]; mvp_a[1] = mvp_b[1];
+                         has_a = true; has_b = false; }
+        }
+        if (!has_b && !is_scaled_a)
+            for (int i = 2; i < 5 && !has_b; i++)
+                if (have[i]) has_b = scaled_of(nb[i], mvp_b);
+
+        int cnt = 0;
+        if (has_a) { cands[cnt][0] = mvp_a[0]; cands[cnt][1] = mvp_a[1];
+                     cnt++; }
+        if (has_b && (!has_a || mvp_b[0] != mvp_a[0] ||
+                      mvp_b[1] != mvp_a[1])) {
+            cands[cnt][0] = mvp_b[0]; cands[cnt][1] = mvp_b[1]; cnt++;
+        }
+        while (cnt < 2) { cands[cnt][0] = 0; cands[cnt][1] = 0; cnt++; }
+    }
+
+    void set_fld(int x0, int y0, int size, int pf, const int m0[2],
+                 const int m1[2]) {
+        int s = size >> 3;
+        for (int j = 0; j < s; j++)
+            for (int i = 0; i < s; i++) {
+                int c = ((y0 >> 3) + j) * n8x + (x0 >> 3) + i;
+                fld_pf[c] = (uint8_t)pf;
+                fld_mv[c * 4 + 0] = m0[0]; fld_mv[c * 4 + 1] = m0[1];
+                fld_mv[c * 4 + 2] = m1[0]; fld_mv[c * 4 + 3] = m1[1];
+            }
+    }
+
+    void code_cu_b(int x0, int y0, int l2) {
+        int size = 1 << l2;
+        int c8 = (y0 >> 3) * n8x + (x0 >> 3);
+        int pf = pf8[c8];
+        int m0[2] = {mvb[c8 * 4 + 0], mvb[c8 * 4 + 1]};
+        int m1[2] = {mvb[c8 * 4 + 2], mvb[c8 * 4 + 3]};
+        MI mi;
+        mi.pf = pf;
+        mi.mv[0][0] = (pf & 1) ? m0[0] : 0;
+        mi.mv[0][1] = (pf & 1) ? m0[1] : 0;
+        mi.mv[1][0] = (pf & 2) ? m1[0] : 0;
+        mi.mv[1][1] = (pf & 2) ? m1[1] : 0;
+        int cstride = w >> 1;
+        bool fy = cbf(cy, w, x0, y0, size);
+        bool fcb = cbf(ccb, cstride, x0 >> 1, y0 >> 1, size >> 1);
+        bool fcr = cbf(ccr, cstride, x0 >> 1, y0 >> 1, size >> 1);
+        bool any = fy || fcb || fcr;
+        MI cands[5];
+        merge_cands_b(x0, y0, size, cands);
+        int midx = -1;
+        for (int i = 0; i < max_merge; i++) {
+            MI c = cands[i];
+            mi_norm(&c);
+            if (mi_eq(c, mi)) { midx = i; break; }
+        }
+        bool skip = midx >= 0 && !any;
+        int ctx = 0;
+        if (x0 > 0 && skip8[(y0 >> 3) * n8x + ((x0 - 1) >> 3)]) ctx++;
+        if (y0 > 0 && skip8[((y0 - 1) >> 3) * n8x + (x0 >> 3)]) ctx++;
+        cab.encode_bin(OFF_CU_SKIP_FLAG + ctx, skip);
+        int s = size >> 3;
+        for (int j = 0; j < s; j++)
+            for (int i = 0; i < s; i++)
+                skip8[((y0 >> 3) + j) * n8x + (x0 >> 3) + i] = skip;
+        set_fld(x0, y0, size, pf, mi.mv[0], mi.mv[1]);
+        if (skip) { code_merge_idx(midx); return; }
+        cab.encode_bin(OFF_PRED_MODE_FLAG, 0);
+        cab.encode_bin(OFF_PART_MODE, 1);
+        if (midx >= 0) {
+            cab.encode_bin(OFF_MERGE_FLAG, 1);
+            code_merge_idx(midx);
+        } else {
+            cab.encode_bin(OFF_MERGE_FLAG, 0);
+            int depth = log2_ctu - l2;
+            // inter_pred_idc (9.3.3.7): bin0 = BI? (ctx depth); else
+            // bin1 = L1? (ctx 4)
+            cab.encode_bin(OFF_INTER_PRED_IDC + depth, pf == 3);
+            if (pf != 3)
+                cab.encode_bin(OFF_INTER_PRED_IDC + 4, pf == 2);
+            for (int lxi = 0; lxi < 2; lxi++) {
+                if (!(pf & (1 << lxi))) continue;
+                int ac[2][2];
+                amvp_cands_b(lxi, x0, y0, size, ac);
+                const int* mv = lxi == 0 ? m0 : m1;
+                int c0 = abs_i(mv[0] - ac[0][0]) + abs_i(mv[1] - ac[0][1]);
+                int c1 = abs_i(mv[0] - ac[1][0]) + abs_i(mv[1] - ac[1][1]);
+                int mvp = c0 <= c1 ? 0 : 1;
+                code_mvd(mv[0] - ac[mvp][0], mv[1] - ac[mvp][1]);
+                cab.encode_bin(OFF_MVP_FLAG, mvp);
+            }
+            cab.encode_bin(OFF_RQT_ROOT_CBF, any ? 1 : 0);
+            if (!any) return;
+        }
+        cab.encode_bin(OFF_CBF_CHROMA, fcb);
+        cab.encode_bin(OFF_CBF_CHROMA, fcr);
+        if (fcb || fcr) cab.encode_bin(OFF_CBF_LUMA + 1, fy);
+        if (fy || fcb || fcr) maybe_code_dqp();
+        if (fy) residual(cy, w, x0, y0, l2, 0, 0);
+        if ((size >> 1) >= 4) {
+            if (fcb) residual(ccb, cstride, x0 >> 1, y0 >> 1, l2 - 1, 1, 0);
+            if (fcr) residual(ccr, cstride, x0 >> 1, y0 >> 1, l2 - 1, 2, 0);
+        }
+    }
+
+    static int abs_i(int v) { return v < 0 ? -v : v; }
+
     void code_cu_p(int x0, int y0, int l2) {
         if (intra8 && intra8[(y0 >> 3) * n8x + (x0 >> 3)]) {
             code_cu_p_intra(x0, y0, l2);
@@ -684,6 +940,8 @@ struct SliceEnc {
             }
         } else if (slice_type == 1) {
             code_cu_p(x0, y0, l2);
+        } else if (slice_type == 0) {
+            code_cu_b(x0, y0, l2);
         } else {
             code_cu(x0, y0, l2);
         }
@@ -984,7 +1242,9 @@ extern "C" {
 // (mv8/max_merge used). sao_*, nxn8, mode4 may be null. Returns bytes
 // written or -1.
 int encode_slice(int slice_type, const uint8_t* depth8,
-                 const uint8_t* mode8, const int32_t* mv8, int max_merge,
+                 const uint8_t* mode8, const int32_t* mv8,
+                 const int32_t* mvb, const uint8_t* pf8,
+                 int poc, int poc_ref0, int poc_ref1, int max_merge,
                  int sign_hiding, const uint8_t* cmode8,
                  const int16_t* coeff_y, const int16_t* coeff_cb,
                  const int16_t* coeff_cr,
@@ -1002,6 +1262,9 @@ int encode_slice(int slice_type, const uint8_t* depth8,
                  w, h, log2_ctu, log2_min_cu);
     enc.slice_type = slice_type;
     enc.mv8 = mv8;
+    enc.mvb = mvb;
+    enc.pf8 = pf8;
+    enc.poc = poc; enc.poc_ref0 = poc_ref0; enc.poc_ref1 = poc_ref1;
     enc.max_merge = max_merge;
     enc.sign_hiding = sign_hiding;
     enc.cmode8 = cmode8;
@@ -1045,6 +1308,8 @@ int encode_intra_slice(const uint8_t* depth8, const uint8_t* mode8,
 // into sub_lens; returns total bytes or -1.
 int encode_slice_wpp(int slice_type, const uint8_t* depth8,
                      const uint8_t* mode8, const int32_t* mv8,
+                     const int32_t* mvb, const uint8_t* pf8,
+                     int poc, int poc_ref0, int poc_ref1,
                      int max_merge, int sign_hiding,
                      const uint8_t* cmode8,
                      const int16_t* coeff_y, const int16_t* coeff_cb,
@@ -1062,6 +1327,9 @@ int encode_slice_wpp(int slice_type, const uint8_t* depth8,
                  w, h, log2_ctu, log2_min_cu);
     enc.slice_type = slice_type;
     enc.mv8 = mv8;
+    enc.mvb = mvb;
+    enc.pf8 = pf8;
+    enc.poc = poc; enc.poc_ref0 = poc_ref0; enc.poc_ref1 = poc_ref1;
     enc.max_merge = max_merge;
     enc.sign_hiding = sign_hiding;
     enc.cmode8 = cmode8;

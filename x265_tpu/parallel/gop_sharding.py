@@ -57,8 +57,9 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
         # local shapes: (1, ...) — one chain on this device
         qmaps = jnp.zeros((f, hp // cfg.ctu_size, wp // cfg.ctu_size),
                           jnp.int32)
+        seeds = jnp.zeros((f, hp // 16, wp // 16, 2), jnp.int32)
         res, final_ref = _pgop_scan(
-            ry[0], rcb[0], rcr[0], y[0], cb[0], cr[0], qmaps,
+            ry[0], rcb[0], rcr[0], y[0], cb[0], cr[0], qmaps, seeds,
             qp=int(qp), qpc=int(qpc), bit_depth=cfg.bit_depth,
             real_h=real_h, real_w=real_w, ctu=cfg.ctu_size,
             deblock=cfg.deblock, sao=cfg.sao,
