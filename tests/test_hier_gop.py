@@ -33,8 +33,10 @@ def test_gop8_pyramid_roundtrip():
     stream = b"".join(r.bitstream for r in results)
     dec = decode_annexb(stream)
     assert len(dec) == 9
-    # decode order: I0, P8, B4, B2, B1, B3, B6, B5, B7
-    expect_pocs = [0, 8, 4, 2, 1, 3, 6, 5, 7]
+    # decode order: layer-batched pyramid (the fused device B path
+    # encodes each pyramid layer as one dispatch): I0, P8, then BREF
+    # layer 1 (B4), BREF layer 2 (B2, B6), non-ref leaves (B1 B3 B5 B7)
+    expect_pocs = [0, 8, 4, 2, 6, 1, 3, 5, 7]
     for df, r, poc in zip(dec, results, expect_pocs):
         assert df.poc == poc or poc == 0
         np.testing.assert_array_equal(df.y, r.recon.y,

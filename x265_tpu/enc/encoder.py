@@ -369,6 +369,69 @@ class IntraEncoder:
         return self.encode_pgop([(y, cb, cr)], qp=qp,
                                 poc_step=poc_step)[0]
 
+    def _emit_b_frame(self, syn, recon, qp: int, poc: int, poc_refs,
+                      is_ref: bool, rps_neg, rps_pos,
+                      sao_params) -> FrameResult:
+        """Slice header + native B CABAC + NAL packaging for one
+        (already reconstructed) B frame."""
+        from ..bitstream.ctx_tables import init_states
+        from ..common.params import B_SLICE
+        cfg = self.cfg
+        bqp_map = syn.qp_map if getattr(syn, "qp_map", None) is not None \
+            else (np.full((cfg.ctu_rows, cfg.ctu_cols), qp, np.int32)
+                  if cfg.dqp_enabled else None)
+        mvb = syn.mv8.reshape(syn.mv8.shape[0], syn.mv8.shape[1], 4)
+        pre_data = b""
+        if cfg.wpp:
+            from ..bitstream.nal import emulation_prevention
+            from ..native.entropy_native import encode_slice_wpp_native
+            subs = encode_slice_wpp_native(
+                0, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
+                cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
+                cfg.log2_min_cu, init_states(B_SLICE, qp), mvb=mvb,
+                pf8=syn.pf8, poc=poc, poc_refs=poc_refs,
+                max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
+                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp)
+            escaped = [emulation_prevention(s) for s in subs]
+            sw = write_slice_header(
+                cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
+                ref_delta_poc=poc - poc_refs[0],
+                ref_delta_poc_after=poc_refs[1] - poc,
+                max_merge=syn.max_merge, rps_neg=rps_neg,
+                rps_pos=rps_pos, num_entry_points=len(subs) - 1,
+                entry_point_offsets=[len(e) for e in escaped[:-1]])
+            pre_data = b"".join(escaped)
+        else:
+            from ..native.entropy_native import encode_slice_native
+            sw = write_slice_header(
+                cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
+                ref_delta_poc=poc - poc_refs[0],
+                ref_delta_poc_after=poc_refs[1] - poc,
+                max_merge=syn.max_merge, rps_neg=rps_neg,
+                rps_pos=rps_pos)
+            payload, tail_val, tail_bits = encode_slice_native(
+                0, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
+                cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
+                cfg.log2_min_cu, init_states(B_SLICE, qp), mvb=mvb,
+                pf8=syn.pf8, poc=poc, poc_refs=poc_refs,
+                max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
+                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp)
+            sw.write_bytes(payload)
+            if tail_bits:
+                sw.write(tail_val, tail_bits)
+            sw.align_one()
+        nal_type = NalUnitType.TRAIL_R if is_ref else NalUnitType.TRAIL_N
+        nals = [(nal_type, sw.get_bytes(), pre_data)]
+        if cfg.hash_sei:
+            from ..bitstream.sei import write_picture_hash_sei
+            nals.append(write_picture_hash_sei(recon.y, recon.cb,
+                                               recon.cr, cfg.bit_depth))
+        stream = annexb_stream(nals)
+        self.frame_count += 1
+        self.stats.add("B", len(stream) * 8, qp, poc=poc, syn=syn)
+        return FrameResult(bitstream=stream, recon=recon, syntax=syn,
+                           bits=len(stream) * 8, poc=poc, ftype="B")
+
     def encode_frame_b(self, y: np.ndarray, cb: np.ndarray,
                        cr: np.ndarray, ref0: ReconFrame, ref1: ReconFrame,
                        poc: int, poc_refs: tuple[int, int],
@@ -503,13 +566,15 @@ class IntraEncoder:
                 i += 1
         return results
 
-    def encode_minigop(self, frames, qp: int | None = None
-                       ) -> list[FrameResult]:
+    def encode_minigop(self, frames, qp: int | None = None,
+                       device: bool = True) -> list[FrameResult]:
         """Encode one hierarchical mini-GOP against the current
         reference: frames are the NEXT len(frames) display pictures
         (self.poc+1 .. self.poc+L). The anchor P is coded first, then
-        recursive-bisection Bs (interior = reference BREFs). Returns
-        results in DECODE order and leaves self.ref at the anchor."""
+        recursive-bisection Bs — batched PER PYRAMID LAYER through the
+        fused device B pipeline (enc/bframe_tpu.py); interior Bs are
+        reference BREFs. Returns results in DECODE order (layer order)
+        and leaves self.ref at the anchor."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         L = len(frames)
@@ -532,23 +597,64 @@ class IntraEncoder:
             bisect(mid, hi, layer + 1)
 
         bisect(base, base + L, 1)
-        for i, (poc, lo, hi, is_ref, layer) in enumerate(sched):
+        # decode order = layer order (refs of layer k live in layers <k)
+        order = sorted(sched, key=lambda e: (e[4], not e[3], e[0]))
+
+        def rps_of(idx, poc, lo, hi):
             needed_later: set[int] = set()
-            for _, l2, h2, _, _ in sched[i + 1:]:
+            for _, l2, h2, _, _ in order[idx + 1:]:
                 needed_later.update((l2, h2))
             retained = (set(dpb.keys()) & needed_later) | {lo, hi}
             rps_neg = sorted([(poc - p, p == lo)
                               for p in retained if p < poc])
             rps_pos = sorted([(p - poc, p == hi)
                               for p in retained if p > poc])
+            return rps_neg, rps_pos
+
+        if not device:
+            for i, (poc, lo, hi, is_ref, layer) in enumerate(order):
+                rps_neg, rps_pos = rps_of(i, poc, lo, hi)
+                bqp = min(qp + (1 if is_ref else 2) + max(layer - 1, 0),
+                          51)
+                rb = self.encode_frame_b(
+                    *frames[poc - base - 1], dpb[lo], dpb[hi], poc,
+                    (lo, hi), qp=bqp, is_ref=is_ref, rps_neg=rps_neg,
+                    rps_pos=rps_pos)
+                if is_ref:
+                    dpb[poc] = rb.recon
+                results.append(rb)
+            self.ref = rp.recon
+            self.poc = base + L
+            return results
+
+        from .bframe_tpu import encode_bframes_tpu
+        i = 0
+        while i < len(order):
+            # batch a run with the same (layer, is_ref) => same QP
+            layer, is_ref = order[i][4], order[i][3]
+            j = i
+            while j < len(order) and order[j][4] == layer and \
+                    order[j][3] == is_ref:
+                j += 1
+            group = order[i:j]
             bqp = min(qp + (1 if is_ref else 2) + max(layer - 1, 0), 51)
-            rb = self.encode_frame_b(
-                *frames[poc - base - 1], dpb[lo], dpb[hi], poc,
-                (lo, hi), qp=bqp, is_ref=is_ref, rps_neg=rps_neg,
-                rps_pos=rps_pos)
-            if is_ref:
-                dpb[poc] = rb.recon
-            results.append(rb)
+            gframes = [frames[e[0] - base - 1] for e in group]
+            ref0s = [dpb[e[1]] for e in group]
+            ref1s = [dpb[e[2]] for e in group]
+            syns, recons = encode_bframes_tpu(gframes, ref0s, ref1s,
+                                              cfg, bqp)
+            for k, (poc, lo, hi, iref, lyr) in enumerate(group):
+                rps_neg, rps_pos = rps_of(i + k, poc, lo, hi)
+                syn = syns[k]
+                syn.poc = poc
+                syn.poc_refs = (lo, hi)
+                rb = self._emit_b_frame(syn, recons[k], bqp, poc,
+                                        (lo, hi), iref, rps_neg,
+                                        rps_pos, syn.sao_params)
+                if iref:
+                    dpb[poc] = recons[k]
+                results.append(rb)
+            i = j
         self.ref = rp.recon
         self.poc = base + L
         return results

@@ -85,7 +85,7 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
 # =============================================================================
 
 def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
-                           h, w, bit_depth):
+                           h, w, bit_depth, raw: bool = False):
     """cpad2: (2, Hc+2pc, Wc+2pc) stacked padded chroma refs; mvs:
     {n: (B,2) qpel}; seeds: {16: (sx,sy), 32: (sx,sy)} clamped per-
     region full-pel seeds. Returns {n: (pred_cb, pred_cr) (B,cn,cn)}.
@@ -160,9 +160,14 @@ def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
                         nshift - 1)
         pcb, pcr = chroma_mc_from_windows(
             win_b, offy, offx, mv[:, 0] & 7, mv[:, 1] & 7, cn, nshift,
-            bit_depth)
+            bit_depth, raw=raw)
         zcb = zero_blocks(refcb, cn)
         zcr = zero_blocks(refcr, cn)
+        if raw:
+            # full-pel accumulator scale: sample << (12 - shift1)
+            ts = 12 - (bit_depth - 8)
+            zcb = zcb << ts
+            zcr = zcr << ts
         zm = zero[:, None, None]
         out[n] = (jnp.where(zm, zcb, pcb), jnp.where(zm, zcr, pcr))
     return out
@@ -249,7 +254,7 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 
     def up_mv(n, k):
         by, bx = h // n, w // n
-        return rep(mvs[n].reshape(by, bx, 2), k)[:n8y, :n8x]
+        return rep(mvs[n].reshape(by, bx, -1), k)[:n8y, :n8x]
 
     mv8 = jnp.where(k32[..., None], up_mv(32, 4),
                     jnp.where(k16[..., None], up_mv(16, 2), up_mv(8, 1)))

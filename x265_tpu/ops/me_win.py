@@ -113,10 +113,15 @@ def interp_ext(win: jnp.ndarray, dxi: jnp.ndarray, dyi: jnp.ndarray,
 
 def interp_ext_lanes(win_t: jnp.ndarray, dxi: jnp.ndarray,
                      dyi: jnp.ndarray, n: int,
-                     bit_depth: int = 8) -> jnp.ndarray:
+                     bit_depth: int = 8,
+                     raw: bool = False) -> jnp.ndarray:
     """interp_ext in LANES-LAST layout: win_t (S, S, B), returns
     (n, n, B). Blocks live in the 128-lane axis, so every tap
-    multiply-add runs at full VPU occupancy regardless of n."""
+    multiply-add runs at full VPU occupancy regardless of n.
+
+    raw=True returns the pre-shift two-stage accumulator (the 26-bit
+    value ops.interp._luma_mc_acc produces) — the bi-prediction
+    combine (clause 8.5.4.2.3.2) averages THOSE, not rounded pels."""
     bank = jnp.asarray(_EXT_BANK9)
     hf = bank[dxi]                               # (B, 9)
     vf = bank[dyi]
@@ -131,6 +136,8 @@ def interp_ext_lanes(win_t: jnp.ndarray, dxi: jnp.ndarray,
     out = jnp.zeros((n, n, b), jnp.int32)
     for t in range(9):
         out = out + tmp[t:t + n, :, :] * vf[None, None, :, t]
+    if raw:
+        return out
     total_shift = 12 - shift1
     out = (out + (1 << (total_shift - 1))) >> total_shift
     return jnp.clip(out, 0, (1 << bit_depth) - 1)
@@ -277,7 +284,7 @@ def select_window_lanes(win_t: jnp.ndarray, offy: jnp.ndarray,
 def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                  cmv16: jnp.ndarray, lam: jnp.ndarray, *,
                  radius: int = 6, pad: int, bit_depth: int = 8,
-                 sizes=(8, 16, 32)):
+                 sizes=(8, 16, 32), want_raw: bool = False):
     """Dense ME for every block of every size with TWO plane gathers
     per frame (the gathers, not the math, dominate windowed ME on TPU):
 
@@ -354,20 +361,31 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         # sub-pel window at the best integer position (masked shifts)
         swin_t = select_window_lanes(win_t, oy_i, ox_i, n + 8, side)
 
+        total_shift = 12 - (bit_depth - 8)
+        rnd_off = 1 << (total_shift - 1)
+        maxv = (1 << bit_depth) - 1
+
+        def rounded(acc):
+            return jnp.clip((acc + rnd_off) >> total_shift, 0, maxv)
+
         dx = jnp.zeros((b,), jnp.int32)
         dy = jnp.zeros((b,), jnp.int32)
-        pred = interp_ext_lanes(swin_t, dx + 3, dy + 3, n, bit_depth)
+        raw0 = interp_ext_lanes(swin_t, dx + 3, dy + 3, n, bit_depth,
+                                raw=True)
+        pred = rounded(raw0)
         scost = sa8d_nxn_lanes(cur_t - pred, n) + \
             lam * _mv_bits(mvx_i * 4, mvy_i * 4)
         best_pred = pred
+        best_raw = raw0
         neigh = [(1, 0), (-1, 0), (0, 1), (0, -1),
                  (1, 1), (1, -1), (-1, 1), (-1, -1)]
         for step in (2, 1):
             for ox, oy in neigh:
                 cx = jnp.clip(dx + ox * step, -3, 3)
                 cy = jnp.clip(dy + oy * step, -3, 3)
-                p = interp_ext_lanes(swin_t, cx + 3, cy + 3, n,
-                                     bit_depth)
+                praw = interp_ext_lanes(swin_t, cx + 3, cy + 3, n,
+                                        bit_depth, raw=True)
+                p = rounded(praw)
                 c = sa8d_nxn_lanes(cur_t - p, n) + \
                     lam * _mv_bits(mvx_i * 4 + cx, mvy_i * 4 + cy)
                 better = c < scost
@@ -376,6 +394,9 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                 dy = jnp.where(better, cy, dy)
                 best_pred = jnp.where(better[None, None, :], p,
                                       best_pred)
+                if want_raw:
+                    best_raw = jnp.where(better[None, None, :], praw,
+                                         best_raw)
         mvqx = mvx_i * 4 + dx
         mvqy = mvy_i * 4 + dy
 
@@ -407,8 +428,9 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
             swc = select_window_lanes(win_t, jnp.clip(offy2, 0, 2 * r),
                                       jnp.clip(offx2, 0, 2 * r),
                                       n + 8, side)
-            p = interp_ext_lanes(swc, (cqx & 3) + 3, (cqy & 3) + 3, n,
-                                 bit_depth)
+            praw = interp_ext_lanes(swc, (cqx & 3) + 3, (cqy & 3) + 3,
+                                    n, bit_depth, raw=True)
+            p = rounded(praw)
             c = sa8d_nxn_lanes(cur_t - p, n) + lam * 2
             c = jnp.where(valid, c, jnp.int32(1 << 30))
             better = c < scost
@@ -416,6 +438,9 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
             mvqx = jnp.where(better, cqx, mvqx)
             mvqy = jnp.where(better, cqy, mvqy)
             best_pred = jnp.where(better[None, None, :], p, best_pred)
+            if want_raw:
+                best_raw = jnp.where(better[None, None, :], praw,
+                                     best_raw)
 
         # dense zero-MV candidate (SATD level, no gather)
         ref = ref_pad[pad:pad + h, pad:pad + w]
@@ -427,15 +452,28 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         mvqx = jnp.where(zwin, 0, mvqx)
         mvqy = jnp.where(zwin, 0, mvqy)
         best_pred = jnp.where(zwin[None, None, :], zero_t, best_pred)
+        if want_raw:
+            # full-pel accumulator: sample << total_shift (26-bit scale)
+            best_raw = jnp.where(zwin[None, None, :],
+                                 zero_t << total_shift, best_raw)
         mvq = jnp.stack([mvqx, mvqy], axis=1)
+        if want_raw:
+            return mvq, scost, best_pred, best_raw
         return mvq, scost, best_pred
+
+    def pack(res):
+        if want_raw:
+            mv, cost, pred, raw = res
+            return (mv, cost, jnp.transpose(pred, (2, 0, 1)),
+                    jnp.transpose(raw, (2, 0, 1)))
+        mv, cost, pred = res
+        return (mv, cost, jnp.transpose(pred, (2, 0, 1)))
 
     if 16 in sizes:
         cur16 = cur.reshape(by16, 16, bx16, 16).transpose(1, 3, 0, 2) \
             .reshape(16, 16, b16).astype(jnp.int32)
         w16_t = jnp.transpose(w16, (1, 2, 0))
-        mv, cost, pred = run_size(w16_t, cur16, sx16, sy16, x16, y16, 16)
-        out[16] = (mv, cost, jnp.transpose(pred, (2, 0, 1)))
+        out[16] = pack(run_size(w16_t, cur16, sx16, sy16, x16, y16, 16))
 
     if 8 in sizes:
         by8, bx8 = h // 8, w // 8
@@ -463,8 +501,7 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                          2, 1).reshape(-1)
         y8 = jnp.repeat(jnp.arange(by8, dtype=jnp.int32) * 8, bx8)
         x8 = jnp.tile(jnp.arange(bx8, dtype=jnp.int32) * 8, by8)
-        mv, cost, pred = run_size(w8_t, cur8, sx8, sy8, x8, y8, 8)
-        out[8] = (mv, cost, jnp.transpose(pred, (2, 0, 1)))
+        out[8] = pack(run_size(w8_t, cur8, sx8, sy8, x8, y8, 8))
 
     if 32 in sizes:
         by32, bx32 = h // 32, w // 32
@@ -484,8 +521,7 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         w32_t = jnp.transpose(w32, (1, 2, 0))
         cur32 = cur.reshape(by32, 32, bx32, 32).transpose(1, 3, 0, 2) \
             .reshape(32, 32, b32).astype(jnp.int32)
-        mv, cost, pred = run_size(w32_t, cur32, sx32, sy32, x32, y32, 32)
-        out[32] = (mv, cost, jnp.transpose(pred, (2, 0, 1)))
+        out[32] = pack(run_size(w32_t, cur32, sx32, sy32, x32, y32, 32))
         seeds32 = (sx32, sy32)
     else:
         seeds32 = None
@@ -508,10 +544,12 @@ def gather_zero(ref: jnp.ndarray, y0s: jnp.ndarray, x0s: jnp.ndarray,
 
 def interp_chroma_lanes(patch_t: jnp.ndarray, fx: jnp.ndarray,
                         fy: jnp.ndarray, cn: int,
-                        bit_depth: int = 8) -> jnp.ndarray:
+                        bit_depth: int = 8,
+                        raw: bool = False) -> jnp.ndarray:
     """4-tap chroma interpolation, lanes-last: patch_t (cn+3, cn+3, B)
     starting one sample above/left of the integer position; fx/fy (B,)
-    in [0,8). Bit-exact with ops.interp.chroma_mc semantics."""
+    in [0,8). Bit-exact with ops.interp.chroma_mc semantics.
+    raw=True: pre-shift accumulator for the bi combine."""
     from .interp import CHROMA_FILTERS
     bank = jnp.asarray(CHROMA_FILTERS)
     hf = bank[fx]                                # (B, 4)
@@ -527,6 +565,8 @@ def interp_chroma_lanes(patch_t: jnp.ndarray, fx: jnp.ndarray,
     out = jnp.zeros((cn, cn, b), jnp.int32)
     for t in range(4):
         out = out + tmp[t:t + cn, :, :] * vf[None, None, :, t]
+    if raw:
+        return out
     total_shift = 12 - shift1
     out = (out + (1 << (total_shift - 1))) >> total_shift
     return jnp.clip(out, 0, (1 << bit_depth) - 1)
@@ -559,16 +599,17 @@ def gather_chroma_windows(cpad2: jnp.ndarray, pc: int,
 def chroma_mc_from_windows(win_b: jnp.ndarray, offy: jnp.ndarray,
                            offx: jnp.ndarray, fx: jnp.ndarray,
                            fy: jnp.ndarray, cn: int, nshift: int,
-                           bit_depth: int = 8):
+                           bit_depth: int = 8, raw: bool = False):
     """Chroma MC from per-BLOCK windows: win_b (B, 2, wc, wc); in-window
     patch offsets offy/offx (B,) in [0, nshift); eighth-pel fractions
-    fx/fy (B,). Returns ((B,cn,cn) cb, (B,cn,cn) cr)."""
+    fx/fy (B,). Returns ((B,cn,cn) cb, (B,cn,cn) cr); raw=True gives
+    pre-shift accumulators for the bi combine."""
     outs = []
     for plane in range(2):
         wt = jnp.transpose(win_b[:, plane], (1, 2, 0))
         patch = select_window_lanes(wt, offy, offx, cn + 3, nshift)
         outs.append(jnp.transpose(
-            interp_chroma_lanes(patch, fx, fy, cn, bit_depth),
+            interp_chroma_lanes(patch, fx, fy, cn, bit_depth, raw=raw),
             (2, 0, 1)))
     return outs[0], outs[1]
 
