@@ -81,3 +81,18 @@ def test_vbv_stream_decodes():
     pre = annexb_stream([write_aud(0), write_pic_timing_sei(cfg, 0)])
     dec = decode_annexb(pre + res.bitstream)
     assert np.array_equal(dec[0].y, res.recon.y)
+
+
+def test_tunes_and_level_enforce():
+    from x265_tpu.common.params import EncoderConfig
+    cfg = EncoderConfig(width=352, height=288, qp=30, aq_mode=2,
+                        cutree=True)
+    cfg.apply_tune("grain")
+    assert cfg.aq_mode == 0 and not cfg.cutree
+    cfg.apply_tune("zerolatency")
+    assert cfg.bframes == 0
+    # level enforcement: 352x288 @25fps is level 2.0 -> 1500 kbps cap
+    cfg.rc_mode = "abr"
+    cfg.bitrate = 50000
+    notes = cfg.enforce_level()
+    assert notes and cfg.bitrate == 1500

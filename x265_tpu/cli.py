@@ -34,6 +34,8 @@ def parse_args(argv=None):
     p.add_argument("--crf", type=float, default=0.0,
                    help="constant rate factor mode")
     p.add_argument("--preset", default="medium", choices=sorted(PRESETS))
+    p.add_argument("--tune", default=None,
+                   help="psnr/ssim/grain/fastdecode/zerolatency")
     p.add_argument("-I", "--keyint", type=int, default=250)
     p.add_argument("-b", "--bframes", type=int, default=None,
                    help="B frames per mini-GOP (0 = IPPP; >0 = "
@@ -103,6 +105,8 @@ def main(argv=None) -> int:
         cfg.rc_mode = "crf"
         cfg.crf = args.crf
     cfg.apply_preset(args.preset)
+    if args.tune:
+        cfg.apply_tune(args.tune)
     if args.no_deblock:
         cfg.deblock = False
     if args.sao:
@@ -132,6 +136,8 @@ def main(argv=None) -> int:
         cfg.param_parse(k, v)
     if args.all_intra:
         cfg.bframes = 0
+    for note in cfg.enforce_level():
+        print(f"x265t [level]: {note}", file=sys.stderr)
     enc = IntraEncoder(cfg)
     from .enc.ratecontrol import RateControl, TwoPassLog, TwoPassRateControl
     from .enc.lookahead import Lookahead

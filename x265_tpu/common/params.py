@@ -97,6 +97,37 @@ class EncoderConfig:
         for k, v in PRESETS[name].items():
             setattr(self, k, v)
 
+    def apply_tune(self, name: str) -> None:
+        """Tunes (x265_param_default_preset tune column,
+        presets.rst:112-217): psnr/ssim adjust AQ, grain freezes the
+        QP machinery, fastdecode drops decoder-heavy tools,
+        zerolatency removes B frames and lookahead depth."""
+        if name not in TUNES:
+            raise ValueError(f"unknown tune {name!r}")
+        for k, v in TUNES[name].items():
+            setattr(self, k, v)
+
+    def enforce_level(self) -> list[str]:
+        """Clamp parameters to the level the stream signals
+        (level.cpp:290 enforceLevel analog): returns a list of human-
+        readable adjustments made (empty = already conformant)."""
+        notes = []
+        fps = self.fps_num / max(self.fps_den, 1)
+        idc = level_idc(self.width, self.height, fps)
+        # Table A.6 main-tier max bitrate (kbps) per level
+        max_br = {30: 128, 60: 1500, 63: 3000, 90: 6000, 93: 10000,
+                  120: 12000, 123: 20000, 150: 25000, 153: 40000,
+                  156: 60000, 180: 60000, 183: 120000, 186: 240000}
+        cap = max_br.get(idc, 240000)
+        if self.bitrate and self.bitrate > cap:
+            notes.append(f"bitrate {self.bitrate} -> level {idc/30:.1f} "
+                         f"cap {cap} kbps")
+            self.bitrate = cap
+        if self.vbv_maxrate and self.vbv_maxrate > cap:
+            notes.append(f"vbv-maxrate clamped to {cap} kbps")
+            self.vbv_maxrate = cap
+        return notes
+
     def param_parse(self, name: str, value: str) -> None:
         """x265_param_parse-style string K/V (param.cpp): accepts the
         x265 option name (dashes) or the field name (underscores)."""
@@ -197,6 +228,18 @@ PRESETS = {
                      sign_hiding=True, deblock=True),
     "placebo": dict(me_iters=16, me_range=12, bframes=8, sao=True,
                     sign_hiding=True, deblock=True),
+}
+
+
+# Tunes (presets.rst:112-217 semantics over our knobs)
+TUNES = {
+    "psnr": dict(aq_mode=0, cutree=False),          # pure-PSNR shaping
+    "ssim": dict(aq_mode=2, aq_strength=1.0),       # variance AQ helps SSIM
+    "grain": dict(aq_mode=0, cutree=False,          # freeze QP machinery
+                  sign_hiding=False),
+    "fastdecode": dict(sao=False, deblock=False,    # drop decoder load
+                       sign_hiding=False),
+    "zerolatency": dict(bframes=0),                 # no reordering
 }
 
 
