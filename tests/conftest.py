@@ -33,3 +33,8 @@ def _clear_jit_caches():
     persistent on-disk cache keeps recompiles cheap."""
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running conformance tier")

@@ -183,6 +183,17 @@ class IntraEncoder:
         if qp_map is not None:
             assert cfg.dqp_enabled, "qp_map needs cfg.aq_mode/cutree on"
             qp_map = np.clip(np.asarray(qp_map, np.int32), 0, 51)
+            # lookahead maps come on the floor-16 grid; edge-extend to
+            # the (ceil) CTU grid of ragged geometries (1088-line pads)
+            ry, rx = cfg.ctu_rows, cfg.ctu_cols
+            if qp_map.shape != (ry, rx):
+                full = np.empty((ry, rx), np.int32)
+                sy = min(qp_map.shape[0], ry)
+                sx = min(qp_map.shape[1], rx)
+                full[:sy, :sx] = qp_map[:sy, :sx]
+                full[sy:, :sx] = full[sy - 1:sy, :sx]
+                full[:, sx:] = full[:, sx - 1:sx]
+                qp_map = full
             use_device_recon = False
 
         if use_device_recon:
@@ -723,13 +734,14 @@ class IntraEncoder:
         from .lookahead_tpu import lookahead_gop
         cfg = self.cfg
         base_qp = cfg.qp if base_qp is None else base_qp
-        h16 = cfg.height_padded // 16 * 16
-        w16 = cfg.width_padded // 16 * 16
-        ys = np.stack([pad_plane(np.asarray(g[0]), h16, w16)[:h16, :w16]
+        hp, wp = cfg.height_padded, cfg.width_padded
+        h16 = hp // 16 * 16
+        w16 = wp // 16 * 16
+        ys = np.stack([pad_plane(np.asarray(g[0]), hp, wp)[:h16, :w16]
                        for g in gop_frames])
-        cbs = np.stack([pad_plane(np.asarray(g[1]), h16 // 2, w16 // 2)
+        cbs = np.stack([pad_plane(np.asarray(g[1]), hp // 2, wp // 2)
                         [:h16 // 2, :w16 // 2] for g in gop_frames])
-        crs = np.stack([pad_plane(np.asarray(g[2]), h16 // 2, w16 // 2)
+        crs = np.stack([pad_plane(np.asarray(g[2]), hp // 2, wp // 2)
                         [:h16 // 2, :w16 // 2] for g in gop_frames])
         off_ctu, _, _, _ = lookahead_gop(ys, cbs, crs, cfg,
                                          qcomp=cfg.qcomp)
