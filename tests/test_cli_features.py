@@ -1,0 +1,47 @@
+"""CLI feature coverage: qpfile, zones, csv-log-level, tune flag,
+ssim reporting (x265cli surface analogs)."""
+
+import os
+import tempfile
+
+import numpy as np
+
+from x265_tpu.cli import main as cli_main
+from x265_tpu.decoder import decode_annexb
+
+
+def _yuv(path, n=4, h=64, w=96):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    cb = np.full((h // 2, w // 2), 128, np.uint8)
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(np.roll(base, 2 * i, axis=1).tobytes())
+            f.write(cb.tobytes())
+            f.write(cb.tobytes())
+    return w, h
+
+
+def test_qpfile_and_zones_and_csv():
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in.yuv")
+        w, h = _yuv(src)
+        qpf = os.path.join(td, "qp.txt")
+        with open(qpf, "w") as f:
+            f.write("0 I 30\n2 I 36\n")      # force IDR at frame 2
+        out = os.path.join(td, "out.hevc")
+        csvp = os.path.join(td, "s.csv")
+        rc = cli_main([src, "--input-res", f"{w}x{h}", "-o", out,
+                       "--preset", "ultrafast", "--bframes", "0",
+                       "--qpfile", qpf, "--zones", "3,3,qp=45",
+                       "--csv", csvp, "--csv-log-level", "1",
+                       "--ssim"])
+        assert rc == 0
+        dec = decode_annexb(open(out, "rb").read())
+        assert len(dec) == 4
+        # frame 2 forced intra at qp 36; frame 3 zone qp 45
+        rows = open(csvp).read().strip().splitlines()
+        assert rows[0].startswith("poc,type,qp,bits,psnr_y,cu_pct_d0")
+        recs = [r.split(",") for r in rows[1:]]
+        assert recs[2][1] == "I" and recs[2][2] == "36"
+        assert recs[3][2] == "45"

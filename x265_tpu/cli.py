@@ -73,6 +73,15 @@ def parse_args(argv=None):
                    help="VBV max rate (kbps)")
     p.add_argument("--aud", action="store_true",
                    help="emit access unit delimiters")
+    p.add_argument("--qpfile",
+                   help="per-frame overrides file: '<frame> <I|P|B> "
+                        "<qp>' per line (x265 --qpfile)")
+    p.add_argument("--zones",
+                   help="zone QP overrides: 'start,end,qp=N[/...]' "
+                        "(x265 --zones q= form)")
+    p.add_argument("--csv-log-level", type=int, default=0,
+                   choices=(0, 1), help="1 adds CU distribution + "
+                   "frame latency columns")
     return p.parse_args(argv)
 
 
@@ -153,6 +162,22 @@ def main(argv=None) -> int:
         analysis_src = np.load(args.analysis_load, allow_pickle=True)
     if args.all_intra:
         la.keyint = 1
+    # qpfile: {frame: (type, qp)} (x265cli qpfile parser analog)
+    qpfile_map = {}
+    if args.qpfile:
+        with open(args.qpfile) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    qpfile_map[int(parts[0])] = (parts[1].upper(),
+                                                 int(parts[2]))
+    # zones: list of (start, end, qp)
+    zones = []
+    if args.zones:
+        for z in args.zones.split("/"):
+            se, _, q = z.partition("qp=")
+            s, e = (int(v) for v in se.rstrip(",").split(",")[:2])
+            zones.append((s, e, int(q)))
     prev_y = None
     maxv = (1 << depth) - 1
 
@@ -162,7 +187,10 @@ def main(argv=None) -> int:
         recon_w = Y4MWriter(args.recon, w, h, fps_num, fps_den, depth)
     csv = open(args.csv, "w") if args.csv else None
     if csv:
-        csv.write("poc,type,qp,bits,psnr_y\n")
+        cols = "poc,type,qp,bits,psnr_y"
+        if args.csv_log_level >= 1:
+            cols += ",cu_pct_d0,cu_pct_d1,cu_pct_d2,wall_s"
+        csv.write(cols + "\n")
 
     total_bits = 0
     n = 0
@@ -210,7 +238,12 @@ def main(argv=None) -> int:
                                 res.recon.cb[:h // 2, :w // 2],
                                 res.recon.cr[:h // 2, :w // 2])
         if csv:
-            csv.write(f"{n},{ftype},{fqp},{res.bits},{py:.4f}\n")
+            row = f"{n},{ftype},{fqp},{res.bits},{py:.4f}"
+            if args.csv_log_level >= 1 and enc.stats.frames:
+                fs = enc.stats.frames[-1]
+                d = fs.cu_pct_by_depth or (0, 0, 0)
+                row += f",{d[0]},{d[1]},{d[2]},{fs.wall_time:.3f}"
+            csv.write(row + "\n")
         print(f"frame {n:5d} {ftype} qp {fqp} bits {res.bits:8d} "
               f"Y-PSNR {py:6.3f}{ssim_txt}", file=sys.stderr)
         n += 1
@@ -240,6 +273,15 @@ def main(argv=None) -> int:
             cplx = rc.frame_complexity(np.asarray(y),
                                        None if is_intra else prev_y)
             fqp = rc.frame_qp(is_intra, cplx)
+        fidx = n + len(gop_buf)
+        if fidx in qpfile_map:          # qpfile overrides type + QP
+            ft_o, qp_o = qpfile_map[fidx]
+            is_intra = ft_o == "I"
+            if qp_o >= 0:
+                fqp = qp_o
+        for zs, ze, zqp in zones:       # zone QP overrides
+            if zs <= fidx <= ze:
+                fqp = zqp
         aq_map = None
         if cfg.dqp_enabled:
             # per-frame AQ map around the RC-chosen frame QP (cuTree
