@@ -45,3 +45,23 @@ def test_main10_ippp_roundtrip():
     decs = decode_annexb(stream)   # hash SEI self-check included
     for d, r in zip(decs, results):
         np.testing.assert_array_equal(d.y, r.recon.y)
+
+
+def test_main10_hier_b_roundtrip():
+    """Device B pipeline at 10 bits (raw 26-bit bi combine must stay
+    exact with the deeper samples)."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:64, 0:96]
+    y = ((xx * 9 + yy * 7) % 1024).astype(np.uint16)
+    c = np.full((32, 48), 512, np.uint16)
+    cfg = EncoderConfig(width=96, height=64, qp=30, bit_depth=10,
+                        bframes=2, num_refs=2, deblock=True)
+    enc = IntraEncoder(cfg)
+    frames = [(np.roll(y, 3 * i, 1), c, c) for i in range(5)]
+    rs = enc.encode_hier_gop(frames)
+    dec = decode_annexb(b"".join(r.bitstream for r in rs))
+    by_poc = {d.poc: d for d in dec}
+    for r in rs:
+        d = by_poc[r.poc]
+        assert np.array_equal(d.y, r.recon.y)
+        assert np.array_equal(d.cb, r.recon.cb)
