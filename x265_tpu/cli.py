@@ -45,6 +45,9 @@ def parse_args(argv=None):
                    "name (x265_param_parse analog)")
     p.add_argument("--no-sao", dest="no_sao", action="store_true")
     p.add_argument("--no-signhide", action="store_true")
+    p.add_argument("--rdoq-level", type=int, default=None, choices=[0, 1, 2],
+                   help="rate-distortion optimized quantization "
+                   "(0=off, 1/2=on; batched RDOQ-lite)")
     p.add_argument("-f", "--frames", type=int, default=0,
                    help="max frames to encode (0 = all)")
     p.add_argument("--no-deblock", action="store_true")
@@ -124,6 +127,8 @@ def main(argv=None) -> int:
         cfg.sao = False
     if args.no_signhide:
         cfg.sign_hiding = False
+    if args.rdoq_level is not None:
+        cfg.rdoq = args.rdoq_level > 0
     if args.hash_sei:
         cfg.hash_sei = True
     if args.bframes is not None:

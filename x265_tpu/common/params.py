@@ -220,13 +220,13 @@ PRESETS = {
                  sign_hiding=True, deblock=True),
     "medium": dict(me_iters=8, me_range=6, bframes=4, sao=True,
                    sign_hiding=True, deblock=True),
-    "slow": dict(me_iters=10, me_range=8, bframes=4, sao=True,
+    "slow": dict(rdoq=True, me_iters=10, me_range=8, bframes=4, sao=True,
                  sign_hiding=True, deblock=True),
-    "slower": dict(me_iters=12, me_range=10, bframes=8, sao=True,
+    "slower": dict(rdoq=True, me_iters=12, me_range=10, bframes=8, sao=True,
                    sign_hiding=True, deblock=True),
-    "veryslow": dict(me_iters=16, me_range=12, bframes=8, sao=True,
+    "veryslow": dict(rdoq=True, me_iters=16, me_range=12, bframes=8, sao=True,
                      sign_hiding=True, deblock=True),
-    "placebo": dict(me_iters=16, me_range=12, bframes=8, sao=True,
+    "placebo": dict(rdoq=True, me_iters=16, me_range=12, bframes=8, sao=True,
                     sign_hiding=True, deblock=True),
 }
 

@@ -35,7 +35,7 @@ from .intra_recon import ReconFrame, DeviceRef
 from .pgop_tpu import (SIZES, _chroma_preds_windowed, _coarse_search_rolled,
                        _coeff_bits_est, _mvd_bits_est, _rd_depth_decision,
                        deblock_luma_t, quant_batch, dct_batch, idct_batch,
-                       dequant_batch, sign_hide_batch)
+                       dequant_batch, sign_hide_batch, rdoq_batch)
 
 
 def _bi_combine(raw0: jnp.ndarray, raw1: jnp.ndarray,
@@ -105,12 +105,12 @@ def _bs_maps_b_t(depth8, mvb, pf8, cf_y, ctu: int):
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
                                    "real_w", "ctu", "deblock", "sao",
                                    "sign_hiding", "me_range", "dqp",
-                                   "need_recon"))
+                                   "need_recon", "rdoq"))
 def _bframe_batch(r0y, r0cb, r0cr, r1y, r1cb, r1cr, oy_b, ocb_b, ocr_b,
                   qp_maps, *, qp: int, qpc: int, bit_depth: int,
                   real_h: int, real_w: int, ctu: int, deblock: bool,
                   sao: bool, sign_hiding: bool, me_range: int,
-                  dqp: bool, need_recon: bool):
+                  dqp: bool, need_recon: bool, rdoq: bool = False):
     """r*: (F, Hp, Wp) reference planes per frame (stacked); o*_b:
     (F, Hp, Wp) originals. All frames are independent (one pyramid
     layer); a no-carry scan serializes them on one device."""
@@ -220,14 +220,20 @@ def _bframe_batch(r0y, r0cb, r0cr, r1y, r1cb, r1cr, oy_b, ocb_b, ocr_b,
         def one_plane(orig, nn, qqp, pred):
             obk = blocks_of(orig, nn)
             resi = obk - pred
+            tcoef = dct_batch(resi, nn, bit_depth)
             if sign_hiding:
-                coefs, du = quant_batch(dct_batch(resi, nn, bit_depth),
-                                        nn, qqp, bit_depth, intra=False,
-                                        with_rem=True)
+                coefs, du = quant_batch(tcoef, nn, qqp, bit_depth,
+                                        intra=False, with_rem=True)
+                if rdoq:
+                    coefs = rdoq_batch(coefs, tcoef, nn, qqp, lam2,
+                                       bit_depth)
                 coefs = sign_hide_batch(coefs, nn, 0, du)
             else:
-                coefs = quant_batch(dct_batch(resi, nn, bit_depth), nn,
-                                    qqp, bit_depth, intra=False)
+                coefs = quant_batch(tcoef, nn, qqp, bit_depth,
+                                    intra=False)
+                if rdoq:
+                    coefs = rdoq_batch(coefs, tcoef, nn, qqp, lam2,
+                                       bit_depth)
             cbf = jnp.any(coefs != 0, axis=(1, 2))
             r = idct_batch(dequant_batch(coefs, nn, qqp, bit_depth), nn,
                            bit_depth)
@@ -414,7 +420,7 @@ def encode_bframes_tpu(frames, ref0s, ref1s, cfg: EncoderConfig,
         qp=int(qp), qpc=int(chroma_qp(qp)), bit_depth=cfg.bit_depth,
         real_h=h, real_w=w, ctu=ctu, deblock=cfg.deblock, sao=cfg.sao,
         sign_hiding=cfg.sign_hiding, me_range=cfg.me_range, dqp=dqp,
-        need_recon=True)
+        need_recon=True, rdoq=cfg.rdoq)
 
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
     mvb = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]

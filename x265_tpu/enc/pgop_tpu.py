@@ -36,7 +36,7 @@ from ..ops.me_win import (chroma_mc_from_windows, gather_chroma_windows,
 from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
 from ..ops.me import _downsample4
 from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
-    dequant_batch, sign_hide_batch
+    dequant_batch, sign_hide_batch, rdoq_batch
 from .intra_recon import ReconFrame, DeviceRef
 
 SIZES = (8, 16, 32)
@@ -267,7 +267,7 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 
 def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                   sign_hiding, real_h, real_w, preds, cpreds,
-                  qp_ctu=None, ctu=32):
+                  qp_ctu=None, ctu=32, rdoq=False):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds carries the luma
@@ -303,14 +303,19 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
     def one_plane(orig, nn, qqp, pred):
         ob = blocks_of(orig, nn)
         resi = ob - pred
+        tcoef = dct_batch(resi, nn, bit_depth)
         if sign_hiding:
-            coefs, du = quant_batch(dct_batch(resi, nn, bit_depth), nn,
-                                    qqp, bit_depth, intra=False,
-                                    with_rem=True)
+            coefs, du = quant_batch(tcoef, nn, qqp, bit_depth,
+                                    intra=False, with_rem=True)
+            if rdoq:
+                coefs = rdoq_batch(coefs, tcoef, nn, qqp, lam2,
+                                   bit_depth)
             coefs = sign_hide_batch(coefs, nn, 0, du)  # inter: diag scan
         else:
-            coefs = quant_batch(dct_batch(resi, nn, bit_depth), nn, qqp,
-                                bit_depth, intra=False)
+            coefs = quant_batch(tcoef, nn, qqp, bit_depth, intra=False)
+            if rdoq:
+                coefs = rdoq_batch(coefs, tcoef, nn, qqp, lam2,
+                                   bit_depth)
         cbf = jnp.any(coefs != 0, axis=(1, 2))
         r = idct_batch(dequant_batch(coefs, nn, qqp, bit_depth), nn,
                        bit_depth)
@@ -745,14 +750,14 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
                                    "real_w", "ctu", "deblock", "sao",
                                    "sign_hiding", "me_range",
                                    "need_recon", "dqp", "intra_ii",
-                                   "use_seeds"))
+                                   "use_seeds", "rdoq"))
 def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                qp_maps, seeds16, *,
                qp: int, qpc: int, bit_depth: int, real_h: int,
                real_w: int, ctu: int, deblock: bool, sao: bool,
                sign_hiding: bool, me_range: int, need_recon: bool,
                dqp: bool = False, intra_ii: bool = True,
-               use_seeds: bool = False):
+               use_seeds: bool = False, rdoq: bool = False):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -813,7 +818,8 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
             _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                           sign_hiding, real_h, real_w, preds=preds,
                           cpreds=cpreds,
-                          qp_ctu=qp_ctu if dqp else None, ctu=ctu)
+                          qp_ctu=qp_ctu if dqp else None, ctu=ctu,
+                          rdoq=rdoq)
 
         # --- intra-in-inter: 8x8 intra CUs where intra beats inter
         if intra_ii:
@@ -1030,7 +1036,7 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
         me_range=me_range, need_recon=need_recon,
         dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter,
-        use_seeds=seeds16 is not None)
+        use_seeds=seeds16 is not None, rdoq=cfg.rdoq)
 
     # dispatch mask-directed CG compaction (async): collect downloads
     # the nonzero bitmask, then gathers exactly the nonzero rows

@@ -318,3 +318,90 @@ def dequant_batch(level: jnp.ndarray, size: int, qp,
     scale = jnp.left_shift(jnp.take(jnp.asarray(INV_QUANT_SCALES), rem), per)
     v = (level * scale + (1 << (shift - 1))) >> shift
     return jnp.clip(v, -32768, 32767)
+
+
+# =============================================================================
+# RDOQ-lite: batched per-coefficient rate-distortion optimization
+# (the vectorizable core of x265 rdoQuant, quant.cpp:610-1425: per-
+# coefficient level choice among {level, level-1, 0} by lambda2-scaled
+# cost; the sequential context modeling and last-position trellis are
+# replaced by static-context bit estimates, which keeps the whole TU
+# batch one tensor op)
+# =============================================================================
+
+def _bitlen_j(a: jnp.ndarray) -> jnp.ndarray:
+    f = a.astype(jnp.float32)
+    e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+    return jnp.where(a > 0, e + 1, 0)
+
+
+def rdoq_batch(level: jnp.ndarray, tcoef: jnp.ndarray, size: int, qp,
+               lam2: float, bit_depth: int = 8) -> jnp.ndarray:
+    """Optimize quantized levels of (B, N, N) TUs.
+
+    level: quantized output (signed); tcoef: the transform
+    coefficients that were quantized; qp scalar or (B,) vector.
+    Distortion is measured in the levelDouble domain (|coef|*scale)
+    and normalized to pixel SSE via the transform gain
+    2^(15 - bitDepth - log2N) and the quant scale (rdoq errScale
+    analog), so lambda2 applies directly."""
+    log2n = size.bit_length() - 1
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    if qp.ndim == 1:
+        qp = qp[:, None, None]
+    per, rem = qp // 6, qp % 6
+    qbits = QUANT_SHIFT + per + transform_shift(log2n, bit_depth)
+    scale = jnp.take(jnp.asarray(QUANT_SCALES), rem).astype(jnp.float32)
+    a = jnp.abs(tcoef).astype(jnp.float32) * scale      # levelDouble
+    lv = jnp.abs(level)
+    step = jnp.exp2(qbits.astype(jnp.float32))          # 2^qbits
+
+    # pixel-domain normalization: err_pixel = err_a / norm
+    tgain = jnp.exp2(jnp.float32(2 * (15 - bit_depth - log2n)))
+    norm = scale * scale * tgain
+
+    def dist(lq):
+        e = a - lq.astype(jnp.float32) * step
+        return e * e / norm
+
+    # static-context bit estimate: sig flag + greater1/2 + golomb tail
+    def bits_of(lq):
+        return jnp.where(lq > 0,
+                         2.0 + 2.0 * _bitlen_j(lq).astype(jnp.float32),
+                         0.0)
+
+    cand = [jnp.zeros_like(lv), jnp.maximum(lv - 1, 0), lv]
+    costs = [dist(c) + lam2 * bits_of(c) for c in cand]
+    best = jnp.argmin(jnp.stack(costs), axis=0)
+    newlv = jnp.where(best == 0, 0,
+                      jnp.where(best == 1, jnp.maximum(lv - 1, 0), lv))
+
+    # --- CG-level pass (x265 rdoq coded_sub_block_flag optimization,
+    # quant.cpp:1140): zero an entire 4x4 coefficient group when the
+    # total rate of its levels + the sub-block flag outweighs the
+    # distortion of dropping them. The dead-zone quantizer rarely
+    # leaves per-coefficient wins, but marginal level-1 clusters do
+    # fall below the group threshold.
+    d_gain = dist(jnp.zeros_like(newlv)) - dist(newlv)  # SSE cost of 0
+    r_gain = bits_of(newlv)                             # bits saved by 0
+    if size > 4:
+        g = size // 4
+        b = newlv.shape[0]
+
+        def by_cg(x):
+            return x.reshape(b, g, 4, g, 4).sum(axis=(2, 4))
+
+        dd, rr = by_cg(d_gain), by_cg(r_gain)
+        kill = (dd <= lam2 * (rr + 2.0)) & (rr > 0)
+        kill = jnp.repeat(jnp.repeat(kill, 4, axis=1), 4, axis=2)
+        newlv = jnp.where(kill, 0, newlv)
+        d_gain = jnp.where(kill, 0.0, d_gain)
+        r_gain = jnp.where(kill, 0.0, r_gain)
+
+    # --- TU-level pass (cbf optimization): dropping the whole TU also
+    # saves the cbf + last-position signaling (~4 bits static estimate)
+    dd_tu = d_gain.sum(axis=(1, 2))
+    rr_tu = r_gain.sum(axis=(1, 2))
+    kill_tu = (dd_tu <= lam2 * (rr_tu + 4.0)) & (rr_tu > 0)
+    newlv = jnp.where(kill_tu[:, None, None], 0, newlv)
+    return jnp.sign(level) * newlv
