@@ -34,6 +34,26 @@ def test_sign_hide_batch_matches_oracle():
                         assert (int(np.abs(lv).sum()) & 1) == neg
 
 
+def test_sign_hide_tie_breaking_matches_oracle():
+    """deltaU ties must resolve in scan order, lower-before-raise,
+    exactly like the sequential oracle (x265 quant.cpp:316 scans in
+    scan order; the batched rank formulation tie-breaks via a packed
+    lexicographic key). Regression: raster-order argmin picked a
+    different coefficient whenever costs tied."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    for scan in (0, 1, 2):
+        blks = rng.integers(-4, 5, (60, 8, 8)).astype(np.int32)
+        blks[rng.random((60, 8, 8)) < 0.45] = 0
+        # tiny du alphabet -> ties everywhere
+        dus = rng.integers(-1, 2, (60, 8, 8)).astype(np.int32)
+        ref = np.stack([sign_hide_np(b, scan, d)
+                        for b, d in zip(blks, dus)])
+        out = np.asarray(sign_hide_batch(jnp.asarray(blks), 8, scan,
+                                         jnp.asarray(dus)))
+        np.testing.assert_array_equal(out, ref, err_msg=f"scan {scan}")
+
+
 def _clip(nf, h, w, seed=21):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]

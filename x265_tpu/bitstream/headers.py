@@ -117,11 +117,37 @@ POC_LSB_BITS = 8
 
 
 def _write_vui(w: BitWriter, cfg: EncoderConfig) -> None:
-    """vui_parameters — Annex E.2.1 (timing only)."""
-    w.write_flag(0)                   # aspect_ratio_info_present_flag
+    """vui_parameters — Annex E.2.1 (timing, aspect ratio, video
+    signal type / colour description, chroma siting)."""
+    sar = getattr(cfg, "sar", None)
+    if sar:
+        w.write_flag(1)               # aspect_ratio_info_present_flag
+        w.write(255, 8)               # aspect_ratio_idc = EXTENDED_SAR
+        w.write(int(sar[0]), 16)      # sar_width
+        w.write(int(sar[1]), 16)      # sar_height
+    else:
+        w.write_flag(0)               # aspect_ratio_info_present_flag
     w.write_flag(0)                   # overscan_info_present_flag
-    w.write_flag(0)                   # video_signal_type_present_flag
-    w.write_flag(0)                   # chroma_loc_info_present_flag
+    has_colour = (getattr(cfg, "colorprim", 2) != 2 or
+                  getattr(cfg, "transfer", 2) != 2 or
+                  getattr(cfg, "colormatrix", 2) != 2)
+    if has_colour or getattr(cfg, "video_full_range", False):
+        w.write_flag(1)               # video_signal_type_present_flag
+        w.write(5, 3)                 # video_format = unspecified
+        w.write_flag(1 if cfg.video_full_range else 0)
+        w.write_flag(1 if has_colour else 0)
+        if has_colour:                # colour_description_present_flag
+            w.write(cfg.colorprim, 8)
+            w.write(cfg.transfer, 8)
+            w.write(cfg.colormatrix, 8)
+    else:
+        w.write_flag(0)               # video_signal_type_present_flag
+    if getattr(cfg, "chromaloc", None) is not None:
+        w.write_flag(1)               # chroma_loc_info_present_flag
+        w.write_ue(cfg.chromaloc)     # chroma_sample_loc_type_top_field
+        w.write_ue(cfg.chromaloc)     # chroma_sample_loc_type_bottom
+    else:
+        w.write_flag(0)               # chroma_loc_info_present_flag
     w.write_flag(0)                   # neutral_chroma_indication_flag
     w.write_flag(0)                   # field_seq_flag
     w.write_flag(0)                   # frame_field_info_present_flag

@@ -163,3 +163,48 @@ def write_aud(slice_types_present: int) -> tuple[NalUnitType, bytes]:
     w.write(slice_types_present, 3)
     w.align_one()
     return NalUnitType.AUD, w.get_bytes()
+
+
+SEI_MASTERING_DISPLAY = 137
+SEI_CONTENT_LIGHT_LEVEL = 144
+SEI_ALTERNATIVE_TRANSFER = 147
+
+
+def parse_master_display(s: str):
+    """Parse the x265 --master-display string
+    "G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)" into
+    (primaries_gbr[(x,y)*3], white_point(x,y), max_lum, min_lum)."""
+    import re
+    m = re.match(r"G\((\d+),(\d+)\)B\((\d+),(\d+)\)R\((\d+),(\d+)\)"
+                 r"WP\((\d+),(\d+)\)L\((\d+),(\d+)\)", s.replace(" ", ""))
+    if not m:
+        raise ValueError(f"bad master-display string: {s!r}")
+    v = [int(x) for x in m.groups()]
+    return [(v[0], v[1]), (v[2], v[3]), (v[4], v[5])], (v[6], v[7]), \
+        v[8], v[9]
+
+
+def write_mastering_display_sei(s: str) -> tuple[NalUnitType, bytes]:
+    """mastering_display_colour_volume (D.2.28; SMPTE ST 2086).
+    Reference: x265 sei.h SEIMasteringDisplayColorVolume, fed by
+    --master-display (param.cpp x265_param_parse masteringDisplay)."""
+    prim, wp, maxl, minl = parse_master_display(s)
+    w = BitWriter()
+    for x, y in prim:                 # display_primaries_{x,y}[c], GBR
+        w.write(x, 16)
+        w.write(y, 16)
+    w.write(wp[0], 16)                # white_point_x
+    w.write(wp[1], 16)                # white_point_y
+    w.write(maxl, 32)                 # max_display_mastering_luminance
+    w.write(minl, 32)                 # min_display_mastering_luminance
+    return _sei_nal(SEI_MASTERING_DISPLAY, w)
+
+
+def write_content_light_level_sei(s: str) -> tuple[NalUnitType, bytes]:
+    """content_light_level_info (D.2.35): "maxCLL,maxFALL"
+    (x265 --max-cll)."""
+    cll, fall = (int(x) for x in s.split(","))
+    w = BitWriter()
+    w.write(cll, 16)                  # max_content_light_level
+    w.write(fall, 16)                 # max_pic_average_light_level
+    return _sei_nal(SEI_CONTENT_LIGHT_LEVEL, w)

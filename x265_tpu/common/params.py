@@ -48,6 +48,18 @@ class EncoderConfig:
     vbv_init: float = 0.9        # initial buffer fullness fraction
     aud: bool = False            # emit access unit delimiters
 
+    # video usability information / HDR signalling (Annex E; x265
+    # --sar/--range/--colorprim/--transfer/--colormatrix/--chromaloc,
+    # --master-display/--max-cll, param.cpp vui block)
+    sar: tuple | None = None     # (w, h) pixel aspect ratio
+    video_full_range: bool = False
+    colorprim: int = 2           # unspecified
+    transfer: int = 2
+    colormatrix: int = 2
+    chromaloc: int | None = None  # chroma_sample_loc_type (0..5)
+    master_display: str = ""     # "G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)"
+    max_cll: str = ""            # "cll,fall"
+
     @property
     def vbv_enabled(self) -> bool:
         return self.vbv_bufsize > 0 and self.vbv_maxrate > 0

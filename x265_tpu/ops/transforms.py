@@ -286,20 +286,25 @@ def sign_hide_batch(coefs: jnp.ndarray, size: int, scan_sel,
     neg = (firstval < 0).astype(jnp.int32)
     fix = hidden & ((sumabs & 1) != neg)
 
-    big = jnp.int32(1 << 30)
+    # |deltaU| < 256, so costs fit in 9 bits signed; pack
+    # (cost, lower-before-raise, scan rank) into one lexicographic key
+    # so equal-cost ties resolve exactly like the scan-ordered oracle
+    # (sign_hide_np / x265 quant.cpp:316 minPos scan)
+    big = jnp.int32(1 << 24)
     is_end = (rank == first[..., None]) | (rank == last[..., None])
     can_lower = nzm & (jnp.abs(lv) < 32768) & \
         ((jnp.abs(lv) >= 2) | ~is_end)
     can_raise = nzm & (jnp.abs(lv) < 32767)
     lower_cost = jnp.where(can_lower, du, big)
     raise_cost = jnp.where(can_raise, -du, big)
-    costs = jnp.concatenate([lower_cost, raise_cost], axis=-1)  # 32
-    k = jnp.argmin(costs, axis=-1).astype(jnp.int32)
-    pos = jnp.where(k < 16, k, k - 16)
-    d = jnp.where(k < 16, -1, 1)
-    io = jnp.arange(16, dtype=jnp.int32)[None, None, :]
-    sel = io == pos[..., None]
+    key_l = lower_cost * 64 + rank
+    key_r = raise_cost * 64 + 32 + rank
+    kmin = jnp.minimum(key_l.min(-1), key_r.min(-1))   # (B, ncg*ncg)
+    sel_l = key_l == kmin[..., None]
+    sel_r = key_r == kmin[..., None]    # disjoint: keys are unique
+    sel = sel_l | sel_r
     tgt = jnp.sum(jnp.where(sel, lv, 0), axis=-1)
+    d = jnp.sum(jnp.where(sel_l, -1, jnp.where(sel_r, 1, 0)), axis=-1)
     newv = tgt + jnp.where(tgt > 0, d, -d)
     lv = jnp.where(fix[..., None] & sel, newv[..., None], lv)
     return lv.reshape(b, ncgs, ncgs, 4, 4).transpose(0, 1, 3, 2, 4) \
