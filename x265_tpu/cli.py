@@ -76,6 +76,23 @@ def parse_args(argv=None):
                    help="VBV max rate (kbps)")
     p.add_argument("--aud", action="store_true",
                    help="emit access unit delimiters")
+    p.add_argument("--sar", default=None,
+                   help="pixel aspect ratio W:H (VUI)")
+    p.add_argument("--range", dest="vid_range", default=None,
+                   choices=["limited", "full"])
+    p.add_argument("--colorprim", default=None,
+                   help="colour primaries (name or code, e.g. bt2020)")
+    p.add_argument("--transfer", default=None,
+                   help="transfer characteristics (e.g. smpte2084)")
+    p.add_argument("--colormatrix", default=None,
+                   help="matrix coefficients (e.g. bt2020nc)")
+    p.add_argument("--chromaloc", type=int, default=None,
+                   choices=range(6))
+    p.add_argument("--master-display", default=None, metavar="MD",
+                   help='HDR10 mastering display "G(x,y)B(x,y)R(x,y)'
+                   'WP(x,y)L(max,min)"')
+    p.add_argument("--max-cll", default=None, metavar="CLL,FALL",
+                   help="HDR10 content light level")
     p.add_argument("--qpfile",
                    help="per-frame overrides file: '<frame> <I|P|B> "
                         "<qp>' per line (x265 --qpfile)")
@@ -141,6 +158,43 @@ def main(argv=None) -> int:
         cfg.vbv_maxrate = args.vbv_maxrate
     if args.aud:
         cfg.aud = True
+    if args.sar:
+        sw, sh = args.sar.replace(":", "x").split("x")
+        cfg.sar = (int(sw), int(sh))
+    if args.vid_range:
+        cfg.video_full_range = args.vid_range == "full"
+    # H.273 code points by name (x265 strtable analogs, x265cli.h)
+    _CSP_NAMES = {"bt709": 1, "unknown": 2, "bt470m": 4, "bt470bg": 5,
+                  "smpte170m": 6, "smpte240m": 7, "film": 8,
+                  "bt2020": 9, "smpte428": 10, "smpte431": 11,
+                  "smpte432": 12}
+    _XFER_NAMES = {"bt709": 1, "unknown": 2, "bt470m": 4, "bt470bg": 5,
+                   "smpte170m": 6, "smpte240m": 7, "linear": 8,
+                   "log100": 9, "log316": 10, "iec61966-2-4": 11,
+                   "bt1361e": 12, "iec61966-2-1": 13, "bt2020-10": 14,
+                   "bt2020-12": 15, "smpte2084": 16, "smpte428": 17,
+                   "arib-std-b67": 18}
+    _MTX_NAMES = {"gbr": 0, "bt709": 1, "unknown": 2, "fcc": 4,
+                  "bt470bg": 5, "smpte170m": 6, "smpte240m": 7,
+                  "ycgco": 8, "bt2020nc": 9, "bt2020c": 10,
+                  "smpte2085": 11, "chroma-derived-nc": 12,
+                  "chroma-derived-c": 13, "ictcp": 14}
+
+    def _code(v, table):
+        return int(v) if v.isdigit() else table[v.lower()]
+
+    if args.colorprim:
+        cfg.colorprim = _code(args.colorprim, _CSP_NAMES)
+    if args.transfer:
+        cfg.transfer = _code(args.transfer, _XFER_NAMES)
+    if args.colormatrix:
+        cfg.colormatrix = _code(args.colormatrix, _MTX_NAMES)
+    if args.chromaloc is not None:
+        cfg.chromaloc = args.chromaloc
+    if args.master_display:
+        cfg.master_display = args.master_display
+    if args.max_cll:
+        cfg.max_cll = args.max_cll
     if args.aq_mode is not None:
         cfg.aq_mode = args.aq_mode
     if args.aq_strength is not None:
@@ -224,6 +278,15 @@ def main(argv=None) -> int:
                 au_since_bp = 0
             pre.append(write_pic_timing_sei(cfg, au_since_bp))
             au_since_bp += 1
+        if ftype == "I":
+            # HDR10 static metadata rides every keyframe (x265
+            # frameencoder.cpp SEIMasteringDisplay/ContentLightLevel)
+            if cfg.master_display:
+                from .bitstream.sei import write_mastering_display_sei
+                pre.append(write_mastering_display_sei(cfg.master_display))
+            if cfg.max_cll:
+                from .bitstream.sei import write_content_light_level_sei
+                pre.append(write_content_light_level_sei(cfg.max_cll))
         if pre:
             from .bitstream.nal import annexb_stream
             out.write(annexb_stream(pre))
