@@ -222,7 +222,7 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     w.write_flag(0)                   # pps_slice_chroma_qp_offsets_present_flag
     w.write_flag(0)                   # weighted_pred_flag
     w.write_flag(0)                   # weighted_bipred_flag
-    w.write_flag(0)                   # transquant_bypass_enabled_flag
+    w.write_flag(1 if cfg.lossless else 0)  # transquant_bypass_enabled_flag
     w.write_flag(0)                   # tiles_enabled_flag
     w.write_flag(1 if cfg.wpp else 0)  # entropy_coding_sync_enabled_flag
     w.write_flag(1)                   # pps_loop_filter_across_slices_enabled_flag

@@ -578,6 +578,10 @@ class SliceSyntaxEncoder:
                           self._neighbor_mode(x, y, above=True))
 
     def _code_cu(self, x0: int, y0: int, log2_size: int) -> None:
+        if self.cfg.lossless:
+            # cu_transquant_bypass_flag: first CU syntax element when
+            # the PPS enables bypass (7.3.8.5); frame-lossless codes 1
+            self.cab.encode_bin(OFF["cu_transquant_bypass"], 1)
         if self.is_p:
             self._code_cu_p(x0, y0, log2_size)
             return

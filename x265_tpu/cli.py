@@ -45,6 +45,9 @@ def parse_args(argv=None):
                    "name (x265_param_parse analog)")
     p.add_argument("--no-sao", dest="no_sao", action="store_true")
     p.add_argument("--no-signhide", action="store_true")
+    p.add_argument("--lossless", action="store_true",
+                   help="transquant-bypass lossless coding (all-intra;"
+                   " recon == source exactly)")
     p.add_argument("--rdoq-level", type=int, default=None, choices=[0, 1, 2],
                    help="rate-distortion optimized quantization "
                    "(0=off, 1/2=on; batched RDOQ-lite)")
@@ -202,6 +205,12 @@ def main(argv=None) -> int:
     for kv in args.param:
         k, _, v = kv.partition("=")
         cfg.param_parse(k, v)
+    if args.lossless:
+        cfg.lossless = True
+        cfg.deblock = cfg.sao = cfg.sign_hiding = cfg.rdoq = False
+        cfg.aq_mode = 0
+        cfg.cutree = False
+        args.all_intra = True        # inter bypass lands later
     if args.all_intra:
         cfg.bframes = 0
     for note in cfg.enforce_level():

@@ -70,6 +70,10 @@ class EncoderConfig:
 
     # tools
     hash_sei: bool = False       # emit decoded-picture-hash SEI (MD5)
+    lossless: bool = False       # cu_transquant_bypass on every CU
+    #                              (x265 --lossless, param.cpp bLossless:
+    #                              transform/quant/loop filters bypassed,
+    #                              recon == source exactly)
     rdoq: bool = False
     sign_hiding: bool = True   # x265 default (param.cpp:208)
     wpp: bool = False

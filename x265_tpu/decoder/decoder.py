@@ -55,6 +55,7 @@ class PpsInfo:
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
     cu_qp_delta: bool = False      # per-QG dQP (QG == CTU only)
+    transquant_bypass: bool = False
 
 
 @dataclass
@@ -141,7 +142,7 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
     p.cr_qp_offset = r.read_se()
     r.read_flag()                  # slice chroma qp offsets present
     r.read_flag(); r.read_flag()   # weighted pred/bipred
-    assert not r.read_flag()       # transquant bypass
+    p.transquant_bypass = bool(r.read_flag())
     assert not r.read_flag()       # tiles
     p.wpp = bool(r.read_flag())
     r.read_flag()                  # loop filter across slices
@@ -361,6 +362,7 @@ class SliceDecoder:
         self.mode4 = np.full((self.h // 4, self.w // 4), 255,
                              dtype=np.uint8)
         self.bd = bd
+        self.bypass = False          # cu_transquant_bypass of current CU
         self._init_dqp()
 
     # -- per-QG dQP (cu_qp_delta; QG == CTU so the predictor is the
@@ -588,6 +590,8 @@ class SliceDecoder:
 
     def _cu(self, x0: int, y0: int, log2_size: int) -> None:
         cab = self.cab
+        self.bypass = bool(self.pps.transquant_bypass and
+                           cab.decode_bin(OFF["cu_transquant_bypass"]))
         size = 1 << log2_size
         nxn = False
         if log2_size == self.sps.log2_min_cu:
@@ -692,7 +696,8 @@ class SliceDecoder:
                              filtered=filt)
         resi = 0
         if cy_ is not None:
-            resi = idct_np(dequant_np(cy_, self.qp_y, bd), bd, dst=True)
+            resi = cy_ if self.bypass else \
+                idct_np(dequant_np(cy_, self.qp_y, bd), bd, dst=True)
         self.y[y0:y0 + 4, x0:x0 + 4] = np.clip(pred + resi,
                                                0, (1 << bd) - 1)
         self.decoded_y[y0:y0 + 4, x0:x0 + 4] = True
@@ -710,8 +715,11 @@ class SliceDecoder:
                                    bit_depth=bd)
             resi_c = 0
             if coeff is not None:
-                dq = dequant_np(coeff, qp, bd)
-                resi_c = idct_np(dq, bd, dst=False)
+                if self.bypass:
+                    resi_c = coeff
+                else:
+                    dq = dequant_np(coeff, qp, bd)
+                    resi_c = idct_np(dq, bd, dst=False)
             plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
                 pred_c + resi_c, 0, (1 << bd) - 1)
         self.decoded_c[cy0:cy0 + cn, cx0:cx0 + cn] = True
@@ -732,8 +740,11 @@ class SliceDecoder:
                              filtered=filt)
         resi = 0
         if cy_ is not None:
-            dq = dequant_np(cy_, self.qp_y, bd)
-            resi = idct_np(dq, bd, dst=(log2_size == 2))
+            if self.bypass:
+                resi = cy_
+            else:
+                dq = dequant_np(cy_, self.qp_y, bd)
+                resi = idct_np(dq, bd, dst=(log2_size == 2))
         self.y[y0:y0 + n, x0:x0 + n] = np.clip(pred + resi, 0, (1 << bd) - 1)
         self.decoded_y[y0:y0 + n, x0:x0 + n] = True
         # chroma
@@ -914,6 +925,7 @@ class PSliceDecoder:
         self.qp = qp
         self.max_merge = max_merge
         ctx = ContextSet(0)
+        assert not pps.transquant_bypass, "lossless P slices unsupported"
         ctx.states = init_states(1, qp)      # P_SLICE row
         self.cab = CabacDecoder(data, ctx)
         self.w, self.h = sps.width, sps.height
@@ -1291,6 +1303,7 @@ class BSliceDecoder:
         self.poc_refs = poc_refs
         self.poc = poc
         ctx = ContextSet(0)
+        assert not pps.transquant_bypass, "lossless B slices unsupported"
         ctx.states = init_states(0, qp)      # B_SLICE row
         self.cab = CabacDecoder(data, ctx)
         self.w, self.h = sps.width, sps.height

@@ -172,6 +172,11 @@ class IntraEncoder:
         cfg = self.cfg
         t_start = time.perf_counter()
         qp = cfg.qp if qp is None else qp
+        if cfg.lossless:
+            # transquant bypass: loop filters and parity tricks are
+            # meaningless on exact residuals (x265 forces these off too)
+            cfg.deblock = cfg.sao = cfg.sign_hiding = cfg.rdoq = False
+            use_device_recon = False
         w, h = cfg.width_padded, cfg.height_padded
         yp = pad_plane(np.asarray(y), h, w)
         cbp = pad_plane(np.asarray(cb), h // 2, w // 2)
@@ -319,7 +324,8 @@ class IntraEncoder:
                     init_states(I_SLICE, qp), mode8=syn.mode8,
                     sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8,
                     sao_params=sao_params, nxn8=syn.nxn8,
-                    mode4=syn.mode4, qp_map=qp_map, slice_qp=qp)
+                    mode4=syn.mode4, qp_map=qp_map, slice_qp=qp,
+                    lossless=cfg.lossless)
             else:
                 syntax = SliceSyntaxEncoder(cfg, syn, I_SLICE, qp,
                                             sao_params=sao_params,
@@ -340,7 +346,7 @@ class IntraEncoder:
                 init_states(I_SLICE, qp), mode8=syn.mode8,
                 sign_hiding=cfg.sign_hiding, cmode8=syn.cmode8,
                 sao_params=sao_params, nxn8=syn.nxn8, mode4=syn.mode4,
-                qp_map=qp_map, slice_qp=qp)
+                qp_map=qp_map, slice_qp=qp, lossless=cfg.lossless)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)

@@ -101,6 +101,13 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
         pred = intra_pred_np(refs, mode, n, is_luma=True, bit_depth=bd,
                              filtered=filt)
         resi = orig_y[y0:y0 + n, x0:x0 + n].astype(np.int32) - pred
+        if cfg.lossless:
+            # cu_transquant_bypass (8.6.1): the residual IS the
+            # coefficient array; recon == source exactly
+            coeff_y[y0:y0 + n, x0:x0 + n] = resi
+            rec_y[y0:y0 + n, x0:x0 + n] = pred + resi
+            dec_y[y0:y0 + n, x0:x0 + n] = True
+            return
         if cfg.sign_hiding:
             coefs, du = quant_np(dct_np(resi, bd, dst=(log2n == 2)),
                                  qq, bd, intra=True, with_rem=True)
@@ -144,6 +151,10 @@ def reconstruct_intra_frame(orig_y: np.ndarray, orig_cb: np.ndarray,
             pred_c = intra_pred_np(refs_c, cmode, cn, is_luma=False,
                                    bit_depth=bd)
             resi_c = op[cy0:cy0 + cn, cx0:cx0 + cn].astype(np.int32) - pred_c
+            if cfg.lossless:
+                cp[cy0:cy0 + cn, cx0:cx0 + cn] = resi_c
+                rp[cy0:cy0 + cn, cx0:cx0 + cn] = pred_c + resi_c
+                continue
             if cfg.sign_hiding:
                 coefs_c, du_c = quant_np(dct_np(resi_c, bd), qqc, bd,
                                          intra=True, with_rem=True)

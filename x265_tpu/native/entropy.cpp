@@ -272,6 +272,7 @@ struct SliceEnc {
     std::vector<uint8_t> fld_pf;       // coded motion field (parse order)
     std::vector<int32_t> fld_mv;       // (n8*4): [cell][list][xy]
     int sign_hiding = 0;
+    int lossless = 0;              // cu_transquant_bypass on every CU
     const uint8_t* cmode8 = nullptr;   // chroma pred mode; null = DM
     const uint8_t* intra8 = nullptr;   // P slices: 8x8 intra CU flags
     const uint8_t* nxn8 = nullptr;     // PART_NxN flags at min CU
@@ -938,12 +939,11 @@ struct SliceEnc {
                 int sx = x0 + (s & 1) * half, sy = y0 + (s >> 1) * half;
                 if (sx < w && sy < h) cu_tree(sx, sy, l2 - 1);
             }
-        } else if (slice_type == 1) {
-            code_cu_p(x0, y0, l2);
-        } else if (slice_type == 0) {
-            code_cu_b(x0, y0, l2);
         } else {
-            code_cu(x0, y0, l2);
+            if (lossless) cab.encode_bin(OFF_CU_TRANSQUANT_BYPASS, 1);
+            if (slice_type == 1) code_cu_p(x0, y0, l2);
+            else if (slice_type == 0) code_cu_b(x0, y0, l2);
+            else code_cu(x0, y0, l2);
         }
     }
 
@@ -1245,7 +1245,7 @@ int encode_slice(int slice_type, const uint8_t* depth8,
                  const uint8_t* mode8, const int32_t* mv8,
                  const int32_t* mvb, const uint8_t* pf8,
                  int poc, int poc_ref0, int poc_ref1, int max_merge,
-                 int sign_hiding, const uint8_t* cmode8,
+                 int sign_hiding, int lossless, const uint8_t* cmode8,
                  const int16_t* coeff_y, const int16_t* coeff_cb,
                  const int16_t* coeff_cr,
                  const int32_t* sao_py, const int32_t* sao_pcb,
@@ -1267,6 +1267,7 @@ int encode_slice(int slice_type, const uint8_t* depth8,
     enc.poc = poc; enc.poc_ref0 = poc_ref0; enc.poc_ref1 = poc_ref1;
     enc.max_merge = max_merge;
     enc.sign_hiding = sign_hiding;
+    enc.lossless = lossless;
     enc.cmode8 = cmode8;
     enc.nxn8 = nxn8;
     enc.mode4 = mode4;
@@ -1310,7 +1311,7 @@ int encode_slice_wpp(int slice_type, const uint8_t* depth8,
                      const uint8_t* mode8, const int32_t* mv8,
                      const int32_t* mvb, const uint8_t* pf8,
                      int poc, int poc_ref0, int poc_ref1,
-                     int max_merge, int sign_hiding,
+                     int max_merge, int sign_hiding, int lossless,
                      const uint8_t* cmode8,
                      const int16_t* coeff_y, const int16_t* coeff_cb,
                      const int16_t* coeff_cr,
@@ -1332,6 +1333,7 @@ int encode_slice_wpp(int slice_type, const uint8_t* depth8,
     enc.poc = poc; enc.poc_ref0 = poc_ref0; enc.poc_ref1 = poc_ref1;
     enc.max_merge = max_merge;
     enc.sign_hiding = sign_hiding;
+    enc.lossless = lossless;
     enc.cmode8 = cmode8;
     enc.nxn8 = nxn8;
     enc.mode4 = mode4;
