@@ -77,6 +77,8 @@ def run_ours(frames, qp: int, w: int, h: int):
     if os.environ.get("RD_AQ"):           # AQ + cuTree (x265 defaults)
         cfg.aq_mode = int(os.environ.get("RD_AQ_MODE", "2"))
         cfg.cutree = os.environ.get("RD_CUTREE", "1") == "1"
+    if os.environ.get("RD_RDOQ"):
+        cfg.rdoq = True
     enc = IntraEncoder(cfg)
     if cfg.dqp_enabled:
         rs = enc.encode_sequence(frames)

@@ -97,6 +97,9 @@ class EncoderConfig:
     cutree: bool = False         # cuTree propagation (x265 default on,
     #                              param.cpp:273); needs aq/dQP plumbing
     qcomp: float = 0.6           # cuTree strength = 5*(1-qcomp)
+    psy_rd: float = 2.0          # AC-energy preservation weight in the
+    #                              leaf RDO (x265 param.cpp psyRd
+    #                              default 2.0; rdcost.h calcPsyRdCost)
 
     @property
     def dqp_enabled(self) -> bool:
@@ -249,10 +252,10 @@ PRESETS = {
 
 # Tunes (presets.rst:112-217 semantics over our knobs)
 TUNES = {
-    "psnr": dict(aq_mode=0, cutree=False),          # pure-PSNR shaping
+    "psnr": dict(aq_mode=0, cutree=False, psy_rd=0.0),  # pure-PSNR
     "ssim": dict(aq_mode=2, aq_strength=1.0),       # variance AQ helps SSIM
     "grain": dict(aq_mode=0, cutree=False,          # freeze QP machinery
-                  sign_hiding=False),
+                  sign_hiding=False, psy_rd=4.0),
     "fastdecode": dict(sao=False, deblock=False,    # drop decoder load
                        sign_hiding=False),
     "zerolatency": dict(bframes=0),                 # no reordering

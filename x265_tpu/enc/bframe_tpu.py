@@ -105,12 +105,13 @@ def _bs_maps_b_t(depth8, mvb, pf8, cf_y, ctu: int):
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
                                    "real_w", "ctu", "deblock", "sao",
                                    "sign_hiding", "me_range", "dqp",
-                                   "need_recon", "rdoq"))
+                                   "need_recon", "rdoq", "psy_rd"))
 def _bframe_batch(r0y, r0cb, r0cr, r1y, r1cb, r1cr, oy_b, ocb_b, ocr_b,
                   qp_maps, *, qp: int, qpc: int, bit_depth: int,
                   real_h: int, real_w: int, ctu: int, deblock: bool,
                   sao: bool, sign_hiding: bool, me_range: int,
-                  dqp: bool, need_recon: bool, rdoq: bool = False):
+                  dqp: bool, need_recon: bool, rdoq: bool = False,
+                  psy_rd: float = 0.0):
     """r*: (F, Hp, Wp) reference planes per frame (stacked); o*_b:
     (F, Hp, Wp) originals. All frames are independent (one pyramid
     layer); a no-carry scan serializes them on one device."""
@@ -221,19 +222,20 @@ def _bframe_batch(r0y, r0cb, r0cr, r1y, r1cb, r1cr, oy_b, ocb_b, ocr_b,
             obk = blocks_of(orig, nn)
             resi = obk - pred
             tcoef = dct_batch(resi, nn, bit_depth)
-            if sign_hiding:
+            if rdoq:
+                if sign_hiding:
+                    coefs, du = rdoq_batch(tcoef, nn, qqp, lam2,
+                                           bit_depth, with_rem=True)
+                    coefs = sign_hide_batch(coefs, nn, 0, du)
+                else:
+                    coefs = rdoq_batch(tcoef, nn, qqp, lam2, bit_depth)
+            elif sign_hiding:
                 coefs, du = quant_batch(tcoef, nn, qqp, bit_depth,
                                         intra=False, with_rem=True)
-                if rdoq:
-                    coefs = rdoq_batch(coefs, tcoef, nn, qqp, lam2,
-                                       bit_depth)
                 coefs = sign_hide_batch(coefs, nn, 0, du)
             else:
                 coefs = quant_batch(tcoef, nn, qqp, bit_depth,
                                     intra=False)
-                if rdoq:
-                    coefs = rdoq_batch(coefs, tcoef, nn, qqp, lam2,
-                                       bit_depth)
             cbf = jnp.any(coefs != 0, axis=(1, 2))
             r = idct_batch(dequant_batch(coefs, nn, qqp, bit_depth), nn,
                            bit_depth)
@@ -277,6 +279,16 @@ def _bframe_batch(r0y, r0cb, r0cr, r1y, r1cb, r1cr, oy_b, ocb_b, ocr_b,
                 _coeff_bits_est(planes[n][1], by, bx, n) + \
                 _coeff_bits_est(planes[n][3], by, bx, cn) + \
                 _coeff_bits_est(planes[n][5], by, bx, cn)
+
+        if psy_rd > 0:
+            from .pgop_tpu import _psy8_energy
+            e_src = _psy8_energy(oy)
+            for n in SIZES:
+                de = jnp.abs(e_src - _psy8_energy(planes[n][0]))
+                k = n // 8
+                by, bx = h // n, w // n
+                psy_n = de.reshape(by, k, bx, k).sum(axis=(1, 3))
+                sse[n] = sse[n] + jnp.float32(psy_rd) * psy_n
 
         mvs_flat = {n: mv_sz[n].reshape(-1, 4) for n in SIZES}
         depth8, mv8x = _rd_depth_decision(sse, bits, mvs_flat, lam2,
@@ -420,7 +432,7 @@ def encode_bframes_tpu(frames, ref0s, ref1s, cfg: EncoderConfig,
         qp=int(qp), qpc=int(chroma_qp(qp)), bit_depth=cfg.bit_depth,
         real_h=h, real_w=w, ctu=ctu, deblock=cfg.deblock, sao=cfg.sao,
         sign_hiding=cfg.sign_hiding, me_range=cfg.me_range, dqp=dqp,
-        need_recon=True, rdoq=cfg.rdoq)
+        need_recon=True, rdoq=cfg.rdoq, psy_rd=float(cfg.psy_rd))
 
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
     mvb = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]

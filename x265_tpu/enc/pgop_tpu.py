@@ -265,9 +265,24 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 # dense MC reconstruction (device compose; inter_frame.py recast)
 # =============================================================================
 
+def _psy8_energy(plane: jnp.ndarray) -> jnp.ndarray:
+    """Per-8x8 AC energy: SA8D with the DC term removed (the
+    psy_cost_pp primitive of x265 rdcost.h:30 — spatial-frequency
+    energy a blurred reconstruction loses). Lanes-last layout keeps
+    the FWHT dense on the 128-lane axis."""
+    from ..ops.satd import sa8d_nxn_lanes
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    b = plane.reshape(by, 8, bx, 8).astype(jnp.int32)
+    lanes = b.transpose(1, 3, 0, 2).reshape(8, 8, by * bx)
+    sa = sa8d_nxn_lanes(lanes, 8)                   # (by*bx,), incl DC
+    dc = jnp.abs(b.sum(axis=(1, 3))).reshape(-1) >> 2
+    return (sa - dc).astype(jnp.float32).reshape(by, bx)
+
+
 def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                   sign_hiding, real_h, real_w, preds, cpreds,
-                  qp_ctu=None, ctu=32, rdoq=False):
+                  qp_ctu=None, ctu=32, rdoq=False, psy_rd=0.0):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds carries the luma
@@ -304,18 +319,20 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         ob = blocks_of(orig, nn)
         resi = ob - pred
         tcoef = dct_batch(resi, nn, bit_depth)
-        if sign_hiding:
+        if rdoq:
+            # RDOQ replaces the dead-zone quantizer entirely
+            if sign_hiding:
+                coefs, du = rdoq_batch(tcoef, nn, qqp, lam2, bit_depth,
+                                       with_rem=True)
+                coefs = sign_hide_batch(coefs, nn, 0, du)
+            else:
+                coefs = rdoq_batch(tcoef, nn, qqp, lam2, bit_depth)
+        elif sign_hiding:
             coefs, du = quant_batch(tcoef, nn, qqp, bit_depth,
                                     intra=False, with_rem=True)
-            if rdoq:
-                coefs = rdoq_batch(coefs, tcoef, nn, qqp, lam2,
-                                   bit_depth)
             coefs = sign_hide_batch(coefs, nn, 0, du)  # inter: diag scan
         else:
             coefs = quant_batch(tcoef, nn, qqp, bit_depth, intra=False)
-            if rdoq:
-                coefs = rdoq_batch(coefs, tcoef, nn, qqp, lam2,
-                                   bit_depth)
         cbf = jnp.any(coefs != 0, axis=(1, 2))
         r = idct_batch(dequant_batch(coefs, nn, qqp, bit_depth), nn,
                        bit_depth)
@@ -353,6 +370,18 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
             _coeff_bits_est(planes[n][1], by, bx, n) + \
             _coeff_bits_est(planes[n][3], by, bx, cn) + \
             _coeff_bits_est(planes[n][5], by, bx, cn)
+
+    if psy_rd > 0:
+        # psy-rd (x265 rdcost.h:30 calcPsyRdCost): penalize recon that
+        # loses the source's AC energy — distortion += psyRd * |dE|,
+        # summed over 8x8 cells (luma, like the reference default)
+        e_src = _psy8_energy(oy)
+        for n in SIZES:
+            de = jnp.abs(e_src - _psy8_energy(planes[n][0]))
+            k = n // 8
+            by, bx = h // n, w // n
+            psy_n = de.reshape(by, k, bx, k).sum(axis=(1, 3))
+            sse[n] = sse[n] + jnp.float32(psy_rd) * psy_n
 
     depth8, mv8 = _rd_depth_decision(sse, bits, mvs, lam2, real_h,
                                      real_w, h, w)
@@ -750,14 +779,15 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
                                    "real_w", "ctu", "deblock", "sao",
                                    "sign_hiding", "me_range",
                                    "need_recon", "dqp", "intra_ii",
-                                   "use_seeds", "rdoq"))
+                                   "use_seeds", "rdoq", "psy_rd"))
 def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                qp_maps, seeds16, *,
                qp: int, qpc: int, bit_depth: int, real_h: int,
                real_w: int, ctu: int, deblock: bool, sao: bool,
                sign_hiding: bool, me_range: int, need_recon: bool,
                dqp: bool = False, intra_ii: bool = True,
-               use_seeds: bool = False, rdoq: bool = False):
+               use_seeds: bool = False, rdoq: bool = False,
+               psy_rd: float = 0.0):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -819,7 +849,7 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                           sign_hiding, real_h, real_w, preds=preds,
                           cpreds=cpreds,
                           qp_ctu=qp_ctu if dqp else None, ctu=ctu,
-                          rdoq=rdoq)
+                          rdoq=rdoq, psy_rd=psy_rd)
 
         # --- intra-in-inter: 8x8 intra CUs where intra beats inter
         if intra_ii:
@@ -1036,7 +1066,8 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
         me_range=me_range, need_recon=need_recon,
         dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter,
-        use_seeds=seeds16 is not None, rdoq=cfg.rdoq)
+        use_seeds=seeds16 is not None, rdoq=cfg.rdoq,
+        psy_rd=float(cfg.psy_rd))
 
     # dispatch mask-directed CG compaction (async): collect downloads
     # the nonzero bitmask, then gathers exactly the nonzero rows

@@ -326,12 +326,15 @@ def dequant_batch(level: jnp.ndarray, size: int, qp,
 
 
 # =============================================================================
-# RDOQ-lite: batched per-coefficient rate-distortion optimization
-# (the vectorizable core of x265 rdoQuant, quant.cpp:610-1425: per-
-# coefficient level choice among {level, level-1, 0} by lambda2-scaled
-# cost; the sequential context modeling and last-position trellis are
-# replaced by static-context bit estimates, which keeps the whole TU
-# batch one tensor op)
+# RDOQ-lite: batched rate-distortion optimized quantization
+# (the vectorizable core of x265 rdoQuant, quant.cpp:610-1425). The
+# key behavior replicated: RDOQ quantizes WITHOUT the dead zone
+# (round-half) and then decides {level, level-1, 0} per coefficient by
+# lambda2-scaled cost, so marginal coefficients the dead zone would
+# drop are KEPT when their distortion saving is worth the bits — plus
+# group (coded_sub_block_flag) and TU (cbf) zeroing. The sequential
+# context trellis is replaced by static-context bit estimates, which
+# keeps the whole TU batch one tensor op.
 # =============================================================================
 
 def _bitlen_j(a: jnp.ndarray) -> jnp.ndarray:
@@ -340,55 +343,57 @@ def _bitlen_j(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a > 0, e + 1, 0)
 
 
-def rdoq_batch(level: jnp.ndarray, tcoef: jnp.ndarray, size: int, qp,
-               lam2: float, bit_depth: int = 8) -> jnp.ndarray:
-    """Optimize quantized levels of (B, N, N) TUs.
+def rdoq_batch(tcoef: jnp.ndarray, size: int, qp, lam2: float,
+               bit_depth: int = 8,
+               with_rem: bool = False):
+    """RD-quantize (B, N, N) transform coefficients directly (replaces
+    quant_batch when RDOQ is on). qp scalar or (B,) vector.
 
-    level: quantized output (signed); tcoef: the transform
-    coefficients that were quantized; qp scalar or (B,) vector.
     Distortion is measured in the levelDouble domain (|coef|*scale)
     and normalized to pixel SSE via the transform gain
-    2^(15 - bitDepth - log2N) and the quant scale (rdoq errScale
-    analog), so lambda2 applies directly."""
+    2^(15 - bitDepth - log2N) and the quant scale (the rdoq errScale
+    analog), so lambda2 applies directly. with_rem additionally
+    returns deltaU remainders for sign-bit hiding."""
     log2n = size.bit_length() - 1
     qp = jnp.asarray(qp, dtype=jnp.int32)
     if qp.ndim == 1:
         qp = qp[:, None, None]
     per, rem = qp // 6, qp % 6
     qbits = QUANT_SHIFT + per + transform_shift(log2n, bit_depth)
-    scale = jnp.take(jnp.asarray(QUANT_SCALES), rem).astype(jnp.float32)
-    a = jnp.abs(tcoef).astype(jnp.float32) * scale      # levelDouble
-    lv = jnp.abs(level)
-    step = jnp.exp2(qbits.astype(jnp.float32))          # 2^qbits
+    scale = jnp.take(jnp.asarray(QUANT_SCALES), rem)
+    a = jnp.abs(tcoef) * scale                          # levelDouble, i32
+    # round-half quantization (f = 0.5; no dead zone): the RD decision
+    # below replaces the heuristic rounding bias
+    l_up = jnp.clip(jnp.right_shift(a + jnp.left_shift(1, qbits - 1),
+                                    qbits), 0, 32767)
 
-    # pixel-domain normalization: err_pixel = err_a / norm
+    af = a.astype(jnp.float32)
+    step = jnp.exp2(qbits.astype(jnp.float32))
     tgain = jnp.exp2(jnp.float32(2 * (15 - bit_depth - log2n)))
-    norm = scale * scale * tgain
+    norm = scale.astype(jnp.float32) ** 2 * tgain
 
     def dist(lq):
-        e = a - lq.astype(jnp.float32) * step
+        e = af - lq.astype(jnp.float32) * step
         return e * e / norm
 
-    # static-context bit estimate: sig flag + greater1/2 + golomb tail
+    # static-context bit estimate: sig + greater1/2 + sign + golomb
     def bits_of(lq):
         return jnp.where(lq > 0,
                          2.0 + 2.0 * _bitlen_j(lq).astype(jnp.float32),
                          0.0)
 
-    cand = [jnp.zeros_like(lv), jnp.maximum(lv - 1, 0), lv]
+    cand = [jnp.zeros_like(l_up), jnp.maximum(l_up - 1, 0), l_up]
     costs = [dist(c) + lam2 * bits_of(c) for c in cand]
     best = jnp.argmin(jnp.stack(costs), axis=0)
     newlv = jnp.where(best == 0, 0,
-                      jnp.where(best == 1, jnp.maximum(lv - 1, 0), lv))
+                      jnp.where(best == 1, jnp.maximum(l_up - 1, 0),
+                                l_up))
 
-    # --- CG-level pass (x265 rdoq coded_sub_block_flag optimization,
-    # quant.cpp:1140): zero an entire 4x4 coefficient group when the
-    # total rate of its levels + the sub-block flag outweighs the
-    # distortion of dropping them. The dead-zone quantizer rarely
-    # leaves per-coefficient wins, but marginal level-1 clusters do
-    # fall below the group threshold.
-    d_gain = dist(jnp.zeros_like(newlv)) - dist(newlv)  # SSE cost of 0
-    r_gain = bits_of(newlv)                             # bits saved by 0
+    # --- CG-level pass (coded_sub_block_flag, quant.cpp:1140): zero a
+    # whole 4x4 group when its levels + the sub-block flag cost more
+    # than the distortion of dropping them
+    d_gain = dist(jnp.zeros_like(newlv)) - dist(newlv)
+    r_gain = bits_of(newlv)
     if size > 4:
         g = size // 4
         b = newlv.shape[0]
@@ -403,10 +408,14 @@ def rdoq_batch(level: jnp.ndarray, tcoef: jnp.ndarray, size: int, qp,
         d_gain = jnp.where(kill, 0.0, d_gain)
         r_gain = jnp.where(kill, 0.0, r_gain)
 
-    # --- TU-level pass (cbf optimization): dropping the whole TU also
-    # saves the cbf + last-position signaling (~4 bits static estimate)
+    # --- TU-level pass (cbf + last-position savings)
     dd_tu = d_gain.sum(axis=(1, 2))
     rr_tu = r_gain.sum(axis=(1, 2))
-    kill_tu = (dd_tu <= lam2 * (rr_tu + 4.0)) & (rr_tu > 0)
+    kill_tu = (dd_tu <= lam2 * (rr_tu + 2.0)) & (rr_tu > 0)
     newlv = jnp.where(kill_tu[:, None, None], 0, newlv)
-    return jnp.sign(level) * newlv
+    out = jnp.sign(tcoef) * newlv
+    if not with_rem:
+        return out
+    delta_u = jnp.right_shift(a - jnp.left_shift(newlv, qbits),
+                              qbits - 8)
+    return out, delta_u

@@ -64,7 +64,7 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             real_h=real_h, real_w=real_w, ctu=cfg.ctu_size,
             deblock=cfg.deblock, sao=cfg.sao,
             sign_hiding=cfg.sign_hiding, me_range=me_range,
-            need_recon=True)
+            need_recon=True, psy_rd=float(cfg.psy_rd))
         # rate-control all-reduce across the GOP mesh (ICI collective):
         # total coded-energy proxy feeds the shared rate controller
         rate = jnp.sum(jnp.abs(res[2]).astype(jnp.float32))
