@@ -35,11 +35,74 @@ def picture_md5(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return out
 
 
+def _crc16_bits(plane: np.ndarray, bit_depth: int) -> int:
+    """Pure-Python oracle for the D.3.19 CRC shift register (picyuv.cpp
+    updateCRC/crcFinish behavior): s' = s*x + bit mod 0x11021, low byte
+    first, finished with 16 zero bits."""
+    crc = 0xFFFF
+    nbits = 16 if bit_depth > 8 else 8
+    for s in plane.reshape(-1).tolist():
+        for grp in range(0, nbits, 8):
+            for bit in range(8):
+                b = (s >> (grp + 7 - bit)) & 1
+                msb = (crc >> 15) & 1
+                crc = (((crc << 1) + b) & 0xFFFF) ^ (0x1021 if msb else 0)
+    for _ in range(16):
+        msb = (crc >> 15) & 1
+        crc = ((crc << 1) & 0xFFFF) ^ (0x1021 if msb else 0)
+    return crc
+
+
+def picture_crc(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                bit_depth: int = 8) -> list[bytes]:
+    """Per-plane CRC-16 (hash_type 1), via the native table-driven
+    kernel (entropy.cpp picture_crc16); 2-byte big-endian digests."""
+    from ..native.entropy_native import get_lib
+    import ctypes
+    lib = get_lib()
+    if not hasattr(lib.picture_crc16, "_typed"):
+        lib.picture_crc16.restype = ctypes.c_int
+        lib.picture_crc16.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
+                                      ctypes.c_int]
+        lib.picture_crc16._typed = True
+    out = []
+    for p in (y, cb, cr):
+        a = np.ascontiguousarray(p.astype(np.uint16))
+        v = lib.picture_crc16(a.ctypes.data, a.size,
+                              1 if bit_depth > 8 else 0)
+        out.append(bytes([(v >> 8) & 0xFF, v & 0xFF]))
+    return out
+
+
+def picture_checksum(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     bit_depth: int = 8) -> list[bytes]:
+    """Per-plane position-masked checksum (hash_type 2, D.3.19;
+    picyuv.cpp updateChecksum) — vectorized over the plane."""
+    out = []
+    for p in (y, cb, cr):
+        h, w = p.shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        mask = ((xx & 0xFF) ^ (yy & 0xFF) ^ (xx >> 8) ^ (yy >> 8)) & 0xFF
+        s = p.astype(np.uint32)
+        total = int(((s & 0xFF) ^ mask).sum(dtype=np.uint64))
+        if bit_depth > 8:
+            total += int(((s >> 8) ^ mask).sum(dtype=np.uint64))
+        total &= 0xFFFFFFFF
+        out.append(total.to_bytes(4, "big"))
+    return out
+
+
+HASH_FNS = {1: picture_md5, 2: picture_crc, 3: picture_checksum}
+
+
 def write_picture_hash_sei(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                           bit_depth: int = 8) -> tuple[NalUnitType, bytes]:
-    """Build the suffix-SEI NAL (type, rbsp) for the decoded picture."""
-    hashes = picture_md5(y, cb, cr, bit_depth)
-    payload = bytes([0]) + b"".join(hashes)   # hash_type = 0 (MD5)
+                           bit_depth: int = 8, hash_type: int = 1
+                           ) -> tuple[NalUnitType, bytes]:
+    """Build the suffix-SEI NAL (type, rbsp) for the decoded picture.
+    hash_type follows the x265 --hash numbering: 1=MD5, 2=CRC,
+    3=checksum (the SEI's hash_type field is that minus one)."""
+    hashes = HASH_FNS[hash_type](y, cb, cr, bit_depth)
+    payload = bytes([hash_type - 1]) + b"".join(hashes)
     w = BitWriter()
     w.write(SEI_DECODED_PICTURE_HASH, 8)      # payload_type
     size = len(payload)
@@ -52,8 +115,10 @@ def write_picture_hash_sei(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return NalUnitType.SUFFIX_SEI, w.get_bytes()
 
 
-def parse_picture_hash_sei(rbsp: bytes) -> list[bytes] | None:
-    """Parse a suffix SEI rbsp; returns the 3 MD5 digests if present."""
+def parse_picture_hash_sei(rbsp: bytes
+                           ) -> tuple[int, list[bytes]] | None:
+    """Parse a suffix SEI rbsp; returns (hash_type 1/2/3 in x265
+    numbering, the 3 per-plane digests) if present."""
     i = 0
     while i < len(rbsp) - 1:
         ptype = 0
@@ -70,9 +135,12 @@ def parse_picture_hash_sei(rbsp: bytes) -> list[bytes] | None:
         i += 1
         if ptype == SEI_DECODED_PICTURE_HASH:
             payload = rbsp[i:i + size]
-            if payload[0] != 0:
-                return None       # only MD5 handled
-            return [payload[1 + 16 * k:1 + 16 * (k + 1)] for k in range(3)]
+            htype = payload[0] + 1
+            n = {1: 16, 2: 2, 3: 4}.get(htype)
+            if n is None:
+                return None
+            return htype, [payload[1 + n * k:1 + n * (k + 1)]
+                           for k in range(3)]
         i += size
     return None
 

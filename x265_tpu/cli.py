@@ -56,8 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--no-deblock", action="store_true")
     p.add_argument("--sao", action="store_true",
                    help="enable sample adaptive offset")
-    p.add_argument("--hash", dest="hash_sei", action="store_true",
-                   help="emit decoded-picture-hash SEI (MD5)")
+    p.add_argument("--hash", dest="hash_sei", type=int, nargs="?",
+                   const=1, default=0, choices=[0, 1, 2, 3],
+                   help="decoded-picture-hash SEI: 1=MD5 2=CRC "
+                        "3=checksum")
     p.add_argument("--recon", help="write reconstructed video (.y4m)")
     p.add_argument("--csv", help="per-frame stats CSV")
     p.add_argument("--all-intra", action="store_true",
@@ -150,7 +152,7 @@ def main(argv=None) -> int:
     if args.rdoq_level is not None:
         cfg.rdoq = args.rdoq_level > 0
     if args.hash_sei:
-        cfg.hash_sei = True
+        cfg.hash_sei = args.hash_sei
     if args.bframes is not None:
         cfg.bframes = args.bframes
     if cfg.bframes:

@@ -69,7 +69,8 @@ class EncoderConfig:
     sao: bool = False
 
     # tools
-    hash_sei: bool = False       # emit decoded-picture-hash SEI (MD5)
+    hash_sei: int = 0            # decoded-picture-hash SEI: 0=off,
+    #                              1=MD5, 2=CRC, 3=checksum (x265 --hash)
     lossless: bool = False       # cu_transquant_bypass on every CU
     #                              (x265 --lossless, param.cpp bLossless:
     #                              transform/quant/loop filters bypassed,

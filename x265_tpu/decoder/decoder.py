@@ -182,12 +182,13 @@ def decode_annexb(stream: bytes) -> list[DecodedFrame]:
             if is_ref:
                 dpb[f.poc] = f
         elif nal_type == NalUnitType.SUFFIX_SEI:
-            from ..bitstream.sei import parse_picture_hash_sei, picture_md5
-            digests = parse_picture_hash_sei(rbsp)
-            if digests is not None and frames:
+            from ..bitstream.sei import parse_picture_hash_sei, HASH_FNS
+            parsed = parse_picture_hash_sei(rbsp)
+            if parsed is not None and frames:
+                htype, digests = parsed
                 f = frames[-1]
-                got = picture_md5(f.y, f.cb, f.cr,
-                                  sps.bit_depth if sps else 8)
+                got = HASH_FNS[htype](f.y, f.cb, f.cr,
+                                      sps.bit_depth if sps else 8)
                 if got != digests:
                     raise ValueError(
                         "decoded-picture-hash mismatch: stream corrupt or "

@@ -368,7 +368,8 @@ class IntraEncoder:
         if cfg.hash_sei:
             from ..bitstream.sei import write_picture_hash_sei
             nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
-                                               cfg.bit_depth))
+                                               cfg.bit_depth,
+                                               int(cfg.hash_sei)))
         stream = annexb_stream(nals)
         self.frame_count += 1
         self.stats.add("I", len(stream) * 8, qp, poc=0, syn=syn,
@@ -441,8 +442,9 @@ class IntraEncoder:
         nals = [(nal_type, sw.get_bytes(), pre_data)]
         if cfg.hash_sei:
             from ..bitstream.sei import write_picture_hash_sei
-            nals.append(write_picture_hash_sei(recon.y, recon.cb,
-                                               recon.cr, cfg.bit_depth))
+            nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
+                                               cfg.bit_depth,
+                                               int(cfg.hash_sei)))
         stream = annexb_stream(nals)
         self.frame_count += 1
         self.stats.add("B", len(stream) * 8, qp, poc=poc, syn=syn)
@@ -547,7 +549,8 @@ class IntraEncoder:
         if cfg.hash_sei:
             from ..bitstream.sei import write_picture_hash_sei
             nals.append(write_picture_hash_sei(recon.y, recon.cb, recon.cr,
-                                               cfg.bit_depth))
+                                               cfg.bit_depth,
+                                               int(cfg.hash_sei)))
         stream = annexb_stream(nals)
         self.frame_count += 1
         self.stats.add("B", len(stream) * 8, qp, poc=poc, syn=syn)
@@ -838,7 +841,8 @@ class IntraEncoder:
             if cfg.hash_sei:
                 from ..bitstream.sei import write_picture_hash_sei
                 nals.append(write_picture_hash_sei(
-                    recon.y, recon.cb, recon.cr, cfg.bit_depth))
+                    recon.y, recon.cb, recon.cr, cfg.bit_depth,
+                    int(cfg.hash_sei)))
             stream = annexb_stream(nals)
             self.frame_count += 1
             self.stats.add("P", len(stream) * 8, qp, poc=self.poc,

@@ -1362,4 +1362,35 @@ int ctx_layout_checksum() {
     return CTX_LAYOUT_CHECKSUM;
 }
 
+// decoded-picture-hash CRC (hash_type 1, H.265 D.3.19): CRC-16/CCITT
+// over the raster sample bytes, low byte first then (bit depth > 8)
+// high byte; init 0xffff, finished by clocking 16 zero bits.
+// Reference behavior: picyuv.cpp updateCRC/crcFinish.
+int picture_crc16(const uint16_t* plane, long long n, int two_bytes) {
+    static uint16_t tab[256];
+    static bool init = false;
+    if (!init) {
+        for (int b = 0; b < 256; b++) {
+            uint32_t c = (uint32_t)b << 8;
+            for (int k = 0; k < 8; k++)
+                c = ((c << 1) & 0xffff) ^ ((c >> 15) & 1 ? 0x1021 : 0);
+            tab[b] = (uint16_t)c;
+        }
+        init = true;
+    }
+    // one step is s' = s*x + bit mod P (bit enters the LSB), so a byte
+    // is s' = (s_lo << 8) ^ tab[s_hi] ^ byte with tab[h] = h*x^16 mod P
+    uint32_t crc = 0xffff;
+    for (long long i = 0; i < n; i++) {
+        uint16_t s = plane[i];
+        crc = ((crc << 8) & 0xffff) ^ tab[(crc >> 8) & 0xff] ^ (s & 0xff);
+        if (two_bytes)
+            crc = ((crc << 8) & 0xffff) ^ tab[(crc >> 8) & 0xff] ^ (s >> 8);
+    }
+    // crcFinish: 16 zero bits
+    crc = ((crc << 8) & 0xffff) ^ tab[(crc >> 8) & 0xff];
+    crc = ((crc << 8) & 0xffff) ^ tab[(crc >> 8) & 0xff];
+    return (int)crc;
+}
+
 }  // extern "C"
