@@ -98,6 +98,17 @@ def parse_args(argv=None):
                    'WP(x,y)L(max,min)"')
     p.add_argument("--max-cll", default=None, metavar="CLL,FALL",
                    help="HDR10 content light level")
+    p.add_argument("--dhdr10-info", default=None, metavar="JSON",
+                   help="HDR10+ dynamic metadata JSON; per-frame "
+                        "ST 2094-40 T.35 SEIs")
+    p.add_argument("--dhdr10-opt", action="store_true",
+                   help="emit HDR10+ SEI only on IDR frames")
+    p.add_argument("--chunk-start", type=int, default=0,
+                   help="first frame of this encode chunk (0-based, "
+                        "inclusive)")
+    p.add_argument("--chunk-end", type=int, default=0,
+                   help="one past the last frame of this chunk "
+                        "(0 = to the end)")
     p.add_argument("--qpfile",
                    help="per-frame overrides file: '<frame> <I|P|B> "
                         "<qp>' per line (x265 --qpfile)")
@@ -200,6 +211,9 @@ def main(argv=None) -> int:
         cfg.master_display = args.master_display
     if args.max_cll:
         cfg.max_cll = args.max_cll
+    if args.dhdr10_info:
+        cfg.dhdr10_info = args.dhdr10_info
+        cfg.dhdr10_opt = args.dhdr10_opt
     if args.aq_mode is not None:
         cfg.aq_mode = args.aq_mode
     if args.aq_strength is not None:
@@ -271,6 +285,10 @@ def main(argv=None) -> int:
 
     ssim_acc = 0.0
     au_since_bp = 0
+    dhdr10_payloads = None
+    if cfg.dhdr10_info:
+        from .bitstream.hdr10plus import load_payloads
+        dhdr10_payloads = load_payloads(cfg.dhdr10_info)
 
     def emit(res, orig, ftype, fqp):
         nonlocal total_bits, psnr_acc, ssim_acc, n, au_since_bp
@@ -298,6 +316,15 @@ def main(argv=None) -> int:
             if cfg.max_cll:
                 from .bitstream.sei import write_content_light_level_sei
                 pre.append(write_content_light_level_sei(cfg.max_cll))
+        if dhdr10_payloads and (ftype == "I" or not cfg.dhdr10_opt):
+            # HDR10+ dynamic metadata (ST 2094-40), one T.35 prefix
+            # SEI per source frame (frameencoder.cpp:1105 analog);
+            # --dhdr10-opt restricts emission to IDR AUs. The last
+            # JSON entry repeats for any trailing frames, matching
+            # the reference's scene-persistent semantics.
+            from .bitstream.hdr10plus import write_t35_sei
+            pre.append(write_t35_sei(
+                dhdr10_payloads[min(n, len(dhdr10_payloads) - 1)]))
         if pre:
             from .bitstream.nal import annexb_stream
             out.write(annexb_stream(pre))
@@ -339,7 +366,17 @@ def main(argv=None) -> int:
         gop_base += len(gop_buf)
         gop_buf = []
 
+    src_idx = -1                # source frame index (pre-chunk)
     for frame in reader:
+        src_idx += 1
+        # chunk bounds (x265 --chunk-start/--chunk-end,
+        # abrEncApp-style distributed chunk encoding): frames outside
+        # [chunk_start, chunk_end) are read and skipped so every
+        # chunk sees identical source indexing
+        if args.chunk_start and src_idx < args.chunk_start:
+            continue
+        if args.chunk_end and src_idx >= args.chunk_end:
+            break
         if args.frames and n + len(gop_buf) >= args.frames:
             break
         y, cb, cr = frame

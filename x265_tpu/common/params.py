@@ -59,6 +59,10 @@ class EncoderConfig:
     chromaloc: int | None = None  # chroma_sample_loc_type (0..5)
     master_display: str = ""     # "G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)"
     max_cll: str = ""            # "cll,fall"
+    dhdr10_info: str = ""        # HDR10+ JSON sidecar path (x265
+    #                              --dhdr10-info; dynamicHDR10/api.cpp)
+    dhdr10_opt: bool = False     # emit the T.35 SEI only on IDR frames
+    #                              (x265 --dhdr10-opt)
 
     @property
     def vbv_enabled(self) -> bool:

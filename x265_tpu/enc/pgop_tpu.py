@@ -373,15 +373,20 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
 
     if psy_rd > 0:
         # psy-rd (x265 rdcost.h:30 calcPsyRdCost): penalize recon that
-        # loses the source's AC energy — distortion += psyRd * |dE|,
-        # summed over 8x8 cells (luma, like the reference default)
+        # loses the source's AC energy — distortion +=
+        # lambda * psyRd * |dE| summed over 8x8 cells (luma, like the
+        # reference default). The lambda factor matches the reference's
+        # (m_lambda * m_psyRd * psycost) >> 24 scaling: psy energy is
+        # amplitude-linear while SSE is quadratic, so without it the
+        # SSE term drowns the psy term as QP rises.
+        lam = jnp.sqrt(jnp.float32(lam2))
         e_src = _psy8_energy(oy)
         for n in SIZES:
             de = jnp.abs(e_src - _psy8_energy(planes[n][0]))
             k = n // 8
             by, bx = h // n, w // n
             psy_n = de.reshape(by, k, bx, k).sum(axis=(1, 3))
-            sse[n] = sse[n] + jnp.float32(psy_rd) * psy_n
+            sse[n] = sse[n] + jnp.float32(psy_rd) * lam * psy_n
 
     depth8, mv8 = _rd_depth_decision(sse, bits, mvs, lam2, real_h,
                                      real_w, h, w)
