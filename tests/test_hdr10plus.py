@@ -80,6 +80,45 @@ def test_legacy_payload_differs_only_in_version_field():
     assert pl[:6] == pllc[:6] and pl[7:] == pllc[7:]
 
 
+def test_local_window_bezier_curve():
+    """Legacy multi-window frames source each local window's tone
+    curve from LocalParameters[w-1].BezierCurveData
+    (metadataFromJson.cpp:563-566), not the global frame curve."""
+    local_curve = {
+        "KneePointX": 7, "KneePointY": 9, "NumberOfAnchors": 2,
+        "Anchor0": 11, "Anchor1": 13,
+    }
+    frame = {
+        "LuminanceParameters": {"AverageRGB": 10,
+                                "MaxScl0": 1, "MaxScl1": 2, "MaxScl2": 3,
+                                "PercentileLuminance": {}},
+        "BezierCurveData": {
+            "KneePointX": 100, "KneePointY": 200, "NumberOfAnchors": 1,
+            "Anchor0": 999,
+        },
+        "TargetedSystemDisplayMaximumLuminance": 400,
+        "NumberOfWindows": 2,
+        "LocalParameters": [{"WindowData": {}, "EllipseData": {},
+                             "BezierCurveData": local_curve}],
+    }
+    p = frame_payload(frame, llc=False)
+    bits = "".join(f"{b:08b}" for b in p)
+    # global curve (window 0): flag 1, knee 100/200, 1 anchor = 999
+    g = "1" + f"{100:012b}" + f"{200:012b}" + f"{1:04b}" + f"{999:010b}"
+    # local curve (window 1): knee 7/9, anchors 11, 13
+    l = "1" + f"{7:012b}" + f"{9:012b}" + f"{2:04b}" + \
+        f"{11:010b}" + f"{13:010b}"
+    i = bits.find(g)
+    assert i >= 0
+    assert bits[i + len(g):i + len(g) + len(l)] == l
+    # dropping the local curve data yields tone_mapping_flag 0
+    frame["LocalParameters"] = [{}]
+    p2 = frame_payload(frame, llc=False)
+    bits2 = "".join(f"{b:08b}" for b in p2)
+    j = bits2.find(g)
+    assert j >= 0 and bits2[j + len(g)] == "0"
+
+
 def test_load_payloads_scene_info(tmp_path):
     f = tmp_path / "meta.json"
     f.write_text(json.dumps({"SceneInfo": [LLC_FRAME, LLC_FRAME]}))
@@ -108,7 +147,7 @@ def test_cli_dhdr10_and_chunk(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "x265_tpu.cli", str(src), "-o", str(out),
          "--qp", "32", "--dhdr10-info", str(meta),
-         "--chunk-start", "1", "--chunk-end", "3"],
+         "--chunk-start", "2", "--chunk-end", "3"],
         capture_output=True, text=True,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-2000:]

@@ -1,6 +1,14 @@
 #!/usr/bin/env python
-"""End-to-end IPPP stage breakdown at 1080p: device scan vs transfers
-vs host CABAC. Run on the TPU (default) to see the real pipeline."""
+"""Stage-level timing of the IPPP pipeline on the attached TPU.
+
+Breaks one steady-state 8-frame P chunk into:
+  submit   - H2D upload + building the dispatch (host)
+  scan     - the fused device scan (block_until_ready on res)
+  collect  - D2H download incl. CG compaction
+  emit     - slice headers + native CABAC (host serial tail)
+and times the I-frame path separately.
+"""
+
 import os
 import sys
 import time
@@ -8,126 +16,68 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-import numpy as np  # noqa: E402
+import numpy as np
+import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+from bench import synth_1080p
+from x265_tpu.common.params import EncoderConfig
+from x265_tpu.enc import IntraEncoder
+from x265_tpu.enc.pgop_tpu import submit_pgop_tpu, collect_pgop_tpu
 
-from x265_tpu.common.params import EncoderConfig  # noqa: E402
-from x265_tpu.common.tables import chroma_qp  # noqa: E402
-from x265_tpu.enc import IntraEncoder  # noqa: E402
-from x265_tpu.enc.pgop_tpu import _pgop_scan  # noqa: E402
-from bench import synth_1080p  # noqa: E402
+cfg = EncoderConfig(width=1920, height=1080, qp=32, deblock=True, sao=False)
+enc = IntraEncoder(cfg)
+N = 8
+frames = [synth_1080p(i % 3, shift=2 * i) for i in range(N + 1)]
 
+# I frame
+r0 = enc.encode_frame(*frames[0], qp=cfg.qp - 3, use_device_recon=True,
+                      need_recon=False)
+t0 = time.perf_counter()
+enc.frame_count = 1
+r0 = enc.encode_frame(*frames[0], qp=cfg.qp - 3, use_device_recon=True,
+                      need_recon=False)
+t_i = time.perf_counter() - t0
+ref = r0.device_ref
 
-def main():
-    gop = int(os.environ.get("BENCH_GOP", "8"))
-    print("devices:", jax.devices(), flush=True)
-    cfg = EncoderConfig(width=1920, height=1080, qp=32, deblock=True,
-                        sao=False)
-    enc = IntraEncoder(cfg)
-    frames = [synth_1080p(i % 3, shift=2 * i) for i in range(gop)]
+from x265_tpu.enc.encoder import pad_plane
+w, h = cfg.width_padded, cfg.height_padded
+oy = np.stack([pad_plane(np.asarray(f[0]), h, w) for f in frames[1:]])
+ocb = np.stack([pad_plane(np.asarray(f[1]), h // 2, w // 2) for f in frames[1:]])
+ocr = np.stack([pad_plane(np.asarray(f[2]), h // 2, w // 2) for f in frames[1:]])
 
-    # --- I frame
+# warm
+pend = submit_pgop_tpu(oy, ocb, ocr, ref, cfg, cfg.qp, need_recon=False,
+                       me_range=cfg.me_range)
+syns, recons, _ = collect_pgop_tpu(pend)
+_ = enc._emit_p_frames(syns, recons, cfg.qp)
+
+for it in range(2):
     t0 = time.perf_counter()
-    r0 = enc.encode_frame(*frames[0], qp=cfg.qp - 3,
-                          use_device_recon=True)
-    print(f"I frame (cold): {time.perf_counter()-t0:.2f}s", flush=True)
-    enc.ref = r0.recon
-    t0 = time.perf_counter()
-    r0b = enc.encode_frame(*frames[0], qp=cfg.qp - 3,
-                           use_device_recon=True)
-    print(f"I frame (warm): {time.perf_counter()-t0:.2f}s", flush=True)
-
-    # --- P GOP staged
-    from x265_tpu.enc.encoder import pad_plane
-    w, h = cfg.width_padded, cfg.height_padded
-    pf = frames[1:]
-    f = len(pf)
-    oy = np.stack([pad_plane(np.asarray(x[0]), h, w) for x in pf])
-    ocb = np.stack([pad_plane(np.asarray(x[1]), h // 2, w // 2)
-                    for x in pf])
-    ocr = np.stack([pad_plane(np.asarray(x[2]), h // 2, w // 2)
-                    for x in pf])
-    hp = (h + 31) // 32 * 32
-    wp = (w + 31) // 32 * 32
-    qp, qpc = cfg.qp, chroma_qp(cfg.qp)
-
-    def upload():
-        def padp(p, ph, pw):
-            pads = ((0, 0), (0, ph - p.shape[-2]), (0, pw - p.shape[-1]))
-            if p.ndim == 2:
-                pads = pads[1:]
-            return np.pad(p, pads, mode="edge").astype(np.uint8)
-        j = (jnp.asarray(padp(oy, hp, wp).reshape(f * hp, wp))
-             .reshape(f, hp, wp),
-             jnp.asarray(padp(ocb, hp // 2, wp // 2)
-                         .reshape(f * (hp // 2), wp // 2))
-             .reshape(f, hp // 2, wp // 2),
-             jnp.asarray(padp(ocr, hp // 2, wp // 2)
-                         .reshape(f * (hp // 2), wp // 2))
-             .reshape(f, hp // 2, wp // 2),
-             jnp.asarray(padp(np.asarray(enc.ref.y)[None], hp, wp)[0]),
-             jnp.asarray(padp(np.asarray(enc.ref.cb)[None],
-                              hp // 2, wp // 2)[0]),
-             jnp.asarray(padp(np.asarray(enc.ref.cr)[None],
-                              hp // 2, wp // 2)[0]))
-        jax.block_until_ready(j)
-        return j
+    pend = submit_pgop_tpu(oy, ocb, ocr, ref, cfg, cfg.qp,
+                           need_recon=False, me_range=cfg.me_range)
+    t_submit = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    oyj, ocbj, ocrj, ry, rcb, rcr = upload()
-    print(f"H2D upload+pad: {time.perf_counter()-t0:.2f}s", flush=True)
-
-    def dispatch():
-        return _pgop_scan(ry, rcb, rcr, oyj, ocbj, ocrj, qp=qp, qpc=qpc,
-                          bit_depth=8, real_h=h, real_w=w, ctu=32,
-                          deblock=True, sao=False, sign_hiding=True,
-                          me_range=cfg.me_range, need_recon=False)
-
-    res, fin = dispatch()          # compile+warm
-    _ = [np.asarray(r) for r in res]
-    t0 = time.perf_counter()
-    res, fin = dispatch()
-    # force via tiny reduction fetch (axon block_until_ready caveat)
-    s = float(jnp.sum(res[0].astype(jnp.int32)))
-    print(f"device scan ({f} P frames): {time.perf_counter()-t0:.2f}s",
-          flush=True)
+    jax.block_until_ready(pend.res)
+    t_scan = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    host = [np.asarray(r) for r in res]
-    print(f"D2H results: {time.perf_counter()-t0:.2f}s "
-          f"({sum(r.nbytes for r in host)/1e6:.1f} MB)", flush=True)
-    for i, r in enumerate(host):
-        print(f"  res[{i}]: {r.shape} {r.dtype} {r.nbytes/1e6:.2f} MB",
-              flush=True)
+    jax.block_until_ready(pend.cy_cgs)
+    jax.block_until_ready(pend.cc_cgs)
+    t_cgs = time.perf_counter() - t0
 
-    # --- full encode_pgop (includes syntax + native CABAC)
-    enc2 = IntraEncoder(cfg)
-    enc2.ref = r0.recon
     t0 = time.perf_counter()
-    rs = enc2.encode_pgop(pf, need_recon=False)
-    dt = time.perf_counter() - t0
-    print(f"encode_pgop total: {dt:.2f}s -> {f/dt:.2f} fps (P only)",
-          flush=True)
+    syns, recons, _ = collect_pgop_tpu(pend)
+    t_collect = time.perf_counter() - t0
 
-    # isolate CABAC: re-run syntax coding on host arrays
-    from x265_tpu.bitstream.ctx_tables import init_states
-    from x265_tpu.native.entropy_native import encode_slice_native
     t0 = time.perf_counter()
-    nbytes = 0
-    for r in rs:
-        syn = r.syntax
-        payload, tv, tb = encode_slice_native(
-            1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr,
-            w, h, cfg.log2_ctu, cfg.log2_min_cu, init_states(1, qp),
-            mv8=syn.mv8, max_merge=syn.max_merge, sign_hiding=True)
-        nbytes += len(payload)
-    print(f"native CABAC x{f}: {time.perf_counter()-t0:.2f}s "
-          f"({nbytes/1e3:.0f} kB)", flush=True)
-
-
-if __name__ == "__main__":
-    main()
+    enc.poc = 0
+    res = enc._emit_p_frames(syns, recons, cfg.qp)
+    t_emit = time.perf_counter() - t0
+    tot = t_submit + t_scan + t_cgs + t_collect + t_emit
+    print(f"iter {it}: I={t_i:.3f}s  submit={t_submit:.3f}  "
+          f"scan={t_scan:.3f}  cgs={t_cgs:.3f}  collect={t_collect:.3f}  "
+          f"emit={t_emit:.3f}  total(P chunk of {N})={tot:.3f}s  "
+          f"-> {N / tot:.2f} P-fps unpipelined")

@@ -56,8 +56,17 @@ def _window_payload(w: BitWriter, frame: dict, llc: bool) -> None:
     w.write(0, 10)                            # fraction_bright_pixels
 
 
-def _bezier_payload(w: BitWriter, frame: dict, llc: bool) -> None:
-    curve = frame.get("BezierCurveData")
+def _bezier_payload(w: BitWriter, frame: dict, llc: bool,
+                    window: int = 0) -> None:
+    """Bezier tone curve for one window. Window 0 reads the global
+    frame curve; local windows read their OWN curve from
+    LocalParameters[window-1] (metadataFromJson.cpp:563-566)."""
+    if window == 0:
+        curve = frame.get("BezierCurveData")
+    else:
+        locals_ = frame.get("LocalParameters", [])
+        curve = locals_[window - 1].get("BezierCurveData") \
+            if window - 1 < len(locals_) else None
     if not curve:
         w.write_flag(0)                       # tone_mapping_flag
         return
@@ -112,8 +121,8 @@ def frame_payload(frame: dict, llc: bool) -> bytes:
     for _ in range(num_windows):
         _window_payload(w, frame, llc)
     w.write_flag(0)      # mastering_display_actual_peak_luminance
-    for _ in range(num_windows):
-        _bezier_payload(w, frame, llc)
+    for wi in range(num_windows):
+        _bezier_payload(w, frame, llc, window=wi)
     w.write_flag(0)      # color_saturation_mapping_flag
     w.align_zero()       # zero-pad the trailing partial byte
     return w.get_bytes()

@@ -102,13 +102,18 @@ def parse_args(argv=None):
                    help="HDR10+ dynamic metadata JSON; per-frame "
                         "ST 2094-40 T.35 SEIs")
     p.add_argument("--dhdr10-opt", action="store_true",
-                   help="emit HDR10+ SEI only on IDR frames")
+                   help="emit HDR10+ SEI only on IDR frames or when "
+                        "the payload changes")
     p.add_argument("--chunk-start", type=int, default=0,
-                   help="first frame of this encode chunk (0-based, "
-                        "inclusive)")
+                   help="first frame of this encode chunk (1-based, "
+                        "inclusive, x265 numbering). NOTE: unlike "
+                        "x265, pre-chunk frames are skipped entirely "
+                        "rather than encoded with suppressed output, "
+                        "so chunk boundaries start without lookahead "
+                        "context")
     p.add_argument("--chunk-end", type=int, default=0,
-                   help="one past the last frame of this chunk "
-                        "(0 = to the end)")
+                   help="last frame of this chunk (1-based, INCLUSIVE, "
+                        "x265 numbering; 0 = to the end)")
     p.add_argument("--qpfile",
                    help="per-frame overrides file: '<frame> <I|P|B> "
                         "<qp>' per line (x265 --qpfile)")
@@ -286,12 +291,19 @@ def main(argv=None) -> int:
     ssim_acc = 0.0
     au_since_bp = 0
     dhdr10_payloads = None
+    dhdr10_last = None
     if cfg.dhdr10_info:
         from .bitstream.hdr10plus import load_payloads
         dhdr10_payloads = load_payloads(cfg.dhdr10_info)
+    # source frames skipped before this chunk (1-based inclusive
+    # numbering, matching x265 --chunk-start)
+    chunk_skip = (args.chunk_start - 1) if args.chunk_start else 0
 
-    def emit(res, orig, ftype, fqp):
-        nonlocal total_bits, psnr_acc, ssim_acc, n, au_since_bp
+    def emit(res, orig, ftype, fqp, disp=None):
+        nonlocal total_bits, psnr_acc, ssim_acc, n, au_since_bp, \
+            dhdr10_last
+        if disp is None:
+            disp = n                 # display == decode order
         # AU prefix: delimiter + HRD timing SEIs (frameencoder.cpp
         # :468-792 AUD/SEI emission analog)
         pre = []
@@ -316,15 +328,23 @@ def main(argv=None) -> int:
             if cfg.max_cll:
                 from .bitstream.sei import write_content_light_level_sei
                 pre.append(write_content_light_level_sei(cfg.max_cll))
-        if dhdr10_payloads and (ftype == "I" or not cfg.dhdr10_opt):
+        if dhdr10_payloads:
             # HDR10+ dynamic metadata (ST 2094-40), one T.35 prefix
-            # SEI per source frame (frameencoder.cpp:1105 analog);
-            # --dhdr10-opt restricts emission to IDR AUs. The last
-            # JSON entry repeats for any trailing frames, matching
-            # the reference's scene-persistent semantics.
-            from .bitstream.hdr10plus import write_t35_sei
-            pre.append(write_t35_sei(
-                dhdr10_payloads[min(n, len(dhdr10_payloads) - 1)]))
+            # SEI per source frame (frameencoder.cpp:1105 analog),
+            # indexed by the frame's SOURCE index (display order plus
+            # any skipped chunk prefix — the reference indexes
+            # m_cim[POC], i.e. source order). --dhdr10-opt emits on
+            # IDR OR whenever the payload changes (writeToneMapInfo's
+            # payloadChange || isIDR). The last JSON entry repeats
+            # for any trailing frames, matching the reference's
+            # scene-persistent semantics.
+            src = chunk_skip + disp
+            payload = dhdr10_payloads[min(src, len(dhdr10_payloads) - 1)]
+            if not cfg.dhdr10_opt or ftype == "I" or \
+                    payload != dhdr10_last:
+                from .bitstream.hdr10plus import write_t35_sei
+                pre.append(write_t35_sei(payload))
+                dhdr10_last = payload
         if pre:
             from .bitstream.nal import annexb_stream
             out.write(annexb_stream(pre))
@@ -359,9 +379,10 @@ def main(argv=None) -> int:
         if not gop_buf:
             return
         results = enc.encode_minigop(gop_buf, qp=fqp)
+        n0 = n                       # display index of gop_buf[0]
         for res in results:
-            orig = gop_buf[res.poc - gop_base - 1]
-            emit(res, orig, res.ftype, fqp)
+            i = res.poc - gop_base - 1
+            emit(res, gop_buf[i], res.ftype, fqp, disp=n0 + i)
             rc.frame_done(res.bits, fqp, 1.0, False)
         gop_base += len(gop_buf)
         gop_buf = []
@@ -369,13 +390,16 @@ def main(argv=None) -> int:
     src_idx = -1                # source frame index (pre-chunk)
     for frame in reader:
         src_idx += 1
-        # chunk bounds (x265 --chunk-start/--chunk-end,
-        # abrEncApp-style distributed chunk encoding): frames outside
-        # [chunk_start, chunk_end) are read and skipped so every
-        # chunk sees identical source indexing
-        if args.chunk_start and src_idx < args.chunk_start:
+        # chunk bounds: x265 numbering (--chunk-start/--chunk-end are
+        # 1-based and BOTH inclusive, encoder.cpp chunkStart
+        # (m_outputCount+1) >= chunkStart). Divergence from x265: the
+        # reference still runs pre-chunk frames through the encoder
+        # for lookahead context and only suppresses their output; here
+        # pre-chunk frames are skipped entirely (see --chunk-start
+        # help text).
+        if args.chunk_start and src_idx + 1 < args.chunk_start:
             continue
-        if args.chunk_end and src_idx >= args.chunk_end:
+        if args.chunk_end and src_idx + 1 > args.chunk_end:
             break
         if args.frames and n + len(gop_buf) >= args.frames:
             break

@@ -284,14 +284,14 @@ def _bframe_batch(r0y, r0cb, r0cr, r1y, r1cb, r1cr, oy_b, ocb_b, ocr_b,
             # lambda-scaled like the reference (rdcost.h calcPsyRdCost
             # (m_lambda * m_psyRd * psycost) >> 24) — see pgop_tpu
             from .pgop_tpu import _psy8_energy
-            lam = jnp.sqrt(jnp.float32(lam2))
+            lam_psy = jnp.sqrt(jnp.float32(lam2))
             e_src = _psy8_energy(oy)
             for n in SIZES:
                 de = jnp.abs(e_src - _psy8_energy(planes[n][0]))
                 k = n // 8
                 by, bx = h // n, w // n
                 psy_n = de.reshape(by, k, bx, k).sum(axis=(1, 3))
-                sse[n] = sse[n] + jnp.float32(psy_rd) * lam * psy_n
+                sse[n] = sse[n] + jnp.float32(psy_rd) * lam_psy * psy_n
 
         mvs_flat = {n: mv_sz[n].reshape(-1, 4) for n in SIZES}
         depth8, mv8x = _rd_depth_decision(sse, bits, mvs_flat, lam2,
