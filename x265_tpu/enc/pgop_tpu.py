@@ -978,6 +978,33 @@ def _pad_gop_j(p2d, *, f: int, h: int, w: int, hp: int, wp: int):
     return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
 
+@jax.jit
+def _pack_fields(depth8, mv8, sao, intra8, imode8):
+    """Bundle the small per-frame decision fields into ONE uint8
+    buffer so collect pays a single D2H round trip."""
+    parts = [depth8.reshape(-1),
+             jax.lax.bitcast_convert_type(mv8, jnp.uint8).reshape(-1),
+             jax.lax.bitcast_convert_type(sao, jnp.uint8).reshape(-1),
+             intra8.reshape(-1), imode8.reshape(-1)]
+    return jnp.concatenate(parts)
+
+
+def _unpack_fields(buf: np.ndarray, f: int, n8y: int, n8x: int,
+                   ncty: int, nctx: int):
+    """Host-side inverse of _pack_fields."""
+    sizes = [f * n8y * n8x, f * n8y * n8x * 2 * 2,
+             f * 3 * ncty * nctx * 6, f * n8y * n8x, f * n8y * n8x]
+    offs = np.cumsum([0] + sizes)
+    depth8 = buf[offs[0]:offs[1]].reshape(f, n8y, n8x)
+    mv8 = buf[offs[1]:offs[2]].view(np.int16) \
+        .reshape(f, n8y, n8x, 2)
+    sao = buf[offs[2]:offs[3]].view(np.int8) \
+        .reshape(f, 3, ncty, nctx, 6)
+    intra8 = buf[offs[3]:offs[4]].reshape(f, n8y, n8x)
+    imode8 = buf[offs[4]:offs[5]].reshape(f, n8y, n8x)
+    return depth8, mv8, sao, intra8, imode8
+
+
 class PgopPending:
     """In-flight device work for one P-GOP chunk (submit/collect split:
     the x265 frame-pipeline analog at the host boundary — submit chunk
@@ -1075,15 +1102,18 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         psy_rd=float(cfg.psy_rd))
 
     # dispatch mask-directed CG compaction (async): collect downloads
-    # the nonzero bitmask, then gathers exactly the nonzero rows
-    from ..ops.compact import cg_rows
-    cy_cgs = cg_rows(res[2])
-    cc_cgs = cg_rows(res[3])
+    # the packed nonzero bitmask, then gathers exactly the nonzero rows
+    from ..ops.compact import cg_rows_packed
+    cy_cgs = cg_rows_packed(res[2]) + (f * hp, wp)
+    cc_cgs = cg_rows_packed(res[3]) + (2 * f * (hp // 2), wp // 2)
+    # one bundled download for the small per-frame fields (each
+    # separate D2H costs ~30 ms of tunnel latency)
+    small = _pack_fields(res[0], res[1], res[4], res[5], res[6])
     last_ref = DeviceRef(final_ref[0][:h, :w],
                          final_ref[1][:h // 2, :w // 2],
                          final_ref[2][:h // 2, :w // 2])
     return PgopPending(
-        res=res, cy_cgs=cy_cgs, cc_cgs=cc_cgs,
+        res=res, cy_cgs=cy_cgs, cc_cgs=cc_cgs, small=small,
         qmj=qmj if qp_maps is not None else None, f=f, h=h, w=w, hp=hp,
         wp=wp, ctu=ctu, sao=cfg.sao, need_recon=need_recon,
         last_ref=last_ref)
@@ -1093,19 +1123,28 @@ def collect_pgop_tpu(p: PgopPending
                      ) -> tuple[list[FramePSyntax],
                                 list[ReconFrame | None], DeviceRef]:
     """Synchronize one submitted chunk: download decisions + compacted
-    coefficients, build per-frame syntax structs."""
-    from ..ops.compact import fetch_compact_v2
+    coefficients, build per-frame syntax structs. Coefficient planes
+    are expanded by the native CG scatter straight into int16 — the
+    dtype the native slice encoder consumes — so no full-plane numpy
+    rebuild or conversion happens on this path."""
+    from ..ops.compact import fetch_compact_frames
     res, f, h, w, hp, wp = p.res, p.f, p.h, p.w, p.hp, p.wp
-    depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
-    mv8 = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]
+    n8y_p, n8x_p = hp // 8, wp // 8
+    # the scan sizes its SAO grid from the CODED dims (body: ncty =
+    # ceil(rh / ctu)), which can differ from the padded grid
+    scty = (h + p.ctu - 1) // p.ctu
+    sctx = (w + p.ctu - 1) // p.ctu
+    depth8, mv8, sao_all, intra8, imode8 = _unpack_fields(
+        np.asarray(p.small), f, n8y_p, n8x_p, scty, sctx)
+    depth8 = depth8[:, :h // 8, :w // 8]
+    mv8 = mv8.astype(np.int32)[:, :h // 8, :w // 8]
+    sao_all = sao_all.astype(np.int32)
+    intra8 = intra8[:, :h // 8, :w // 8] != 0
+    imode8 = imode8[:, :h // 8, :w // 8]
 
-    cf_y = fetch_compact_v2(p.cy_cgs + (f * hp, wp)) \
-        .reshape(f, hp, wp)[:, :h, :w]
-    cf_c = fetch_compact_v2(p.cc_cgs + (2 * f * (hp // 2), wp // 2)) \
-        .reshape(2 * f, hp // 2, wp // 2)[:, :h // 2, :w // 2]
-    sao_all = np.asarray(res[4]).astype(np.int32)   # (F, 3, ncty, nctx, 6)
-    intra8 = np.asarray(res[5])[:, :h // 8, :w // 8] != 0
-    imode8 = np.asarray(res[6])[:, :h // 8, :w // 8]
+    cf_y = fetch_compact_frames(p.cy_cgs, hp, wp, h, w)
+    cf_c = fetch_compact_frames(p.cc_cgs, hp // 2, wp // 2,
+                                h // 2, w // 2)
     if p.need_recon:
         ry_np = np.asarray(res[7]).reshape(f, hp, wp)[:, :h, :w]
         rc_np = np.asarray(res[8]).reshape(2 * f, hp // 2, wp // 2) \
@@ -1117,11 +1156,11 @@ def collect_pgop_tpu(p: PgopPending
     syns, recons = [], []
     for i in range(f):
         syns.append(FramePSyntax(
-            depth8=depth8[i].astype(np.uint8),
+            depth8=np.ascontiguousarray(depth8[i]),
             mv8=mv8[i],
-            coeff_y=cf_y[i].astype(np.int32),
-            coeff_cb=cf_c[i].astype(np.int32),
-            coeff_cr=cf_c[f + i].astype(np.int32)))
+            coeff_y=cf_y[i],
+            coeff_cb=cf_c[i],
+            coeff_cr=cf_c[f + i]))
         syns[-1].sao_params = (
             (sao_all[i, 0], sao_all[i, 1], sao_all[i, 2])
             if p.sao else None)

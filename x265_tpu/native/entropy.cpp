@@ -1362,6 +1362,32 @@ int ctx_layout_checksum() {
     return CTX_LAYOUT_CHECKSUM;
 }
 
+// Expand compacted 4x4 coefficient groups into a dense int16 plane.
+// vals: (t, 16) int16 CG rows in raster scan (row k -> dy=k/4, dx=k%4);
+// idx: (t,) int32 raster CG indices on the SOURCE grid of in_ncx CG
+// columns (caller subtracts any stacked-frame base); out is
+// (out_h, out_w) — CGs outside the crop are dropped. The host-side
+// numpy equivalent (scatter + transpose/reshape of the full CG
+// tensor) cost ~0.5 s per 8-frame 1080p chunk; this is a ~2 ms
+// memset + scatter. The dense plane is what the slice encoder walks
+// (x265 keeps coefficients in per-thread dense TU buffers for the
+// same reason, frameencoder.cpp).
+void expand_cgs(const int16_t* vals, const int32_t* idx, int t,
+                int in_ncx, int out_h, int out_w, int16_t* out) {
+    memset(out, 0, (size_t)out_h * out_w * sizeof(int16_t));
+    for (int r = 0; r < t; r++) {
+        const int cg = idx[r];
+        const int cy = cg / in_ncx, cx = cg % in_ncx;
+        if (cy * 4 >= out_h || cx * 4 >= out_w)
+            continue;
+        int16_t* dst = out + (size_t)(cy * 4) * out_w + cx * 4;
+        const int16_t* src = vals + (size_t)r * 16;
+        for (int dy = 0; dy < 4; dy++)
+            for (int dx = 0; dx < 4; dx++)
+                dst[dy * out_w + dx] = src[dy * 4 + dx];
+    }
+}
+
 // decoded-picture-hash CRC (hash_type 1, H.265 D.3.19): CRC-16/CCITT
 // over the raster sample bytes, low byte first then (bit depth > 8)
 // high byte; init 0xffff, finished by clocking 16 zero bits.

@@ -79,6 +79,18 @@ def cg_rows(plane2d: jnp.ndarray):
     return cg, jnp.any(cg != 0, axis=1)
 
 
+@jax.jit
+def cg_rows_packed(plane2d: jnp.ndarray):
+    """cg_rows with the nonzero mask BIT-PACKED on device: the mask
+    transfer drops 8x (the D2H link here runs ~30 MB/s, so a 1.5 MB
+    bool mask costs real time)."""
+    h, w = plane2d.shape
+    cg = plane2d.reshape(h // 4, 4, w // 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(-1, 16).astype(jnp.int16)
+    nz = jnp.any(cg != 0, axis=1)
+    return cg, jnp.packbits(nz)
+
+
 @partial(jax.jit, static_argnames=("rows",))
 def _take_rows(cg: jnp.ndarray, idx: jnp.ndarray, *, rows: int):
     return jnp.take(cg, idx, axis=0)
@@ -108,3 +120,30 @@ def fetch_compact_v2(pending) -> np.ndarray:
     out[idx] = vals
     return out.reshape(h // 4, w // 4, 4, 4).transpose(0, 2, 1, 3) \
         .reshape(h, w)
+
+
+def fetch_compact_frames(pending, fh: int, fw: int,
+                         crop_h: int, crop_w: int) -> list[np.ndarray]:
+    """pending: (cg, nz_packed, h, w) from cg_rows_packed over a stack
+    of F frames laid out as (F*fh, fw) -> per-frame dense int16 planes
+    cropped to (crop_h, crop_w), expanded by the native scatter
+    (entropy.cpp expand_cgs) — no full-plane numpy rebuild.
+
+    Total host+device cost is one packed-mask download, one row gather
+    + download, and a ~2 ms/frame memset+scatter in C++."""
+    from ..native.entropy_native import expand_cgs_native
+    cg, nzp, h, w = pending
+    f = h // fh
+    ncx = w // 4
+    cg_per_frame = (fh // 4) * ncx
+    nzh = np.unpackbits(np.asarray(nzp), count=f * cg_per_frame)
+    idx = np.nonzero(nzh)[0].astype(np.int32)
+    vals = fetch_rows(cg, idx)
+    planes = []
+    bounds = np.searchsorted(idx, np.arange(f + 1) * cg_per_frame)
+    for i in range(f):
+        lo, hi = bounds[i], bounds[i + 1]
+        planes.append(expand_cgs_native(
+            vals[lo:hi], idx[lo:hi] - i * cg_per_frame, ncx,
+            crop_h, crop_w))
+    return planes
