@@ -48,19 +48,27 @@ qp = 32
 qpc = chroma_qp(qp)
 
 
-def run(tag, **kw):
+def run(tag, iters=3, **kw):
     args = dict(qp=qp, qpc=int(qpc), bit_depth=8, real_h=h, real_w=w,
                 ctu=32, deblock=True, sao=False, sign_hiding=True,
                 me_range=cfg.me_range, need_recon=False, dqp=False,
                 intra_ii=True, use_seeds=False, rdoq=False, psy_rd=0.0)
     args.update(kw)
-    r, c = _pgop_scan(ry, rcb, rcr, oy, ocb, ocr, qp_maps, seeds, **args)
-    jax.block_until_ready(r)
+
+    def force():
+        r, c = _pgop_scan(ry, rcb, rcr, oy, ocb, ocr, qp_maps, seeds,
+                          **args)
+        # axon's block_until_ready does not block on compute; a small
+        # D2H fetch of an output forces the whole dispatch
+        np.asarray(r[0][0, 0, :4])
+
+    force()                       # compile + warm
     t0 = time.perf_counter()
-    r, c = _pgop_scan(ry, rcb, rcr, oy, ocb, ocr, qp_maps, seeds, **args)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
-    print(f"{tag:32s}: {dt:.3f}s  ({dt / N * 1000:.0f} ms/frame)")
+    for _ in range(iters):
+        force()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{tag:32s}: {dt:.3f}s  ({dt / N * 1000:.0f} ms/frame)",
+          flush=True)
     return dt
 
 
@@ -68,6 +76,5 @@ run("full (bench config)")
 run("no intra_ii", intra_ii=False)
 run("no deblock", intra_ii=False, deblock=False)
 run("no signhide", intra_ii=False, deblock=False, sign_hiding=False)
-# run("sao on (for reference)", sao=True)
-# run("rdoq on (for reference)", rdoq=True)
-# run("use_seeds (skip coarse)", use_seeds=True)
+run("sao on (for reference)", sao=True)
+run("use_seeds (skip coarse)", use_seeds=True)

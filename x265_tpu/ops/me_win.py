@@ -143,6 +143,80 @@ def interp_ext_lanes(win_t: jnp.ndarray, dxi: jnp.ndarray,
     return jnp.clip(out, 0, (1 << bit_depth) - 1)
 
 
+def interp_ext_lanes_multi(win_t: jnp.ndarray, dxi: jnp.ndarray,
+                           dyi: jnp.ndarray, n: int,
+                           bit_depth: int = 8,
+                           raw: bool = False) -> jnp.ndarray:
+    """interp_ext_lanes batched over a CANDIDATE axis: win_t (S, S, B)
+    shared across candidates, dxi/dyi (K, B) per-candidate bank
+    indices. Returns (K, n, n, B). One pass over the window serves all
+    K candidates — the batched form of a qpel diamond round."""
+    bank = jnp.asarray(_EXT_BANK9)
+    hf = bank[dxi]                               # (K, B, 9)
+    vf = bank[dyi]
+    shift1 = bit_depth - 8
+    s = win_t.shape[0]
+    k, b = dxi.shape
+    tmp = jnp.zeros((k, s, n, b), jnp.int32)
+    for t in range(9):
+        tmp = tmp + win_t[None, :, t:t + n, :] * hf[:, None, None, :, t]
+    if shift1:
+        tmp = tmp >> shift1
+    out = jnp.zeros((k, n, n, b), jnp.int32)
+    for t in range(9):
+        out = out + tmp[:, t:t + n, :, :] * vf[:, None, None, :, t]
+    if raw:
+        return out
+    total_shift = 12 - shift1
+    out = (out + (1 << (total_shift - 1))) >> total_shift
+    return jnp.clip(out, 0, (1 << bit_depth) - 1)
+
+
+def sa8d_multi(diff: jnp.ndarray, n: int) -> jnp.ndarray:
+    """SA8D over (K, n, n, B) candidate diffs -> (K, B): candidates
+    fold into the lane axis so the butterflies stay dense."""
+    k, _, _, b = diff.shape
+    lanes = jnp.moveaxis(diff, 0, 2).reshape(n, n, k * b)
+    return sa8d_nxn_lanes(lanes, n).reshape(k, b)
+
+
+def int_search_vec(win_t: jnp.ndarray, cur_t: jnp.ndarray,
+                   penx: jnp.ndarray, peny: jnp.ndarray, n: int,
+                   side: int, lead: int = 4):
+    """Integer full search over side x side candidates, one wavefront
+    of `side` dx-candidates per fori step (13x fewer sequential device
+    steps than the candidate-rolled loop; selection order-identical:
+    ascending (dy, dx) raster with strict <). win_t: (S, S, B) window
+    (any integer dtype — uint8/uint16 windows halve/quarter the read
+    bandwidth); cur_t: (n, n, B) int32; penx/peny: (side, B) int32
+    MV-bit penalties. Returns (best_cost (B,), best_i (B,)) with
+    i = dy * side + dx."""
+    b = cur_t.shape[-1]
+
+    def body(dy, state):
+        best_cost, best_i = state
+        row = jax.lax.dynamic_slice(
+            win_t, (lead + dy, 0, 0),
+            (n, win_t.shape[1], b))              # (n, S, B)
+        cands = jnp.stack(
+            [jax.lax.slice_in_dim(row, lead + dx, lead + dx + n, axis=1)
+             for dx in range(side)])             # (side, n, n, B)
+        sad = jnp.sum(jnp.abs(cur_t[None] - cands.astype(jnp.int32)),
+                      axis=(1, 2))               # (side, B)
+        cost = sad + penx + \
+            jax.lax.dynamic_slice(peny, (dy, 0), (1, b))
+        mi = jnp.argmin(cost, axis=0).astype(jnp.int32)
+        mc = jnp.take_along_axis(cost, mi[None], axis=0)[0]
+        better = mc < best_cost
+        i = dy * side + mi
+        return (jnp.where(better, mc, best_cost),
+                jnp.where(better, i, best_i))
+
+    init = (jnp.full((b,), 1 << 30, jnp.int32),
+            jnp.zeros((b,), jnp.int32))
+    return jax.lax.fori_loop(0, side, body, init)
+
+
 def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                      seed_mv: jnp.ndarray, lam: jnp.ndarray, n: int,
                      radius: int = 6, bit_depth: int = 8,
@@ -194,22 +268,9 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     penx = lam * comp_bits((sx[None, :] + offs[:, None]) * 4)  # (side,B)
     peny = lam * comp_bits((sy[None, :] + offs[:, None]) * 4)
 
-    def int_body(i, state):
-        best_cost, best_i = state
-        dy = i // side
-        dx = i % side
-        cand = jax.lax.dynamic_slice(win_t, (dy, dx, 0), (n, n, b))
-        sad = jnp.sum(jnp.abs(cur_t - cand), axis=(0, 1))
-        cost = sad + \
-            jax.lax.dynamic_slice(penx, (dx, 0), (1, b))[0] + \
-            jax.lax.dynamic_slice(peny, (dy, 0), (1, b))[0]
-        better = cost < best_cost
-        return (jnp.where(better, cost, best_cost),
-                jnp.where(better, i, best_i))
-
-    init = (jnp.full((b,), 1 << 30, jnp.int32),
-            jnp.zeros((b,), jnp.int32))
-    best_cost, best_i = jax.lax.fori_loop(0, ncand, int_body, init)
+    del ncand
+    best_cost, best_i = int_search_vec(win_t, cur_t, penx, peny, n,
+                                       side, lead=0)
     mvx_i = sx + best_i % side - radius
     mvy_i = sy + best_i // side - radius
 
@@ -237,20 +298,27 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     scost = sa8d_nxn_lanes(cur_t - pred, n) + \
         lam * _mv_bits(mvx_i * 4, mvy_i * 4)
     best_pred = pred
-    neigh = [(1, 0), (-1, 0), (0, 1), (0, -1),
-             (1, 1), (1, -1), (-1, 1), (-1, -1)]
+    noff = jnp.asarray([(1, 0), (-1, 0), (0, 1), (0, -1),
+                        (1, 1), (1, -1), (-1, 1), (-1, -1)], jnp.int32)
     for step in (2, 1):
-        for ox, oy in neigh:
-            cx = jnp.clip(dx + ox * step, -3, 3)
-            cy = jnp.clip(dy + oy * step, -3, 3)
-            p = interp_ext_lanes(swin_t, cx + 3, cy + 3, n, bit_depth)
-            c = sa8d_nxn_lanes(cur_t - p, n) + \
-                lam * _mv_bits(mvx_i * 4 + cx, mvy_i * 4 + cy)
-            better = c < scost
-            scost = jnp.where(better, c, scost)
-            dx = jnp.where(better, cx, dx)
-            dy = jnp.where(better, cy, dy)
-            best_pred = jnp.where(better[None, None, :], p, best_pred)
+        # one batched diamond round: all 8 neighbours of the current
+        # best, evaluated in a single pass over the window
+        cx = jnp.clip(dx[None, :] + noff[:, 0:1] * step, -3, 3)
+        cy = jnp.clip(dy[None, :] + noff[:, 1:2] * step, -3, 3)
+        p = interp_ext_lanes_multi(swin_t, cx + 3, cy + 3, n, bit_depth)
+        c = sa8d_multi(cur_t[None] - p, n) + \
+            lam * _mv_bits(mvx_i[None] * 4 + cx, mvy_i[None] * 4 + cy)
+        mi = jnp.argmin(c, axis=0)
+        mc = jnp.take_along_axis(c, mi[None], axis=0)[0]
+        better = mc < scost
+        scost = jnp.where(better, mc, scost)
+        dx = jnp.where(better, jnp.take_along_axis(cx, mi[None], 0)[0],
+                       dx)
+        dy = jnp.where(better, jnp.take_along_axis(cy, mi[None], 0)[0],
+                       dy)
+        psel = jnp.take_along_axis(
+            p, mi[None, None, None, :], axis=0)[0]
+        best_pred = jnp.where(better[None, None, :], psel, best_pred)
     mvq = jnp.stack([mvx_i * 4 + dx, mvy_i * 4 + dy], axis=1)
     # back to block-major (B, n, n) for the recon stage contract
     pred_bm = jnp.transpose(best_pred, (2, 0, 1))
@@ -336,23 +404,8 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         penx = lam * comp_bits((seedx[None, :] + offs[:, None]) * 4)
         peny = lam * comp_bits((seedy[None, :] + offs[:, None]) * 4)
 
-        def int_body(i, state):
-            best_cost, best_i = state
-            dy = i // side
-            dx = i % side
-            cand = jax.lax.dynamic_slice(win_t, (4 + dy, 4 + dx, 0),
-                                         (n, n, b))
-            sad = jnp.sum(jnp.abs(cur_t - cand), axis=(0, 1))
-            cost = sad + \
-                jax.lax.dynamic_slice(penx, (dx, 0), (1, b))[0] + \
-                jax.lax.dynamic_slice(peny, (dy, 0), (1, b))[0]
-            better = cost < best_cost
-            return (jnp.where(better, cost, best_cost),
-                    jnp.where(better, i, best_i))
-
-        init = (jnp.full((b,), 1 << 30, jnp.int32),
-                jnp.zeros((b,), jnp.int32))
-        _, best_i = jax.lax.fori_loop(0, side * side, int_body, init)
+        _, best_i = int_search_vec(win_t, cur_t, penx, peny, n, side,
+                                   lead=4)
         oy_i = best_i // side          # window offset in [0, 2r]
         ox_i = best_i % side
         mvx_i = seedx + ox_i - r
@@ -377,26 +430,35 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
             lam * _mv_bits(mvx_i * 4, mvy_i * 4)
         best_pred = pred
         best_raw = raw0
-        neigh = [(1, 0), (-1, 0), (0, 1), (0, -1),
-                 (1, 1), (1, -1), (-1, 1), (-1, -1)]
+        noff = jnp.asarray([(1, 0), (-1, 0), (0, 1), (0, -1),
+                            (1, 1), (1, -1), (-1, 1), (-1, -1)],
+                           jnp.int32)
         for step in (2, 1):
-            for ox, oy in neigh:
-                cx = jnp.clip(dx + ox * step, -3, 3)
-                cy = jnp.clip(dy + oy * step, -3, 3)
-                praw = interp_ext_lanes(swin_t, cx + 3, cy + 3, n,
-                                        bit_depth, raw=True)
-                p = rounded(praw)
-                c = sa8d_nxn_lanes(cur_t - p, n) + \
-                    lam * _mv_bits(mvx_i * 4 + cx, mvy_i * 4 + cy)
-                better = c < scost
-                scost = jnp.where(better, c, scost)
-                dx = jnp.where(better, cx, dx)
-                dy = jnp.where(better, cy, dy)
-                best_pred = jnp.where(better[None, None, :], p,
-                                      best_pred)
-                if want_raw:
-                    best_raw = jnp.where(better[None, None, :], praw,
-                                         best_raw)
+            # batched diamond round (8 neighbours, one window pass)
+            cx = jnp.clip(dx[None, :] + noff[:, 0:1] * step, -3, 3)
+            cy = jnp.clip(dy[None, :] + noff[:, 1:2] * step, -3, 3)
+            praw = interp_ext_lanes_multi(swin_t, cx + 3, cy + 3, n,
+                                          bit_depth, raw=True)
+            rnd = jnp.clip((praw + rnd_off) >> total_shift, 0, maxv)
+            c = sa8d_multi(cur_t[None] - rnd, n) + \
+                lam * _mv_bits(mvx_i[None] * 4 + cx,
+                               mvy_i[None] * 4 + cy)
+            mi = jnp.argmin(c, axis=0)
+            mc = jnp.take_along_axis(c, mi[None], axis=0)[0]
+            better = mc < scost
+            scost = jnp.where(better, mc, scost)
+            dx = jnp.where(better,
+                           jnp.take_along_axis(cx, mi[None], 0)[0], dx)
+            dy = jnp.where(better,
+                           jnp.take_along_axis(cy, mi[None], 0)[0], dy)
+            sel = mi[None, None, None, :]
+            psel = jnp.take_along_axis(rnd, sel, axis=0)[0]
+            best_pred = jnp.where(better[None, None, :], psel,
+                                  best_pred)
+            if want_raw:
+                rsel = jnp.take_along_axis(praw, sel, axis=0)[0]
+                best_raw = jnp.where(better[None, None, :], rsel,
+                                     best_raw)
         mvqx = mvx_i * 4 + dx
         mvqy = mvy_i * 4 + dy
 
