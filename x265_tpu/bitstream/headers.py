@@ -220,8 +220,9 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     w.write_se(0)                     # pps_cb_qp_offset
     w.write_se(0)                     # pps_cr_qp_offset
     w.write_flag(0)                   # pps_slice_chroma_qp_offsets_present_flag
-    w.write_flag(0)                   # weighted_pred_flag
-    w.write_flag(0)                   # weighted_bipred_flag
+    w.write_flag(1 if cfg.weightp else 0)  # weighted_pred_flag
+    w.write_flag(0)                   # weighted_bipred_flag (x265
+    #                                   default: --weightb off)
     w.write_flag(1 if cfg.lossless else 0)  # transquant_bypass_enabled_flag
     w.write_flag(0)                   # tiles_enabled_flag
     w.write_flag(1 if cfg.wpp else 0)  # entropy_coding_sync_enabled_flag
@@ -248,7 +249,8 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
                        rps_neg: list[tuple[int, bool]] | None = None,
                        rps_pos: list[tuple[int, bool]] | None = None,
                        num_entry_points: int = 0,
-                       entry_point_offsets: list[int] | None = None) -> BitWriter:
+                       entry_point_offsets: list[int] | None = None,
+                       weights=None) -> BitWriter:
     """slice_segment_header — clause 7.3.6.1. Returns the open BitWriter so
     the caller appends CABAC slice data after byte alignment.
 
@@ -294,7 +296,29 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
         # ref_pic_lists_modification absent (flag off, 1 ref/list)
         if slice_type == B_SLICE:
             w.write_flag(0)           # mvd_l1_zero_flag
-        # cabac_init / collocated / weights absent (features off)
+        # cabac_init / collocated absent (features off)
+        if cfg.weightp and slice_type == P_SLICE:
+            # pred_weight_table, clause 7.3.6.3 (one L0 ref). Explicit
+            # weights come from weightp.WeightParams; None writes the
+            # inferred-neutral table (flags 0) — the weighted formula
+            # with w=2^denom, o=0 decodes identically to the default
+            # path (nested-floor identity, ops/me_win.apply_weight_acc)
+            wp = weights
+            denom = wp.denom if wp is not None else 6
+            w.write_ue(denom)             # luma_log2_weight_denom
+            w.write_se(0)                 # delta_chroma_log2_weight_denom
+            luma_on = wp is not None and wp.luma_on
+            chroma_on = wp is not None and wp.chroma_on
+            w.write_flag(1 if luma_on else 0)    # luma_weight_l0_flag
+            w.write_flag(1 if chroma_on else 0)  # chroma_weight_l0_flag
+            if luma_on:
+                w.write_se(wp.wy - (1 << denom))  # delta_luma_weight_l0
+                w.write_se(wp.oy)                 # luma_offset_l0
+            if chroma_on:
+                for wc, oc in ((wp.wcb, wp.ocb), (wp.wcr, wp.ocr)):
+                    w.write_se(wc - (1 << denom))  # delta_chroma_weight
+                    # delta encodes offset + ((128*w) >> denom) - 128
+                    w.write_se(oc + ((128 * wc) >> denom) - 128)
         w.write_ue(5 - max_merge)     # five_minus_max_num_merge_cand
     w.write_se(slice_qp - cfg.qp)     # slice_qp_delta (init_qp = cfg.qp)
     # deblocking override disabled; loop-filter-across flag only when a

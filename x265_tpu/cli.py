@@ -45,6 +45,10 @@ def parse_args(argv=None):
                    "name (x265_param_parse analog)")
     p.add_argument("--no-sao", dest="no_sao", action="store_true")
     p.add_argument("--no-signhide", action="store_true")
+    p.add_argument("--weightp", "-w", dest="weightp", default=None,
+                   action="store_true",
+                   help="enable weighted prediction in P slices")
+    p.add_argument("--no-weightp", dest="weightp", action="store_false")
     p.add_argument("--lossless", action="store_true",
                    help="transquant-bypass lossless coding (all-intra;"
                    " recon == source exactly)")
@@ -165,6 +169,8 @@ def main(argv=None) -> int:
         cfg.sao = False
     if args.no_signhide:
         cfg.sign_hiding = False
+    if args.weightp is not None:
+        cfg.weightp = args.weightp
     if args.rdoq_level is not None:
         cfg.rdoq = args.rdoq_level > 0
     if args.hash_sei:

@@ -95,6 +95,10 @@ class EncoderConfig:
     #                              fused P-GOP path's search effort
     intra_in_inter: bool = True  # 8x8 intra CUs in P frames
     #                              (checkIntraInInter, search.cpp:1291)
+    weightp: bool = True         # explicit weighted prediction for P
+    #                              slices (x265 --weightp default on,
+    #                              param.cpp bEnableWeightedPred;
+    #                              weightPrediction.cpp:222 analysis)
     aq_mode: int = 0             # 0 off, 1 variance, 2 autovariance,
     #                              3 autovariance-biased (x265 default 2,
     #                              param.cpp:268)
@@ -233,9 +237,11 @@ class EncoderConfig:
 # like the reference table.
 PRESETS = {
     "ultrafast": dict(me_iters=2, me_range=2, bframes=3, sao=False,
-                      sign_hiding=False, deblock=True, intra_nxn=False),
+                      sign_hiding=False, deblock=True, intra_nxn=False,
+                      weightp=False),
     "superfast": dict(me_iters=3, me_range=3, bframes=3, sao=False,
-                      sign_hiding=True, deblock=True, intra_nxn=False),
+                      sign_hiding=True, deblock=True, intra_nxn=False,
+                      weightp=False),
     "veryfast": dict(me_iters=4, me_range=4, bframes=3, sao=True,
                      sign_hiding=True, deblock=True),
     "faster": dict(me_iters=5, me_range=5, bframes=3, sao=True,

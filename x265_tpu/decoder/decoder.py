@@ -56,6 +56,7 @@ class PpsInfo:
     cr_qp_offset: int = 0
     cu_qp_delta: bool = False      # per-QG dQP (QG == CTU only)
     transquant_bypass: bool = False
+    weighted_pred: bool = False    # P slices carry pred_weight_table
 
 
 @dataclass
@@ -141,7 +142,8 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
     p.cb_qp_offset = r.read_se()
     p.cr_qp_offset = r.read_se()
     r.read_flag()                  # slice chroma qp offsets present
-    r.read_flag(); r.read_flag()   # weighted pred/bipred
+    p.weighted_pred = bool(r.read_flag())   # weighted_pred_flag
+    assert not r.read_flag()       # weighted_bipred unsupported
     p.transquant_bypass = bool(r.read_flag())
     assert not r.read_flag()       # tiles
     p.wpp = bool(r.read_flag())
@@ -234,10 +236,33 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
     if sps.sao:
         sao_luma = bool(r.read_flag())
         sao_chroma = bool(r.read_flag())
+    weights = None
     if slice_type != 2:
         assert r.read_flag() == 0  # num_ref_idx_active_override_flag
         if slice_type == 0:
             assert r.read_flag() == 0   # mvd_l1_zero_flag
+        if pps.weighted_pred and slice_type == 1:
+            # pred_weight_table, clause 7.3.6.3 (one L0 ref)
+            denom = r.read_ue()        # luma_log2_weight_denom
+            assert r.read_se() == 0    # delta_chroma_log2_weight_denom
+            one = 1 << denom
+            luma_on = r.read_flag()
+            chroma_on = r.read_flag()
+            wy, oy = one, 0
+            wcb, ocb, wcr, ocr = one, 0, one, 0
+            if luma_on:
+                wy = one + r.read_se()
+                oy = r.read_se()
+            if chroma_on:
+                wcb = one + r.read_se()
+                d = r.read_se()        # delta_chroma_offset_l0
+                ocb = max(-128, min(127, d - ((128 * wcb) >> denom)
+                                    + 128))
+                wcr = one + r.read_se()
+                d = r.read_se()
+                ocr = max(-128, min(127, d - ((128 * wcr) >> denom)
+                                    + 128))
+            weights = (denom, wy, oy, wcb, ocb, wcr, ocr)
         max_merge = 5 - r.read_ue()  # five_minus_max_num_merge_cand
     qp = pps.init_qp + r.read_se()
     if sps.sao or not pps.deblock_disabled:
@@ -281,7 +306,7 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
     if slice_type == 1:
         ref = dpb[poc - delta_s0]
         dec = PSliceDecoder(sps, pps, qp, data, ref, max_merge,
-                            sao=sps.sao)
+                            sao=sps.sao, weights=weights)
         frame = dec.decode(substreams=substreams)
         frame.poc = poc
         if not pps.deblock_disabled:
@@ -919,12 +944,17 @@ class PSliceDecoder:
 
     def __init__(self, sps: SpsInfo, pps: PpsInfo, qp: int, data: bytes,
                  ref: DecodedFrame, max_merge: int,
-                 sao: bool = False) -> None:
+                 sao: bool = False, weights=None) -> None:
         self._init_sao(sao)
         self.sps = sps
         self.pps = pps
         self.qp = qp
         self.max_merge = max_merge
+        # explicit weighted prediction (8.5.4.2.3.3): when the PPS
+        # signals weighted_pred, EVERY P CU uses the weighted formula —
+        # with inferred-neutral weights it equals the default rounding
+        # exactly (nested-floor identity)
+        self.weights = weights
         ctx = ContextSet(0)
         assert not pps.transquant_bypass, "lossless P slices unsupported"
         ctx.states = init_states(1, qp)      # P_SLICE row
@@ -1258,7 +1288,24 @@ class PSliceDecoder:
         self.coded8[sl] = True
         self.inter8[sl] = True
         bd = self.bd
-        pred = luma_mc_np(self.ref.y, x0, y0, size, mv[0], mv[1], bd)
+
+        def weighted(acc, w, o, denom):
+            # uni weighted sample prediction from the 26-bit two-stage
+            # accumulator: i = acc >> 6 is the 14-bit intermediate
+            log2wd = denom + 14 - bd
+            v = ((w * (acc >> 6) + (1 << (log2wd - 1))) >> log2wd) \
+                + (o << (bd - 8))
+            return np.clip(v, 0, (1 << bd) - 1)
+
+        if self.weights is not None:
+            from ..ops.interp import chroma_mc_acc_np, luma_mc_raw_np
+            denom, wy, oy, wcb, ocb, wcr, ocr = self.weights
+            pred = weighted(luma_mc_raw_np(self.ref.y, x0, y0, size,
+                                           mv[0], mv[1], bd), wy, oy,
+                            denom)
+            cw = {id(self.cb): (wcb, ocb), id(self.cr): (wcr, ocr)}
+        else:
+            pred = luma_mc_np(self.ref.y, x0, y0, size, mv[0], mv[1], bd)
         qpy = self.qp_y
         qpc = chroma_qp(qpy) if self.dqp_on else self.qp_c
         resi = 0
@@ -1271,7 +1318,14 @@ class PSliceDecoder:
         cx0, cy0 = x0 >> 1, y0 >> 1
         for plane, ref_p, coeff in ((self.cb, self.ref.cb, ccb),
                                     (self.cr, self.ref.cr, ccr)):
-            pred_c = chroma_mc_np(ref_p, cx0, cy0, cn, mv[0], mv[1], bd)
+            if self.weights is not None:
+                wc, oc = cw[id(plane)]
+                pred_c = weighted(chroma_mc_acc_np(ref_p, cx0, cy0, cn,
+                                                   mv[0], mv[1], bd),
+                                  wc, oc, denom)
+            else:
+                pred_c = chroma_mc_np(ref_p, cx0, cy0, cn, mv[0], mv[1],
+                                      bd)
             resi_c = 0
             if coeff is not None:
                 resi_c = idct_np(dequant_np(coeff, qpc, bd), bd)

@@ -136,6 +136,10 @@ class IntraEncoder:
         self.cfg = cfg
         self.frame_count = 0
         self.ref: ReconFrame | None = None   # last reference (post-filter)
+        self.last_src = None   # source planes of the last encoded frame
+        #                        (weightp analysis compares SOURCES, the
+        #                        lookahead-lowres discipline of
+        #                        weightPrediction.cpp:222)
         self.poc = 0
         self.stats = EncoderStats()
 
@@ -172,6 +176,7 @@ class IntraEncoder:
         cfg = self.cfg
         t_start = time.perf_counter()
         qp = cfg.qp if qp is None else qp
+        self.last_src = (y, cb, cr)
         if cfg.lossless:
             # transquant bypass: loop filters and parity tricks are
             # meaningless on exact residuals (x265 forces these off too)
@@ -780,14 +785,31 @@ class IntraEncoder:
         ocr = np.stack([pad_plane(np.asarray(f[2]), h // 2, w // 2)
                         for f in frames])
         want_recon = need_recon or cfg.hash_sei
+        wps, wvecs = self._pgop_weights(frames)
         syns, recons, last_ref = encode_pgop_tpu(
             oy, ocb, ocr, self.ref, cfg, qp, need_recon=want_recon,
-            me_range=cfg.me_range, qp_maps=qp_maps, seeds16=seeds16)
+            me_range=cfg.me_range, qp_maps=qp_maps, seeds16=seeds16,
+            weights=wvecs)
         self.ref = last_ref
-        return self._emit_p_frames(syns, recons, qp, poc_step)
+        self.last_src = frames[-1]
+        return self._emit_p_frames(syns, recons, qp, poc_step,
+                                   weights_hdr=wps)
+
+    def _pgop_weights(self, frames):
+        """Per-frame weightp analysis for a P chunk (source-vs-source,
+        weightPrediction.cpp:222 analog). Returns (WeightParams list or
+        None, (F, 6) int32 vectors or None)."""
+        cfg = self.cfg
+        if not cfg.weightp:
+            return None, None
+        from .weightp import analyse_gop_weights
+        wps = analyse_gop_weights(frames, self.last_src, cfg.bit_depth)
+        wvecs = np.stack([wp.vec() for wp in wps])
+        return wps, wvecs
 
     def _emit_p_frames(self, syns, recons, qp: int,
-                       poc_step: int = 1) -> list[FrameResult]:
+                       poc_step: int = 1,
+                       weights_hdr=None) -> list[FrameResult]:
         """Slice headers + native CABAC + NAL packaging for a collected
         P chunk (the serial host tail of the pipeline)."""
         from ..bitstream.ctx_tables import init_states
@@ -817,14 +839,18 @@ class IntraEncoder:
                     cfg, P_SLICE, idr=False, poc=self.poc,
                     ref_delta_poc=poc_step, max_merge=syn.max_merge,
                     slice_qp=qp, num_entry_points=len(subs) - 1,
-                    entry_point_offsets=[len(e) for e in escaped[:-1]])
+                    entry_point_offsets=[len(e) for e in escaped[:-1]],
+                    weights=None if weights_hdr is None
+                    else weights_hdr[i])
                 pre_data = b"".join(escaped)
             else:
                 sw = write_slice_header(cfg, P_SLICE, idr=False,
                                         poc=self.poc,
                                         ref_delta_poc=poc_step,
                                         max_merge=syn.max_merge,
-                                        slice_qp=qp)
+                                        slice_qp=qp,
+                                        weights=None if weights_hdr is
+                                        None else weights_hdr[i])
                 payload, tail_val, tail_bits = encode_slice_native(
                     1, syn.depth8, syn.coeff_y, syn.coeff_cb,
                     syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
@@ -879,24 +905,27 @@ class IntraEncoder:
             return oy, ocb, ocr
 
         results: list[FrameResult] = []
-        prev = None
+        prev = prev_wps = None
         for s in range(0, len(frames), chunk):
             ck = frames[s:s + chunk]
             qmk = None if qp_maps is None else qp_maps[s:s + chunk]
             oy, ocb, ocr = stack(ck)
+            wps, wvecs = self._pgop_weights(ck)
             pend = submit_pgop_tpu(oy, ocb, ocr, self.ref, cfg, qp,
                                    need_recon=want_recon,
-                                   me_range=cfg.me_range, qp_maps=qmk)
+                                   me_range=cfg.me_range, qp_maps=qmk,
+                                   weights=wvecs)
             self.ref = pend.last_ref
+            self.last_src = ck[-1]
             if prev is not None:
                 syns, recons, _ = collect_pgop_tpu(prev)
-                results.extend(self._emit_p_frames(syns, recons, qp,
-                                                   poc_step))
-            prev = pend
+                results.extend(self._emit_p_frames(
+                    syns, recons, qp, poc_step, weights_hdr=prev_wps))
+            prev, prev_wps = pend, wps
         if prev is not None:
             syns, recons, _ = collect_pgop_tpu(prev)
-            results.extend(self._emit_p_frames(syns, recons, qp,
-                                               poc_step))
+            results.extend(self._emit_p_frames(
+                syns, recons, qp, poc_step, weights_hdr=prev_wps))
         return results
 
     def encode_gop(self, frames: list[tuple[np.ndarray, np.ndarray,

@@ -31,8 +31,10 @@ from ..common.params import EncoderConfig
 from ..common.tables import (CHROMA_QP_LUT, chroma_qp, lambda_from_qp,
                              lambda2_from_qp)
 from ..ops.deblock import BETA_TABLE, TC_TABLE, _luma_filter_batch
-from ..ops.me_win import (chroma_mc_from_windows, gather_chroma_windows,
-                          me_all_sizes, pad_ref, seed_floor_off)
+from ..ops.me_win import (apply_weight_acc, apply_weight_fullpel,
+                          chroma_mc_from_windows, gather_chroma_windows,
+                          inverse_weight_plane, me_all_sizes, pad_ref,
+                          seed_floor_off)
 from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
 from ..ops.me import _downsample4
 from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
@@ -92,13 +94,20 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
 # =============================================================================
 
 def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
-                           h, w, bit_depth, raw: bool = False):
+                           h, w, bit_depth, raw: bool = False,
+                           wvec=None, weight_denom: int = 6):
     """cpad2: (2, Hc+2pc, Wc+2pc) stacked padded chroma refs; mvs:
     {n: (B,2) qpel}; seeds: {16: (sx,sy), 32: (sx,sy)} clamped per-
     region full-pel seeds. Returns {n: (pred_cb, pred_cr) (B,cn,cn)}.
 
     MVs from the windowed search satisfy mv in seed +- radius (qpel
-    +-3/4); zero-MV winners fall back to the dense co-located path."""
+    +-3/4); zero-MV winners fall back to the dense co-located path.
+    wvec (traced (6,) int32, weightp): chroma predictions are the
+    normative weighted samples (8.5.4.2.3.3) using wvec[2:4] for cb
+    and wvec[4:6] for cr."""
+    weighted = wvec is not None
+    assert not (weighted and raw), \
+        "raw accumulators are the unweighted contract (B path)"
     r = radius
     by16, bx16 = h // 16, w // 16
     yc16 = jnp.repeat(jnp.arange(by16, dtype=jnp.int32) * 8, bx16)
@@ -167,9 +176,18 @@ def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
                         nshift - 1)
         pcb, pcr = chroma_mc_from_windows(
             win_b, offy, offx, mv[:, 0] & 7, mv[:, 1] & 7, cn, nshift,
-            bit_depth, raw=raw)
+            bit_depth, raw=raw or weighted)
         zcb = zero_blocks(refcb, cn)
         zcr = zero_blocks(refcr, cn)
+        if weighted:
+            pcb = apply_weight_acc(pcb, wvec[2], wvec[3], weight_denom,
+                                   bit_depth)
+            pcr = apply_weight_acc(pcr, wvec[4], wvec[5], weight_denom,
+                                   bit_depth)
+            zcb = apply_weight_fullpel(zcb, wvec[2], wvec[3],
+                                       weight_denom, bit_depth)
+            zcr = apply_weight_fullpel(zcr, wvec[4], wvec[5],
+                                       weight_denom, bit_depth)
         if raw:
             # full-pel accumulator scale: sample << (12 - shift1)
             ts = 12 - (bit_depth - 8)
@@ -791,15 +809,17 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
                                    "real_w", "ctu", "deblock", "sao",
                                    "sign_hiding", "me_range",
                                    "need_recon", "dqp", "intra_ii",
-                                   "use_seeds", "rdoq", "psy_rd"))
+                                   "use_seeds", "rdoq", "psy_rd",
+                                   "weightp", "weight_denom"))
 def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
-               qp_maps, seeds16, *,
+               qp_maps, seeds16, wvecs=None, *,
                qp: int, qpc: int, bit_depth: int, real_h: int,
                real_w: int, ctu: int, deblock: bool, sao: bool,
                sign_hiding: bool, me_range: int, need_recon: bool,
                dqp: bool = False, intra_ii: bool = True,
                use_seeds: bool = False, rdoq: bool = False,
-               psy_rd: float = 0.0):
+               psy_rd: float = 0.0, weightp: bool = False,
+               weight_denom: int = 6):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -819,7 +839,8 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
 
     def body(carry, xs):
         ry, rcb, rcr = carry
-        oy8, ocb8, ocr8, qp_ctu, seed16_f = xs
+        oy8, ocb8, ocr8, qp_ctu, seed16_f, wvec_f = xs
+        wvec = wvec_f if weightp else None
         oy = oy8.astype(jnp.int32)
         ocb = ocb8.astype(jnp.int32)
         ocr = ocr8.astype(jnp.int32)
@@ -835,12 +856,18 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         # times over — 4x/2x less HBM traffic than int32 windows
         win_dt = jnp.uint8 if bit_depth == 8 else jnp.uint16
         ry_pad = pad_ref(ry.astype(win_dt), pad_y)
+        # weightp: the search compares a weight-COMPENSATED current
+        # against the unweighted reference (one pass over the frame
+        # instead of weighting every candidate); predictions are then
+        # the normative weighted samples from the raw accumulators
+        oy_s = inverse_weight_plane(oy, wvec[0], wvec[1], weight_denom,
+                                    bit_depth) if weightp else oy
         if use_seeds:
             # analysis reuse (readAnalysisFile analog, encoder.cpp:4324):
             # prior-pass MVs (full-pel) replace the coarse search
             cmv16 = seed16_f
         else:
-            cmv, _ = _coarse_search_rolled(_downsample4(oy),
+            cmv, _ = _coarse_search_rolled(_downsample4(oy_s),
                                            _downsample4(ry))
             # the coarse grid (4x4 blocks at quarter res) IS the
             # 16-region grid at full res; scale quarter-res pels to
@@ -848,7 +875,10 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
             cmv16 = cmv * 4
         meres, seeds = me_all_sizes(oy, ry_pad, cmv16, lam_i,
                                     radius=me_range, pad=pad_y,
-                                    bit_depth=bit_depth, sizes=SIZES)
+                                    bit_depth=bit_depth, sizes=SIZES,
+                                    cur_search=oy_s if weightp else None,
+                                    wvec=wvec,
+                                    weight_denom=weight_denom)
         mvs = {n: meres[n][0] for n in SIZES}
         preds = {n: meres[n][2] for n in SIZES}
 
@@ -857,7 +887,9 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         cpad2 = jnp.stack([pad_ref(rcb.astype(win_dt), pad_c),
                            pad_ref(rcr.astype(win_dt), pad_c)])
         cpreds = _chroma_preds_windowed(cpad2, pad_c, rcb, rcr, mvs,
-                                        seeds, me_range, h, w, bit_depth)
+                                        seeds, me_range, h, w, bit_depth,
+                                        wvec=wvec,
+                                        weight_denom=weight_denom)
 
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
@@ -963,10 +995,12 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                            rec_cr.astype(rdt))
         return (rec_y, rec_cb, rec_cr), outs
 
+    if wvecs is None:
+        wvecs = jnp.zeros((orig_y.shape[0], 6), jnp.int32)
     carry, outs = jax.lax.scan(
         body, (ref_y.astype(jnp.int32), ref_cb.astype(jnp.int32),
                ref_cr.astype(jnp.int32)),
-        (orig_y, orig_cb, orig_cr, qp_maps, seeds16))
+        (orig_y, orig_cb, orig_cr, qp_maps, seeds16, wvecs))
     f = orig_y.shape[0]
     # 2D layouts for the tunnel (3D-planar D2H is ~100x slower here)
     cf_y2 = outs[2].reshape(f * hp, wp)
@@ -1031,7 +1065,8 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                     cfg: EncoderConfig, qp: int | None = None,
                     need_recon: bool = True, me_range: int = 6,
                     qp_maps: np.ndarray | None = None,
-                    seeds16: np.ndarray | None = None) -> PgopPending:
+                    seeds16: np.ndarray | None = None,
+                    weights: np.ndarray | None = None) -> PgopPending:
     """Dispatch the fused P-GOP scan + coefficient compaction for F
     frames WITHOUT synchronizing: every return value is a device
     future. The final reference is available for chaining the next
@@ -1103,15 +1138,26 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         seeds16_j = jnp.asarray(sj)
     else:
         seeds16_j = jnp.zeros((f, by16, bx16, 2), jnp.int32)
+    if cfg.weightp:
+        from .weightp import WP_DENOM
+        if weights is None:
+            wvecs_j = jnp.tile(jnp.asarray(
+                [1 << WP_DENOM, 0, 1 << WP_DENOM, 0, 1 << WP_DENOM, 0],
+                jnp.int32), (f, 1))
+        else:
+            wvecs_j = jnp.asarray(np.asarray(weights, np.int32)
+                                  .reshape(f, 6))
+    else:
+        wvecs_j = None
     res, final_ref = _pgop_scan(
-        ry, rcb, rcr, oy, ocb, ocr, qp_maps_j, seeds16_j,
+        ry, rcb, rcr, oy, ocb, ocr, qp_maps_j, seeds16_j, wvecs_j,
         qp=int(qp), qpc=int(qpc),
         bit_depth=cfg.bit_depth, real_h=h, real_w=w, ctu=cfg.ctu_size,
         deblock=cfg.deblock, sao=cfg.sao, sign_hiding=cfg.sign_hiding,
         me_range=me_range, need_recon=need_recon,
         dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter,
         use_seeds=seeds16 is not None, rdoq=cfg.rdoq,
-        psy_rd=float(cfg.psy_rd))
+        psy_rd=float(cfg.psy_rd), weightp=cfg.weightp)
 
     # dispatch mask-directed CG compaction (async): collect downloads
     # the packed nonzero bitmask, then gathers exactly the nonzero rows
@@ -1195,10 +1241,12 @@ def encode_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                     cfg: EncoderConfig, qp: int | None = None,
                     need_recon: bool = True, me_range: int = 6,
                     qp_maps: np.ndarray | None = None,
-                    seeds16: np.ndarray | None = None
+                    seeds16: np.ndarray | None = None,
+                    weights: np.ndarray | None = None
                     ) -> tuple[list[FramePSyntax], list[ReconFrame | None],
                                DeviceRef]:
     """Synchronous wrapper: submit + collect in one call."""
     return collect_pgop_tpu(submit_pgop_tpu(
         orig_y, orig_cb, orig_cr, ref, cfg, qp, need_recon=need_recon,
-        me_range=me_range, qp_maps=qp_maps, seeds16=seeds16))
+        me_range=me_range, qp_maps=qp_maps, seeds16=seeds16,
+        weights=weights))

@@ -172,6 +172,44 @@ def interp_ext_lanes_multi(win_t: jnp.ndarray, dxi: jnp.ndarray,
     return jnp.clip(out, 0, (1 << bit_depth) - 1)
 
 
+def apply_weight_acc(raw: jnp.ndarray, w, o, denom: int,
+                     bit_depth: int = 8) -> jnp.ndarray:
+    """Normative explicit weighted sample prediction, uni case
+    (clause 8.5.4.2.3.3), from the two-stage interpolation accumulator:
+    the 14-bit intermediate is i = raw >> 6; the prediction is
+    Clip(((w*i + 2^(log2WD-1)) >> log2WD) + (o << (bd-8))) with
+    log2WD = denom + 14 - bitDepth. With neutral weights (w = 2^denom,
+    o = 0) this equals the default rounding EXACTLY (nested-floor
+    identity), so a weighted-pred stream with inferred weights decodes
+    bit-identically to an unweighted one. w/o may be traced scalars."""
+    log2wd = denom + 14 - bit_depth
+    i = raw >> 6
+    v = ((w * i + (1 << (log2wd - 1))) >> log2wd) + (o << (bit_depth - 8))
+    return jnp.clip(v, 0, (1 << bit_depth) - 1)
+
+
+def apply_weight_fullpel(s: jnp.ndarray, w, o, denom: int,
+                         bit_depth: int = 8) -> jnp.ndarray:
+    """Weighted prediction of FULL-PEL samples: algebraically equal to
+    apply_weight_acc(s << (12 - (bd-8))) — the 2^(14-bd) intermediate
+    scale cancels into the denom-only shift."""
+    v = ((w * s + (1 << (denom - 1))) >> denom) + (o << (bit_depth - 8))
+    return jnp.clip(v, 0, (1 << bit_depth) - 1)
+
+
+def inverse_weight_plane(cur: jnp.ndarray, w, o, denom: int,
+                         bit_depth: int = 8) -> jnp.ndarray:
+    """Weight-compensate the CURRENT frame for the integer search:
+    argmin over candidates of SAD(cur, weighted(ref)) is approximated
+    by SAD(cur', ref) with cur' = (cur - o)*2^denom/w — one pass over
+    the frame instead of weighting every candidate (the search analog
+    of x265's weighted reference planes, reference.cpp:85)."""
+    num = (cur - (o << (bit_depth - 8))) << denom
+    w_safe = jnp.maximum(w, 1)
+    v = (num + jnp.where(num >= 0, w_safe >> 1, -(w_safe >> 1))) // w_safe
+    return jnp.clip(v, 0, (1 << bit_depth) - 1)
+
+
 def sa8d_multi(diff: jnp.ndarray, n: int) -> jnp.ndarray:
     """SA8D over (K, n, n, B) candidate diffs -> (K, B): candidates
     fold into the lane axis so the butterflies stay dense."""
@@ -352,7 +390,10 @@ def select_window_lanes(win_t: jnp.ndarray, offy: jnp.ndarray,
 def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                  cmv16: jnp.ndarray, lam: jnp.ndarray, *,
                  radius: int = 6, pad: int, bit_depth: int = 8,
-                 sizes=(8, 16, 32), want_raw: bool = False):
+                 sizes=(8, 16, 32), want_raw: bool = False,
+                 cur_search: jnp.ndarray | None = None,
+                 wvec: jnp.ndarray | None = None,
+                 weight_denom: int = 6):
     """Dense ME for every block of every size with TWO plane gathers
     per frame (the gathers, not the math, dominate windowed ME on TPU):
 
@@ -375,6 +416,21 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     h, w = cur.shape
     r = radius
     side = 2 * r + 1
+    weighted = wvec is not None
+    assert not (weighted and want_raw), \
+        "raw accumulators are the unweighted contract (B path)"
+    if weighted and cur_search is None:
+        cur_search = inverse_weight_plane(cur.astype(jnp.int32), wvec[0],
+                                          wvec[1], weight_denom,
+                                          bit_depth)
+    if cur_search is None:
+        cur_search = cur
+
+    def lanes_of(plane, n):
+        bby, bbx = h // n, w // n
+        return plane.reshape(bby, n, bbx, n).transpose(1, 3, 0, 2) \
+            .reshape(n, n, bby * bbx).astype(jnp.int32)
+
     by16, bx16 = h // 16, w // 16
     b16 = by16 * bx16
     y16 = jnp.repeat(jnp.arange(by16, dtype=jnp.int32) * 16, bx16)
@@ -390,9 +446,11 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
 
     out = {}
 
-    def run_size(win_t, cur_t, seedx, seedy, x0s, y0s, n):
-        """win_t: (n+2r+8, n+2r+8, B) windows at seed-(r+4); returns
-        (mv_qpel, cost, pred (n,n,B))."""
+    def run_size(win_t, cur_t, cur_st, seedx, seedy, x0s, y0s, n):
+        """win_t: (n+2r+8, n+2r+8, B) windows at seed-(r+4); cur_st is
+        the (possibly weight-compensated) search current, cur_t the
+        true current for the SATD/pred stages. Returns (mv_qpel, cost,
+        pred (n,n,B))."""
         b = cur_t.shape[-1]
         offs = jnp.arange(side, dtype=jnp.int32) - r
 
@@ -404,7 +462,7 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         penx = lam * comp_bits((seedx[None, :] + offs[:, None]) * 4)
         peny = lam * comp_bits((seedy[None, :] + offs[:, None]) * 4)
 
-        _, best_i = int_search_vec(win_t, cur_t, penx, peny, n, side,
+        _, best_i = int_search_vec(win_t, cur_st, penx, peny, n, side,
                                    lead=4)
         oy_i = best_i // side          # window offset in [0, 2r]
         ox_i = best_i % side
@@ -421,11 +479,18 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         def rounded(acc):
             return jnp.clip((acc + rnd_off) >> total_shift, 0, maxv)
 
+        if weighted:
+            def wround(acc):
+                return apply_weight_acc(acc, wvec[0], wvec[1],
+                                        weight_denom, bit_depth)
+        else:
+            wround = rounded
+
         dx = jnp.zeros((b,), jnp.int32)
         dy = jnp.zeros((b,), jnp.int32)
         raw0 = interp_ext_lanes(swin_t, dx + 3, dy + 3, n, bit_depth,
                                 raw=True)
-        pred = rounded(raw0)
+        pred = wround(raw0)
         scost = sa8d_nxn_lanes(cur_t - pred, n) + \
             lam * _mv_bits(mvx_i * 4, mvy_i * 4)
         best_pred = pred
@@ -439,7 +504,7 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
             cy = jnp.clip(dy[None, :] + noff[:, 1:2] * step, -3, 3)
             praw = interp_ext_lanes_multi(swin_t, cx + 3, cy + 3, n,
                                           bit_depth, raw=True)
-            rnd = jnp.clip((praw + rnd_off) >> total_shift, 0, maxv)
+            rnd = wround(praw)
             c = sa8d_multi(cur_t[None] - rnd, n) + \
                 lam * _mv_bits(mvx_i[None] * 4 + cx,
                                mvy_i[None] * 4 + cy)
@@ -492,7 +557,7 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                                       n + 8, side)
             praw = interp_ext_lanes(swc, (cqx & 3) + 3, (cqy & 3) + 3,
                                     n, bit_depth, raw=True)
-            p = rounded(praw)
+            p = wround(praw)
             c = sa8d_nxn_lanes(cur_t - p, n) + lam * 2
             c = jnp.where(valid, c, jnp.int32(1 << 30))
             better = c < scost
@@ -508,6 +573,9 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         ref = ref_pad[pad:pad + h, pad:pad + w]
         zero_t = ref.reshape(by, n, bx, n).transpose(1, 3, 0, 2) \
             .reshape(n, n, b).astype(jnp.int32)
+        if weighted:
+            zero_t = apply_weight_fullpel(zero_t, wvec[0], wvec[1],
+                                          weight_denom, bit_depth)
         zcost = sa8d_nxn_lanes(cur_t - zero_t, n) + lam * 2
         zwin = zcost < scost
         scost = jnp.where(zwin, zcost, scost)
@@ -532,10 +600,11 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         return (mv, cost, jnp.transpose(pred, (2, 0, 1)))
 
     if 16 in sizes:
-        cur16 = cur.reshape(by16, 16, bx16, 16).transpose(1, 3, 0, 2) \
-            .reshape(16, 16, b16).astype(jnp.int32)
+        cur16 = lanes_of(cur, 16)
+        cur16s = cur16 if cur_search is cur else lanes_of(cur_search, 16)
         w16_t = jnp.transpose(w16, (1, 2, 0))
-        out[16] = pack(run_size(w16_t, cur16, sx16, sy16, x16, y16, 16))
+        out[16] = pack(run_size(w16_t, cur16, cur16s, sx16, sy16, x16,
+                                y16, 16))
 
     if 8 in sizes:
         by8, bx8 = h // 8, w // 8
@@ -555,15 +624,15 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         w8 = jnp.stack([jnp.stack(row, axis=2) for row in subs], axis=1) \
             .reshape(by8, bx8, wlen8, wlen8)
         w8_t = jnp.transpose(w8.reshape(b8, wlen8, wlen8), (1, 2, 0))
-        cur8 = cur.reshape(by8, 8, bx8, 8).transpose(1, 3, 0, 2) \
-            .reshape(8, 8, b8).astype(jnp.int32)
+        cur8 = lanes_of(cur, 8)
+        cur8s = cur8 if cur_search is cur else lanes_of(cur_search, 8)
         sx8 = jnp.repeat(jnp.repeat(sx16.reshape(by16, bx16), 2, 0),
                          2, 1).reshape(-1)
         sy8 = jnp.repeat(jnp.repeat(sy16.reshape(by16, bx16), 2, 0),
                          2, 1).reshape(-1)
         y8 = jnp.repeat(jnp.arange(by8, dtype=jnp.int32) * 8, bx8)
         x8 = jnp.tile(jnp.arange(bx8, dtype=jnp.int32) * 8, by8)
-        out[8] = pack(run_size(w8_t, cur8, sx8, sy8, x8, y8, 8))
+        out[8] = pack(run_size(w8_t, cur8, cur8s, sx8, sy8, x8, y8, 8))
 
     if 32 in sizes:
         by32, bx32 = h // 32, w // 32
@@ -581,9 +650,10 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         w32 = gather_windows_ds(ref_pad, pad, y32 + sy32 - (r + 4),
                                 x32 + sx32 - (r + 4), wlen32)
         w32_t = jnp.transpose(w32, (1, 2, 0))
-        cur32 = cur.reshape(by32, 32, bx32, 32).transpose(1, 3, 0, 2) \
-            .reshape(32, 32, b32).astype(jnp.int32)
-        out[32] = pack(run_size(w32_t, cur32, sx32, sy32, x32, y32, 32))
+        cur32 = lanes_of(cur, 32)
+        cur32s = cur32 if cur_search is cur else lanes_of(cur_search, 32)
+        out[32] = pack(run_size(w32_t, cur32, cur32s, sx32, sy32, x32,
+                                y32, 32))
         seeds32 = (sx32, sy32)
     else:
         seeds32 = None
