@@ -72,10 +72,20 @@ def bench_intra() -> None:
 def bench_ippp() -> None:
     """IPPP low-delay: I + (gop-1) P frames via the fused device scan.
 
-    GOP 24 (not the keyint-250 of config 2) keeps the measurement
-    honest about I-frame cost while not being artificially I-heavy."""
-    gop = int(os.environ.get("BENCH_GOP", "24"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    GOP 25 (not the keyint-250 of config 2) keeps the measurement
+    honest about I-frame cost while not being artificially I-heavy;
+    25 = 1 I + 24 P = three pipelined 8-frame chunks, so exactly ONE
+    P-chunk program shape ever compiles (cold XLA compile on this
+    backend is minutes per shape and the persistent cache does not
+    capture axon executables).
+
+    Warmup compiles the intra path and the P-chunk path in PARALLEL
+    threads (the compile service overlaps requests), then ONE measured
+    pass runs by default — the driver's wall-clock window is the
+    binding constraint, not measurement noise."""
+    gop = int(os.environ.get("BENCH_GOP", "25"))
+    iters = int(os.environ.get("BENCH_ITERS", "1"))
+    chunk = 8
     cfg = EncoderConfig(width=1920, height=1080, qp=32, deblock=True,
                         sao=False)
     enc = IntraEncoder(cfg)
@@ -90,10 +100,53 @@ def bench_ippp() -> None:
         # software-pipelined chunks: upload/scan of chunk k+1 overlaps
         # download/CABAC of chunk k
         rs = enc.encode_pgop_pipelined(frames[1:], need_recon=False,
-                                       chunk=8)
+                                       chunk=chunk)
         return r0.bits + sum(r.bits for r in rs)
 
-    run()                            # warmup / compile
+    # --- parallel warmup: intra-path compiles on one thread, the
+    # P-chunk program on another (distinct XLA programs; the backend
+    # compiles them concurrently)
+    import threading
+
+    def warm_pgop():
+        from x265_tpu.enc.pgop_tpu import submit_pgop_tpu, \
+            collect_pgop_tpu
+        from x265_tpu.enc.intra_recon import ReconFrame
+        rng = np.random.default_rng(7)
+        h, w = cfg.height_padded, cfg.width_padded
+        ref = ReconFrame(rng.integers(0, 255, (h, w), np.int32),
+                         rng.integers(0, 255, (h // 2, w // 2), np.int32),
+                         rng.integers(0, 255, (h // 2, w // 2), np.int32))
+        oy = rng.integers(0, 255, (chunk, h, w)).astype(np.uint8)
+        ocb = rng.integers(0, 255, (chunk, h // 2, w // 2)) \
+            .astype(np.uint8)
+        ocr = rng.integers(0, 255, (chunk, h // 2, w // 2)) \
+            .astype(np.uint8)
+        wenc = IntraEncoder(cfg)
+        wenc.last_src = (oy[0], ocb[0], ocr[0])
+        _, wvecs = wenc._pgop_weights([(oy[i], ocb[i], ocr[i])
+                                       for i in range(chunk)])
+        pend = submit_pgop_tpu(oy, ocb, ocr, ref, cfg, cfg.qp,
+                               need_recon=False, me_range=cfg.me_range,
+                               weights=wvecs)
+        syns, _, _ = collect_pgop_tpu(pend)
+        # warm the host CABAC tail too (native encoder init)
+        wenc.poc = 0
+        wenc._emit_p_frames(syns[:1], [None], cfg.qp)
+
+    def warm_intra():
+        enc.frame_count = 1
+        enc.poc = 0
+        enc.encode_frame(*frames[0], qp=cfg.qp - 3,
+                         use_device_recon=True, need_recon=False)
+
+    ts = [threading.Thread(target=warm_pgop),
+          threading.Thread(target=warm_intra)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
     t0 = time.perf_counter()
     bits = 0
     for _ in range(iters):
@@ -105,7 +158,7 @@ def bench_ippp() -> None:
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_IPPP_FPS, 3),
-    }))
+    }), flush=True)
 
 
 def main() -> None:

@@ -1,0 +1,38 @@
+"""Default-tier 1080p coverage (VERDICT r03 weak #4c): the exact
+resolution + config the benchmark runs (IPPP, deblock on, SAO off)
+must round-trip the independent decoder bit-exactly in EVERY test run,
+so a 1080p-path regression can't ship unnoticed. Kept to 2 frames
+(one I, one P) so the cost is compile-bounded."""
+
+import numpy as np
+
+from x265_tpu.common.params import EncoderConfig
+from x265_tpu.decoder import decode_annexb
+from x265_tpu.enc import IntraEncoder
+
+
+def test_1080p_ip_decode_exact():
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:1080, 0:1920]
+    base = ((xx * 3 + yy * 2 + ((xx * yy) >> 9)) % 256).astype(np.int32)
+    base = np.clip(base + rng.integers(-10, 10, base.shape),
+                   0, 255).astype(np.uint8)
+    cb = np.clip(128 + (xx[::2, ::2] >> 4), 0, 255).astype(np.uint8)
+    cr = np.clip(128 - (yy[::2, ::2] >> 4), 0, 255).astype(np.uint8)
+    frames = [(np.roll(base, 2 * i, axis=1), cb, cr) for i in range(2)]
+
+    cfg = EncoderConfig(width=1920, height=1080, qp=32, deblock=True,
+                        sao=False)
+    enc = IntraEncoder(cfg)
+    r0 = enc.encode_frame(*frames[0], qp=cfg.qp - 3,
+                          use_device_recon=True)
+    enc.ref = r0.device_ref
+    enc.poc = 0
+    rs = [r0] + enc.encode_pgop_pipelined(frames[1:], need_recon=True)
+    stream = b"".join(r.bitstream for r in rs)
+    dec = decode_annexb(stream)
+    assert len(dec) == 2
+    for d, r in zip(dec, rs):
+        assert np.array_equal(d.y, np.asarray(r.recon.y))
+        assert np.array_equal(d.cb, np.asarray(r.recon.cb))
+        assert np.array_equal(d.cr, np.asarray(r.recon.cr))

@@ -148,7 +148,7 @@ def test_cli_dhdr10_and_chunk(tmp_path):
         [sys.executable, "-m", "x265_tpu.cli", str(src), "-o", str(out),
          "--qp", "32", "--dhdr10-info", str(meta),
          "--chunk-start", "2", "--chunk-end", "3"],
-        capture_output=True, text=True,
+        capture_output=True, text=True, timeout=600,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-2000:]
     data = out.read_bytes()

@@ -11,8 +11,21 @@ where the underlying tool exists).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# honor JAX_PLATFORMS even when a site hook re-forces another backend
+# after env parsing: jax.config.update is what actually sticks (the
+# same trap tests/conftest.py works around). Must run before any
+# backend is initialized.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 import numpy as np
 

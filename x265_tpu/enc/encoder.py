@@ -26,6 +26,27 @@ from .intra_analysis import (analyze_intra_frame, analyze_intra_gop,
 from .intra_recon import reconstruct_intra_frame, ReconFrame
 
 
+def _narrow_ref_j(y, cb, cr, *, bd: int):
+    """Crop-free narrow-dtype cast of a device reference triple (the
+    DeviceRef storage dtype: pixels fit uint8/uint16, and narrow refs
+    halve the scan's H2D-free reference reads). Jitted lazily so
+    importing this module costs nothing."""
+    import jax
+    import jax.numpy as jnp
+    global _narrow_ref_j_impl
+    try:
+        f = _narrow_ref_j_impl
+    except NameError:
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("bd",))
+        def f(y, cb, cr, *, bd):
+            dt = jnp.uint8 if bd == 8 else jnp.uint16
+            return y.astype(dt), cb.astype(dt), cr.astype(dt)
+        _narrow_ref_j_impl = f
+    return f(y, cb, cr, bd=bd)
+
+
 def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
     """Edge-replicate to the coded (padded) size."""
     ph, pw = h - p.shape[0], w - p.shape[1]
@@ -268,7 +289,8 @@ class IntraEncoder:
                                   cfg.bit_depth)
                 sao_params = (np.asarray(p_y_d), np.asarray(p_cb_d),
                               np.asarray(p_cr_d))
-            device_ref = DeviceRef(dy, dcb, dcr)
+            device_ref = DeviceRef(*_narrow_ref_j(dy, dcb, dcr,
+                                                  bd=cfg.bit_depth))
             if need_recon or cfg.hash_sei:
                 recon = device_ref.to_recon()
             else:

@@ -32,16 +32,18 @@ class ReconFrame:
 
 @dataclass
 class DeviceRef:
-    """Reference picture kept device-resident (int32 jnp planes at the
-    CODED size): chaining I -> P GOPs without D2H/H2D round-trips (the
-    PicYuv-stays-in-frame-encoder analog of x265's frame pipeline)."""
+    """Reference picture kept device-resident (narrow uint8/uint16 jnp
+    planes at the CODED size): chaining I -> P GOPs without D2H/H2D
+    round-trips (the PicYuv-stays-in-frame-encoder analog of x265's
+    frame pipeline)."""
     y: object            # jnp (h, w)
     cb: object           # jnp (h/2, w/2)
     cr: object           # jnp (h/2, w/2)
 
     def to_recon(self) -> "ReconFrame":
-        return ReconFrame(np.asarray(self.y), np.asarray(self.cb),
-                          np.asarray(self.cr))
+        return ReconFrame(np.asarray(self.y).astype(np.int32),
+                          np.asarray(self.cb).astype(np.int32),
+                          np.asarray(self.cr).astype(np.int32))
 
 
 def _avail_mask(mask: np.ndarray, x0: int, y0: int, n: int) -> np.ndarray:

@@ -231,25 +231,31 @@ def _bitlen(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a > 0, e + 1, 0)
 
 
-def _coeff_bits_est(cf: jnp.ndarray, by: int, bx: int, k: int
-                    ) -> jnp.ndarray:
+def _coeff_bits_est(cf: jnp.ndarray, by: int, bx: int, k: int,
+                    calib=(1.4, 1.2, 5.0)) -> jnp.ndarray:
     """Coefficient-bits proxy per k x k block of the plane: sig-flag
-    cost per nonzero + level magnitude cost + cbf/lastpos overhead."""
+    cost per nonzero + level magnitude cost + cbf/lastpos overhead.
+    calib = (per-nnz, per-bitlen, per-coded-block) bits, fit against
+    the real CABAC by tools/calibrate_bits.py (common/bit_calib.py)."""
+    a_, b_, c_ = (float(calib[0]), float(calib[1]), float(calib[2]))
     a = jnp.abs(cf[:by * k, :bx * k])
     nnz = (a > 0).reshape(by, k, bx, k).sum((1, 3)).astype(jnp.float32)
     slog = _bitlen(a).reshape(by, k, bx, k).sum((1, 3)) \
         .astype(jnp.float32)
-    return jnp.where(nnz > 0, 1.4 * nnz + 1.2 * slog + 5.0, 0.0)
+    return jnp.where(nnz > 0, a_ * nnz + b_ * slog + c_, 0.0)
 
 
 def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
-                       real_h: int, real_w: int, h: int, w: int):
+                       real_h: int, real_w: int, h: int, w: int,
+                       hdr_bits: float = 5.0, split_bits: float = 3.0):
     """Bottom-up split-vs-keep argmin over true RD costs. Returns
     depth8 (n8y, n8x) i32 and mv8 (n8y, n8x, 2) i32 on the padded
     grid. Static over-the-edge masking forces splits at ragged
-    borders (partial CUs can't be chosen whole)."""
-    hdr_bits = 5.0           # merge/pred/part/cbf flags for 2Nx2N inter
-    split_bits = 3.0
+    borders (partial CUs can't be chosen whole). hdr_bits (per leaf:
+    merge/pred/part/cbf flags for 2Nx2N inter) and split_bits (per
+    coded split flag) come from the CABAC-fit calibration."""
+    hdr_bits = float(hdr_bits)
+    split_bits = float(split_bits)
     big = jnp.float32(1e18)
     cost = {}
     for n in SIZES:
@@ -317,6 +323,8 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
     gathers at all. qp_ctu, when given, is a traced (ncty, nctx)
     per-CTU QP map (AQ/cuTree dQP): every block quantizes with its
     covering CTU's QP. Returns (rec/cf planes..., depth8, mv8)."""
+    from ..common.bit_calib import calib_for_qp
+    calib = calib_for_qp(qp)
     h, w = oy.shape
     maxv = (1 << bit_depth) - 1
 
@@ -381,6 +389,7 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         rec_y, cf_y = one_plane(oy, n, qn, preds[n])
         rec_cb, cf_cb = one_plane(ocb, cn, qcn, cpreds[n][0])
         rec_cr, cf_cr = one_plane(ocr, cn, qcn, cpreds[n][1])
+        cal3 = calib[:3]
         planes[n] = (to_plane(rec_y, n, h, w), to_plane(cf_y, n, h, w),
                      to_plane(rec_cb, cn, h // 2, w // 2),
                      to_plane(cf_cb, cn, h // 2, w // 2),
@@ -391,10 +400,10 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         sse[n] = blk_sum((planes[n][0] - oy) ** 2, by, bx, n) + \
             blk_sum((planes[n][2] - ocb) ** 2, by, bx, cn) + \
             blk_sum((planes[n][4] - ocr) ** 2, by, bx, cn)
-        bits[n] = _mvd_bits_est(grid) + \
-            _coeff_bits_est(planes[n][1], by, bx, n) + \
-            _coeff_bits_est(planes[n][3], by, bx, cn) + \
-            _coeff_bits_est(planes[n][5], by, bx, cn)
+        bits[n] = float(calib[5]) * _mvd_bits_est(grid) + \
+            _coeff_bits_est(planes[n][1], by, bx, n, cal3) + \
+            _coeff_bits_est(planes[n][3], by, bx, cn, cal3) + \
+            _coeff_bits_est(planes[n][5], by, bx, cn, cal3)
 
     if psy_rd > 0:
         # psy-rd (x265 rdcost.h:30 calcPsyRdCost): penalize recon that
@@ -414,7 +423,9 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
             sse[n] = sse[n] + jnp.float32(psy_rd) * lam * psy_n
 
     depth8, mv8 = _rd_depth_decision(sse, bits, mvs, lam2, real_h,
-                                     real_w, h, w)
+                                     real_w, h, w,
+                                     hdr_bits=float(calib[3]),
+                                     split_bits=float(calib[4]))
 
     size_of_depth = {0: 32, 1: 16, 2: 8}
     out = [jnp.zeros_like(p) for p in planes[8]]
@@ -805,21 +816,15 @@ def deblock_luma_t(plane: jnp.ndarray, vbs: jnp.ndarray, hbs: jnp.ndarray,
 # the fused GOP scan
 # =============================================================================
 
-@partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
-                                   "real_w", "ctu", "deblock", "sao",
-                                   "sign_hiding", "me_range",
-                                   "need_recon", "dqp", "intra_ii",
-                                   "use_seeds", "rdoq", "psy_rd",
-                                   "weightp", "weight_denom"))
-def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
-               qp_maps, seeds16, wvecs=None, *,
-               qp: int, qpc: int, bit_depth: int, real_h: int,
-               real_w: int, ctu: int, deblock: bool, sao: bool,
-               sign_hiding: bool, me_range: int, need_recon: bool,
-               dqp: bool = False, intra_ii: bool = True,
-               use_seeds: bool = False, rdoq: bool = False,
-               psy_rd: float = 0.0, weightp: bool = False,
-               weight_denom: int = 6):
+def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
+                    qp_maps, seeds16, wvecs=None, *,
+                    qp: int, qpc: int, bit_depth: int, real_h: int,
+                    real_w: int, ctu: int, deblock: bool, sao: bool,
+                    sign_hiding: bool, me_range: int, need_recon: bool,
+                    dqp: bool = False, intra_ii: bool = True,
+                    use_seeds: bool = False, rdoq: bool = False,
+                    psy_rd: float = 0.0, weightp: bool = False,
+                    weight_denom: int = 6):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -1015,6 +1020,81 @@ def _pgop_scan(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
     return res, carry              # final ref stays int32 device-side
 
 
+# jitted variant with the round-3 calling convention: padded uint refs
+# in, dense 2D coefficient stacks out. gop_sharding's shard_map wraps
+# this directly (parallel/gop_sharding.py:61).
+_pgop_scan = partial(jax.jit, static_argnames=(
+    "qp", "qpc", "bit_depth", "real_h", "real_w", "ctu", "deblock",
+    "sao", "sign_hiding", "me_range", "need_recon", "dqp", "intra_ii",
+    "use_seeds", "rdoq", "psy_rd", "weightp",
+    "weight_denom"))(_pgop_scan_body)
+
+
+@partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
+                                   "real_w", "ctu", "deblock", "sao",
+                                   "sign_hiding", "me_range",
+                                   "need_recon", "dqp", "intra_ii",
+                                   "use_seeds", "rdoq", "psy_rd",
+                                   "weightp", "weight_denom"))
+def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
+                      qp_maps, seeds16, wvecs=None, *,
+                      qp: int, qpc: int, bit_depth: int, real_h: int,
+                      real_w: int, ctu: int, deblock: bool, sao: bool,
+                      sign_hiding: bool, me_range: int,
+                      need_recon: bool, dqp: bool = False,
+                      intra_ii: bool = True, use_seeds: bool = False,
+                      rdoq: bool = False, psy_rd: float = 0.0,
+                      weightp: bool = False, weight_denom: int = 6):
+    """ONE compiled program for the whole submit path (cold-compile
+    budget: every separately-jitted helper costs 10-60 s of XLA compile
+    on this backend, so the scan, the decision-field packing, the CG
+    compaction and the final-reference crop are fused here).
+
+    refs come in at the CODED size (real_h, real_w) in the narrow
+    source dtype (uint8/uint16) and are edge-padded on device; returns
+      (small_uint8, cg_y, nzp_y, cg_c, nzp_c,
+       fin_y, fin_cb, fin_cr[, rec_y2, rec_c2])
+    where cg_* are (ncg, 16) int16 CG rows with bit-packed nonzero
+    masks nzp_* (the ops/compact.py cg_rows_packed layout) and fin_*
+    are the final reference planes cropped to the coded size in the
+    narrow dtype."""
+    hp, wp = orig_y.shape[1:]
+    rh, rw = real_h, real_w
+    rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
+
+    def padr(p, ph, pw2):
+        return jnp.pad(p, ((0, ph - p.shape[0]), (0, pw2 - p.shape[1])),
+                       mode="edge")
+
+    res, carry = _pgop_scan_body(
+        padr(ref_y, hp, wp), padr(ref_cb, hp // 2, wp // 2),
+        padr(ref_cr, hp // 2, wp // 2), orig_y, orig_cb, orig_cr,
+        qp_maps, seeds16, wvecs, qp=qp, qpc=qpc, bit_depth=bit_depth,
+        real_h=real_h, real_w=real_w, ctu=ctu, deblock=deblock,
+        sao=sao, sign_hiding=sign_hiding, me_range=me_range,
+        need_recon=need_recon, dqp=dqp, intra_ii=intra_ii,
+        use_seeds=use_seeds, rdoq=rdoq, psy_rd=psy_rd, weightp=weightp,
+        weight_denom=weight_denom)
+
+    def cg_pack(plane2d):
+        h2, w2 = plane2d.shape
+        cg = plane2d.reshape(h2 // 4, 4, w2 // 4, 4) \
+            .transpose(0, 2, 1, 3).reshape(-1, 16).astype(jnp.int16)
+        nz = jnp.any(cg != 0, axis=1)
+        return cg, jnp.packbits(nz)
+
+    small = _pack_fields_t(res[0], res[1], res[4], res[5], res[6])
+    cg_y, nzp_y = cg_pack(res[2])
+    cg_c, nzp_c = cg_pack(res[3])
+    fin = (carry[0][:rh, :rw].astype(rdt),
+           carry[1][:rh // 2, :rw // 2].astype(rdt),
+           carry[2][:rh // 2, :rw // 2].astype(rdt))
+    out = (small, cg_y, nzp_y, cg_c, nzp_c) + fin
+    if need_recon:
+        out = out + (res[7], res[8])
+    return out
+
+
 @partial(jax.jit, static_argnames=("f", "h", "w", "hp", "wp"))
 def _pad_gop_j(p2d, *, f: int, h: int, w: int, hp: int, wp: int):
     """(F*H, W) uint plane stack -> (F, Hp, Wp) edge-padded, on device
@@ -1024,10 +1104,11 @@ def _pad_gop_j(p2d, *, f: int, h: int, w: int, hp: int, wp: int):
     return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
 
-@jax.jit
-def _pack_fields(depth8, mv8, sao, intra8, imode8):
+def _pack_fields_t(depth8, mv8, sao, intra8, imode8):
     """Bundle the small per-frame decision fields into ONE uint8
-    buffer so collect pays a single D2H round trip."""
+    buffer so collect pays a single D2H round trip. Traced inline in
+    _pgop_scan_packed (a standalone jit of this costs ~60 s of XLA
+    compile on the axon backend)."""
     parts = [depth8.reshape(-1),
              jax.lax.bitcast_convert_type(mv8, jnp.uint8).reshape(-1),
              jax.lax.bitcast_convert_type(sao, jnp.uint8).reshape(-1),
@@ -1080,6 +1161,11 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     hp = (h + 31) // 32 * 32
     wp = (w + 31) // 32 * 32
     qp = cfg.qp if qp is None else qp
+    # static-arg hygiene: `False or 0` is int 0, and Static(0) !=
+    # Static(False) in the pjit cache key — a silent full recompile
+    # (~90 s on this backend). Coerce every static here.
+    need_recon = bool(need_recon)
+    me_range = int(me_range)
     qpc = chroma_qp(qp)
     if qp_maps is None and cfg.dqp_enabled:
         # PPS signals cu_qp_delta: every slice must code deltas
@@ -1099,20 +1185,18 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     ocb = up(orig_cb, hp // 2, wp // 2)
     ocr = up(orig_cr, hp // 2, wp // 2)
     if isinstance(ref, DeviceRef):
-        jdt = jnp.uint8 if cfg.bit_depth == 8 else jnp.uint16
-
-        def dpad(p, ph, pw2):
-            hh, ww = p.shape
-            return _pad_gop_j(p.astype(jdt), f=1, h=hh, w=ww, hp=ph,
-                              wp=pw2)[0]
-
-        ry = dpad(ref.y, hp, wp)
-        rcb = dpad(ref.cb, hp // 2, wp // 2)
-        rcr = dpad(ref.cr, hp // 2, wp // 2)
+        # device-resident reference planes at the coded size in the
+        # narrow dtype: consumed as-is (padding happens in-program)
+        ry, rcb, rcr = ref.y, ref.cb, ref.cr
     else:
-        ry = up(np.asarray(ref.y)[None], hp, wp)[0]
-        rcb = up(np.asarray(ref.cb)[None], hp // 2, wp // 2)[0]
-        rcr = up(np.asarray(ref.cr)[None], hp // 2, wp // 2)[0]
+        ry = jnp.asarray(np.ascontiguousarray(
+            np.asarray(ref.y)[:h, :w]).astype(src_dt, copy=False))
+        rcb = jnp.asarray(np.ascontiguousarray(
+            np.asarray(ref.cb)[:h // 2, :w // 2]).astype(src_dt,
+                                                         copy=False))
+        rcr = jnp.asarray(np.ascontiguousarray(
+            np.asarray(ref.cr)[:h // 2, :w // 2]).astype(src_dt,
+                                                         copy=False))
 
     ctu = cfg.ctu_size
     ncty_p, nctx_p = hp // ctu, wp // ctu
@@ -1149,7 +1233,7 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
                                   .reshape(f, 6))
     else:
         wvecs_j = None
-    res, final_ref = _pgop_scan(
+    out = _pgop_scan_packed(
         ry, rcb, rcr, oy, ocb, ocr, qp_maps_j, seeds16_j, wvecs_j,
         qp=int(qp), qpc=int(qpc),
         bit_depth=cfg.bit_depth, real_h=h, real_w=w, ctu=cfg.ctu_size,
@@ -1158,20 +1242,13 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter,
         use_seeds=seeds16 is not None, rdoq=cfg.rdoq,
         psy_rd=float(cfg.psy_rd), weightp=cfg.weightp)
-
-    # dispatch mask-directed CG compaction (async): collect downloads
-    # the packed nonzero bitmask, then gathers exactly the nonzero rows
-    from ..ops.compact import cg_rows_packed
-    cy_cgs = cg_rows_packed(res[2]) + (f * hp, wp)
-    cc_cgs = cg_rows_packed(res[3]) + (2 * f * (hp // 2), wp // 2)
-    # one bundled download for the small per-frame fields (each
-    # separate D2H costs ~30 ms of tunnel latency)
-    small = _pack_fields(res[0], res[1], res[4], res[5], res[6])
-    last_ref = DeviceRef(final_ref[0][:h, :w],
-                         final_ref[1][:h // 2, :w // 2],
-                         final_ref[2][:h // 2, :w // 2])
+    small, cg_y, nzp_y, cg_c, nzp_c = out[:5]
+    cy_cgs = (cg_y, nzp_y, f * hp, wp)
+    cc_cgs = (cg_c, nzp_c, 2 * f * (hp // 2), wp // 2)
+    last_ref = DeviceRef(out[5], out[6], out[7])
     return PgopPending(
-        res=res, cy_cgs=cy_cgs, cc_cgs=cc_cgs, small=small,
+        res=out[8:] if need_recon else None,
+        cy_cgs=cy_cgs, cc_cgs=cc_cgs, small=small,
         qmj=qmj if qp_maps is not None else None, f=f, h=h, w=w, hp=hp,
         wp=wp, ctu=ctu, sao=cfg.sao, need_recon=need_recon,
         last_ref=last_ref)
@@ -1204,8 +1281,8 @@ def collect_pgop_tpu(p: PgopPending
     cf_c = fetch_compact_frames(p.cc_cgs, hp // 2, wp // 2,
                                 h // 2, w // 2)
     if p.need_recon:
-        ry_np = np.asarray(res[7]).reshape(f, hp, wp)[:, :h, :w]
-        rc_np = np.asarray(res[8]).reshape(2 * f, hp // 2, wp // 2) \
+        ry_np = np.asarray(res[0]).reshape(f, hp, wp)[:, :h, :w]
+        rc_np = np.asarray(res[1]).reshape(2 * f, hp // 2, wp // 2) \
             [:, :h // 2, :w // 2]
 
     ctu = p.ctu
