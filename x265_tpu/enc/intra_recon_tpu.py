@@ -100,15 +100,28 @@ def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32,
 
 def _substitute(refs: jnp.ndarray, avail: jnp.ndarray,
                 bit_depth: int) -> jnp.ndarray:
-    """Reference substitution (8.4.4.2.2) as a forward fill, batched."""
+    """Reference substitution (8.4.4.2.2) as a forward fill, batched.
+
+    Value-space log-shift propagation: positions keep the last
+    available value at-or-before them; a leading unavailable run takes
+    the first available value (the spec's wrap). The earlier
+    index-compute + take_along_axis form serialized on TPU (~17
+    ms/frame in the P scan's intra stage)."""
     b, k = refs.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-    idx = jnp.where(avail, iota, -1)
-    filled = jax.lax.cummax(idx, axis=1)
-    first = jnp.argmax(avail, axis=1)
-    firstval = jnp.take_along_axis(refs, first[:, None], axis=1)
-    out = jnp.take_along_axis(refs, jnp.clip(filled, 0, k - 1), axis=1)
-    out = jnp.where(filled >= 0, out, firstval)
+    val, ok = jnp.where(avail, refs, 0), avail
+    s = 1
+    while s < k:                       # forward: last valid <= i
+        val = jnp.where(ok, val, jnp.pad(val, ((0, 0), (s, 0)))[:, :k])
+        ok = ok | jnp.pad(ok, ((0, 0), (s, 0)))[:, :k]
+        s <<= 1
+    bval, bok = val, ok
+    s = 1
+    while s < k:                       # backward: first valid > i
+        bval = jnp.where(bok, bval,
+                         jnp.pad(bval, ((0, 0), (0, s)))[:, s:])
+        bok = bok | jnp.pad(bok, ((0, 0), (0, s)))[:, s:]
+        s <<= 1
+    out = jnp.where(ok, val, bval)
     any_avail = jnp.any(avail, axis=1, keepdims=True)
     return jnp.where(any_avail, out, 1 << (bit_depth - 1))
 
@@ -134,8 +147,9 @@ def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
 
     preds = intra_pred_all_modes(refs, n, is_luma=is_luma,
                                  bit_depth=bit_depth)     # (B,35,n,n)
-    pred = jnp.take_along_axis(
-        preds, modes[:, None, None, None], axis=1)[:, 0]  # (B,n,n)
+    moh = (jnp.arange(preds.shape[1], dtype=jnp.int32)[None, :]
+           == modes[:, None]).astype(preds.dtype)
+    pred = (preds * moh[:, :, None, None]).sum(1)         # (B,n,n)
     orig = orig_tile[:, oy:oy + n, ox:ox + n].astype(jnp.int32)
     resi = orig - pred
     dst = is_luma and n == 4           # DST-IV for 4x4 luma intra TBs

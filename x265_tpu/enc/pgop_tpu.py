@@ -74,7 +74,7 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
                  jnp.abs(iy - radius))[:, None, None]
         cost = sad + mvpen                       # (side, by, bx)
         mi = jnp.argmin(cost, axis=0).astype(jnp.int32)
-        mc = jnp.take_along_axis(cost, mi[None], axis=0)[0]
+        mc = jnp.min(cost, axis=0)
         better = mc < best_cost
         i = iy * side + mi
         return (jnp.where(better, mc, best_cost),
@@ -585,8 +585,10 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
     costs = sa8d_batch(ob[:, None] - preds) + lam * lam_bits[None, :]
     mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
     icost = jnp.min(costs, axis=1) + lam * 6   # pred_mode/part/cbf bits
-    pred = jnp.take_along_axis(preds, mode[:, None, None, None],
-                               axis=1)[:, 0]
+    # one-hot mode select ((B, 35) gathers serialize on TPU)
+    moh = (jnp.arange(preds.shape[1], dtype=jnp.int32)[None, :]
+           == mode[:, None]).astype(preds.dtype)
+    pred = (preds * moh[:, :, None, None]).sum(1)
 
     # acceptance: beats inter AND cell is an 8x8 CU already
     accept0 = (icost < inter_cost8) & (depth8.reshape(-1) == 2)

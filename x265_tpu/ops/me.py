@@ -26,9 +26,17 @@ from .satd import sa8d_nxn_batch
 
 
 def _downsample4(plane: jnp.ndarray) -> jnp.ndarray:
+    """4x4 mean pool (integer: sum >> 4 == truncated float mean for
+    non-negative pixels). The f32 .mean() form lowered to a strided
+    reduce-window costing ~4.6 ms/frame; two row/column pair-sums stay
+    in int32 on friendly layouts."""
     h, w = plane.shape
-    p = plane[:h // 4 * 4, :w // 4 * 4]
-    return p.reshape(h // 4, 4, w // 4, 4).mean(axis=(1, 3)).astype(jnp.int32)
+    p = plane[:h // 4 * 4, :w // 4 * 4].astype(jnp.int32)
+    p = p[0::2, :] + p[1::2, :]
+    p = p[0::2, :] + p[1::2, :]
+    p = p[:, 0::2] + p[:, 1::2]
+    p = p[:, 0::2] + p[:, 1::2]
+    return p >> 4
 
 
 def _mv_bits(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:

@@ -44,21 +44,108 @@ def gather_windows(ref: jnp.ndarray, y0s: jnp.ndarray, x0s: jnp.ndarray,
 
 def gather_windows_ds(ref_pad: jnp.ndarray, pad: int, y0s: jnp.ndarray,
                       x0s: jnp.ndarray, w: int) -> jnp.ndarray:
-    """Tile-granular window gather: vmap(dynamic_slice) lowers to ONE
-    gather HLO whose slices are contiguous (w, w) tiles — orders of
-    magnitude faster on TPU than the element-indexed form above.
+    """Tile-granular window gather.
 
     ref_pad is the reference EDGE-PADDED by `pad` on every side;
     (y0s, x0s) are top-left positions in unpadded coordinates, and
     must satisfy -pad <= p and p + w <= dim + pad (callers bound their
     MV ranges so this holds; values then equal the edge-clamped
-    element gather exactly)."""
+    element gather exactly).
+
+    On TPU this is a Pallas kernel (aligned DMA + dynamic roll); the
+    vmap(dynamic_slice) form XLA lowers to a serialized while loop of
+    ~2 us/window — it was ~45 ms/frame of the fused P scan. Elsewhere
+    (CPU tests) the vmap form is used."""
+    if _on_tpu():
+        return gather_windows_pallas(ref_pad, y0s + pad, x0s + pad, w)
     starts = jnp.stack([y0s + pad, x0s + pad], axis=1)
 
     def one(s):
         return jax.lax.dynamic_slice(ref_pad, (s[0], s[1]), (w, w))
 
     return jax.vmap(one)(starts)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def gather_windows_pallas(ref: jnp.ndarray, y0s: jnp.ndarray,
+                          x0s: jnp.ndarray, w: int,
+                          block: int = 8) -> jnp.ndarray:
+    """(B, w, w) windows of `ref` at ARBITRARY offsets, as a Pallas
+    TPU kernel. Mosaic DMA requires tile-aligned HBM offsets (rows to
+    the 8-sublane tile, columns to the 128 lane), so each window is
+    fetched as an aligned superset block and the sub-tile residual is
+    resolved with dynamic lane/sublane rotates in registers — exact,
+    and ~4.4x faster than the XLA while-loop lowering (2.7 ms vs 12 ms
+    for 8160 36x36 windows on v5e).
+
+    `block` windows are fetched per grid step so the K DMA latencies
+    overlap. Offsets must be in-bounds: 0 <= y0 <= H - w."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, ww = ref.shape
+    dt = ref.dtype
+    ay = 8                         # sublane tile for 8/16/32-bit rows
+    rh = _ceil_to(w, ay) + ay
+    rw = _ceil_to(w, 128) + 128
+    # generous zero-pad so aligned-down starts always fit the block
+    hp2 = _ceil_to(max(h, h - w + rh), ay)
+    wp2 = _ceil_to(max(ww, ww - w + rw), 128)
+    refp = jnp.pad(ref, ((0, hp2 - h), (0, wp2 - ww)))
+
+    b = y0s.shape[0]
+    bp = _ceil_to(b, block)
+    if bp != b:
+        y0s = jnp.pad(y0s, (0, bp - b))
+        x0s = jnp.pad(x0s, (0, bp - b))
+
+    def kernel(ys_ref, xs_ref, ref_hbm, out_ref, scratch, sems):
+        i = pl.program_id(0)
+
+        def src(idx):
+            return ref_hbm.at[pl.ds((ys_ref[idx] // ay) * ay, rh),
+                              pl.ds((xs_ref[idx] // 128) * 128, rw)]
+
+        for k in range(block):
+            idx = i * block + k
+            pltpu.make_async_copy(src(idx), scratch.at[k],
+                                  sems.at[k]).start()
+        for k in range(block):
+            idx = i * block + k
+            pltpu.make_async_copy(src(idx), scratch.at[k],
+                                  sems.at[k]).wait()
+            dy = ys_ref[idx] % ay
+            dx = xs_ref[idx] % 128
+            v = scratch[k].astype(jnp.int32)
+            v = pltpu.roll(v, (rh - dy) % rh, 0)
+            v = pltpu.roll(v, (rw - dx) % rw, 1)
+            out_ref[k] = v[:w, :w].astype(dt)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bp // block,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((block, w, w),
+                                   lambda i, ys, xs: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((block, rh, rw), dt),
+                            pltpu.SemaphoreType.DMA((block,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, w, w), dt),
+    )(y0s, x0s, refp)
+    return out[:b] if bp != b else out
 
 
 def _ext_bank9() -> np.ndarray:
@@ -244,7 +331,7 @@ def int_search_vec(win_t: jnp.ndarray, cur_t: jnp.ndarray,
         cost = sad + penx + \
             jax.lax.dynamic_slice(peny, (dy, 0), (1, b))
         mi = jnp.argmin(cost, axis=0).astype(jnp.int32)
-        mc = jnp.take_along_axis(cost, mi[None], axis=0)[0]
+        mc = jnp.min(cost, axis=0)
         better = mc < best_cost
         i = dy * side + mi
         return (jnp.where(better, mc, best_cost),
@@ -347,15 +434,14 @@ def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         c = sa8d_multi(cur_t[None] - p, n) + \
             lam * _mv_bits(mvx_i[None] * 4 + cx, mvy_i[None] * 4 + cy)
         mi = jnp.argmin(c, axis=0)
-        mc = jnp.take_along_axis(c, mi[None], axis=0)[0]
+        mc = jnp.min(c, axis=0)
         better = mc < scost
+        oh = (jnp.arange(c.shape[0], dtype=jnp.int32)[:, None]
+              == mi[None]).astype(jnp.int32)
         scost = jnp.where(better, mc, scost)
-        dx = jnp.where(better, jnp.take_along_axis(cx, mi[None], 0)[0],
-                       dx)
-        dy = jnp.where(better, jnp.take_along_axis(cy, mi[None], 0)[0],
-                       dy)
-        psel = jnp.take_along_axis(
-            p, mi[None, None, None, :], axis=0)[0]
+        dx = jnp.where(better, (cx * oh).sum(0), dx)
+        dy = jnp.where(better, (cy * oh).sum(0), dy)
+        psel = (p * oh[:, None, None, :]).sum(0)
         best_pred = jnp.where(better[None, None, :], psel, best_pred)
     mvq = jnp.stack([mvx_i * 4 + dx, mvy_i * 4 + dy], axis=1)
     # back to block-major (B, n, n) for the recon stage contract
@@ -509,19 +595,20 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                 lam * _mv_bits(mvx_i[None] * 4 + cx,
                                mvy_i[None] * 4 + cy)
             mi = jnp.argmin(c, axis=0)
-            mc = jnp.take_along_axis(c, mi[None], axis=0)[0]
+            mc = jnp.min(c, axis=0)
             better = mc < scost
+            # one-hot candidate select: a (K, B) gather lowers to a
+            # serialized loop on TPU; masked sum is dense VPU work
+            oh = (jnp.arange(c.shape[0], dtype=jnp.int32)[:, None]
+                  == mi[None]).astype(jnp.int32)
             scost = jnp.where(better, mc, scost)
-            dx = jnp.where(better,
-                           jnp.take_along_axis(cx, mi[None], 0)[0], dx)
-            dy = jnp.where(better,
-                           jnp.take_along_axis(cy, mi[None], 0)[0], dy)
-            sel = mi[None, None, None, :]
-            psel = jnp.take_along_axis(rnd, sel, axis=0)[0]
+            dx = jnp.where(better, (cx * oh).sum(0), dx)
+            dy = jnp.where(better, (cy * oh).sum(0), dy)
+            psel = (rnd * oh[:, None, None, :]).sum(0)
             best_pred = jnp.where(better[None, None, :], psel,
                                   best_pred)
             if want_raw:
-                rsel = jnp.take_along_axis(praw, sel, axis=0)[0]
+                rsel = (praw * oh[:, None, None, :]).sum(0)
                 best_raw = jnp.where(better[None, None, :], rsel,
                                      best_raw)
         mvqx = mvx_i * 4 + dx
@@ -718,6 +805,18 @@ def gather_chroma_windows(cpad2: jnp.ndarray, pc: int,
     """Gather (Breg, 2, wc, wc) stacked cb/cr windows with origin
     (reg + s0) in unpadded chroma coords — ONE slice covers both
     planes, halving the tile count."""
+    if _on_tpu():
+        # flatten planes into rows: (2, Hc, Wc) -> (2*Hc, Wc); the
+        # second half of the batch reads the cr plane
+        b = reg_cy.shape[0]
+        hc = cpad2.shape[1]
+        ys = reg_cy + s0y + pc
+        xs = reg_cx + s0x + pc
+        flat = cpad2.reshape(2 * hc, cpad2.shape[2])
+        win = gather_windows_pallas(flat,
+                                    jnp.concatenate([ys, ys + hc]),
+                                    jnp.concatenate([xs, xs]), wc)
+        return jnp.stack([win[:b], win[b:]], axis=1)
     starts = jnp.stack([jnp.zeros_like(reg_cy), reg_cy + s0y + pc,
                         reg_cx + s0x + pc], axis=1)
 

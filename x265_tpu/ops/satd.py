@@ -56,38 +56,63 @@ def sa8d_block_np(a: np.ndarray, b: np.ndarray) -> int:
 
 
 # --- JAX batched ---------------------------------------------------------------
+#
+# The Hadamard stages run as f32 dot_generals on the MXU: H entries are
+# +-1 so every product is exact, |H8 @ D @ H8| <= 2^17 and the 64-term
+# abs-sum <= 2^23 — all below f32's 2^24 integer-exact range (2^10
+# input diffs, i.e. up to 10-bit video). The earlier VPU butterfly
+# recursion (concat of slice halves over tiny sublane axes) forced
+# T(1,128) layouts and cost ~7 ms/frame in the P scan; the dot form
+# streams at MXU rate.
 
-def _fwht_last(x: jnp.ndarray) -> jnp.ndarray:
-    """Fast Walsh-Hadamard (Sylvester order) along the last axis —
-    log2(n) add/sub stages on the VPU instead of batched tiny matmuls,
-    which the MXU pads to 128x128 tiles at ~0.4%% utilization."""
-    n = x.shape[-1]
-    if n == 1:
-        return x
-    a = _fwht_last(x[..., : n // 2])
-    b = _fwht_last(x[..., n // 2:])
-    return jnp.concatenate([a + b, a - b], axis=-1)
+@lru_cache(maxsize=None)
+def _sa8d_kron_np(n: int) -> np.ndarray:
+    """The whole 2-D Hadamard as ONE matrix over raster-flattened
+    blocks: rows = (subblock, u*8+v) outputs, cols = n*n pixels. For
+    n>8 the per-8x8-subblock structure is baked in, so a single
+    (64*m^2, n^2) @ (n^2, B) matmul transforms every subblock of every
+    block — K and M are MXU-sized instead of K=8."""
+    if n == 4:
+        h = hadamard(4)
+        return np.kron(h, h).astype(np.float32)
+    h = hadamard(8)
+    hh = np.kron(h, h)                       # (u*8+v, i*8+j)
+    m = n // 8
+    k = np.zeros((m * m * 64, n * n), np.float32)
+    for sy in range(m):
+        for sx in range(m):
+            r0 = (sy * m + sx) * 64
+            for i in range(8):
+                for j in range(8):
+                    col = (sy * 8 + i) * n + (sx * 8 + j)
+                    k[r0:r0 + 64, col] = hh[:, i * 8 + j]
+    return k
 
 
-def _hadamard_2d(d: jnp.ndarray) -> jnp.ndarray:
-    """H @ D @ H^T for (..., n, n) via separable butterflies (integer)."""
-    t = _fwht_last(d)
-    t = _fwht_last(jnp.swapaxes(t, -1, -2))
-    return jnp.swapaxes(t, -1, -2)
+def _sa8d_kron(n: int) -> jnp.ndarray:
+    return jnp.asarray(_sa8d_kron_np(n))
 
 
 def satd4_batch(diff: jnp.ndarray) -> jnp.ndarray:
     """diff: (..., 4, 4) int32 -> (...,) int32 SATD (x265 norm)."""
-    t = _hadamard_2d(diff.astype(jnp.int32))
-    s = jnp.sum(jnp.abs(t), axis=(-2, -1))
-    return (s + 1) >> 1
+    lead = diff.shape[:-2]
+    flat = diff.reshape(-1, 16)
+    t = jax.lax.dot_general(_sa8d_kron(4), flat.astype(jnp.float32),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.sum(jnp.abs(t), axis=0).astype(jnp.int32)
+    return ((s + 1) >> 1).reshape(lead)
 
 
 def sa8d_batch(diff: jnp.ndarray) -> jnp.ndarray:
     """diff: (..., 8, 8) int32 -> (...,) int32 SA8D (x265 norm)."""
-    t = _hadamard_2d(diff.astype(jnp.int32))
-    s = jnp.sum(jnp.abs(t), axis=(-2, -1))
-    return (s + 2) >> 2
+    lead = diff.shape[:-2]
+    flat = diff.reshape(-1, 64)
+    t = jax.lax.dot_general(_sa8d_kron(8), flat.astype(jnp.float32),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.sum(jnp.abs(t), axis=0).astype(jnp.int32)
+    return ((s + 2) >> 2).reshape(lead)
 
 
 def sa8d_nxn_batch(diff: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -105,27 +130,22 @@ def sa8d_nxn_batch(diff: jnp.ndarray, n: int) -> jnp.ndarray:
 
 # --- lanes-last variants (block batch in the trailing/lane axis) -------------
 
-def _fwht_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Walsh-Hadamard butterflies along an arbitrary axis."""
-    n = x.shape[axis]
-    if n == 1:
-        return x
-    a = _fwht_axis(jax.lax.slice_in_dim(x, 0, n // 2, axis=axis), axis)
-    b = _fwht_axis(jax.lax.slice_in_dim(x, n // 2, n, axis=axis), axis)
-    return jnp.concatenate([a + b, a - b], axis=axis)
-
-
 def sa8d_nxn_lanes(diff: jnp.ndarray, n: int) -> jnp.ndarray:
     """diff: (N, N, B) int32 -> (B,) SA8D/SATD with blocks in the LANE
-    axis — the TPU-native layout for small-block cost sweeps (a
-    (B, 8, 8) batch puts 8-wide rows in the 128-lane dimension at 6%
-    occupancy; (8, 8, B) is fully dense)."""
-    if n == 4:
-        t = _fwht_axis(_fwht_axis(diff, 0), 1)
-        return (jnp.abs(t).sum((0, 1)) + 1) >> 1
-    m = n // 8
+    axis — the TPU-native layout for small-block cost sweeps. ONE
+    (64*m^2, n^2) @ (n^2, B) MXU matmul does every Hadamard of every
+    subblock (f32 is exact: inputs <= 2^10, 64-term +-1 sums <= 2^17,
+    abs-sums <= 2^23 < 2^24)."""
     b = diff.shape[-1]
-    d = diff.reshape(m, 8, m, 8, b)
-    t = _fwht_axis(_fwht_axis(d, 1), 3)
-    s = (jnp.abs(t).sum((1, 3)) + 2) >> 2      # (m, m, B)
-    return s.sum((0, 1)) if m > 1 else s[0, 0]
+    flat = diff.reshape(n * n, b).astype(jnp.float32)
+    t = jnp.dot(_sa8d_kron(n), flat,
+                preferred_element_type=jnp.float32)
+    if n == 4:
+        s = jnp.abs(t).sum(0).astype(jnp.int32)
+        return (s + 1) >> 1
+    m2 = (n // 8) ** 2
+    if m2 == 1:
+        s = jnp.abs(t).sum(0).astype(jnp.int32)
+        return (s + 2) >> 2
+    s = jnp.abs(t).reshape(m2, 64, b).sum(1).astype(jnp.int32)
+    return ((s + 2) >> 2).sum(0)

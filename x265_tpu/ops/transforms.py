@@ -120,11 +120,15 @@ def _exact_matmul_tx(t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     which is ~100x slower than a single wide dot.
     """
     b, n, m = x.shape
-    tf = t.astype(jnp.float32)
+    # bf16 operands are exact here (|t| < 128, limbs in [-256, 255],
+    # both <= 2^8; MXU accumulates in f32 and every partial sum stays
+    # below 32*127*256 < 2^24) and run at 4x the f32 MXU rate
+    tf = t.astype(jnp.bfloat16)
     hi, lo = _split_limbs(x)
 
     def dot(a):
-        wide = jnp.swapaxes(a, 0, 1).reshape(n, b * m).astype(jnp.float32)
+        wide = jnp.swapaxes(a, 0, 1).reshape(n, b * m) \
+            .astype(jnp.bfloat16)
         y = jnp.dot(tf, wide, preferred_element_type=jnp.float32)
         return jnp.swapaxes(y.reshape(n, b, m), 0, 1)
 
