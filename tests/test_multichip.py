@@ -73,7 +73,9 @@ def test_sharded_chains_bit_identical():
                 cfg.log2_min_cu, init_states(P_SLICE, cfg.qp),
                 mv8=syn.mv8, max_merge=syn.max_merge,
                 sign_hiding=cfg.sign_hiding, sao_params=syn.sao_params,
-                intra8=syn.intra8, mode8=syn.mode8)
+                intra8=syn.intra8, mode8=syn.mode8,
+                tusplit8=getattr(syn, "tusplit8", None),
+                rqt_inter=cfg.rqt_inter)
             sw.write_bytes(payload)
             if tb:
                 sw.write(tv, tb)

@@ -41,5 +41,6 @@ def test_native_b_slice_matches_python():
             cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
             cfg.log2_min_cu, init_states(0, 34),
             mvb=mvb, pf8=syn.pf8, poc=syn.poc, poc_refs=syn.poc_refs,
-            max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding)
+            max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
+            rqt_inter=cfg.rqt_inter)
         assert nat == py_bytes and (tv, tb) == py_tail

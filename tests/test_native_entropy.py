@@ -63,7 +63,8 @@ def test_native_p_slice_matches_python():
         cfg.width_padded, cfg.height_padded, cfg.log2_ctu,
         cfg.log2_min_cu, init_states(1, 31), mv8=syn.mv8,
         max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
-        intra8=syn.intra8, mode8=syn.mode8)
+        intra8=syn.intra8, mode8=syn.mode8,
+        tusplit8=syn.tusplit8, rqt_inter=cfg.rqt_inter)
     assert nat == py_bytes and (tv, tb) == py_tail
 
 

@@ -1,0 +1,87 @@
+"""Encode-driven rate-control validation (VERDICT r03 weak #5: the
+old VBV test fed the controller its own predictor — circular). Here a
+real IPPP encode runs under ABR(+VBV) and the assertions use the
+ACTUAL per-frame stream bits:
+
+- ABR accuracy: final bitrate within tolerance of target (x265's own
+  contract: <=5% for smoke VBV tests, rate-control-tests.txt:7-8 /
+  smoke-tests.txt:4-5)
+- HRD/VBV: replaying the actual bits through the buffer model never
+  underflows
+"""
+
+import numpy as np
+
+from x265_tpu.common.params import EncoderConfig
+from x265_tpu.enc import IntraEncoder
+from x265_tpu.enc.lookahead import Lookahead
+from x265_tpu.enc.ratecontrol import RateControl
+
+
+def _clip(nf, h, w):
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 3 + yy * 2 + ((xx * yy) >> 9)) % 256).astype(np.int32)
+    tex = rng.integers(-12, 12, (h, w))
+    cb = np.clip(128 + (xx[::2, ::2] >> 4), 0, 255).astype(np.uint8)
+    cr = np.clip(128 - (yy[::2, ::2] >> 4), 0, 255).astype(np.uint8)
+    return [(np.clip(np.roll(base, 2 * i, axis=1) + tex, 0,
+                     255).astype(np.uint8), cb, cr) for i in range(nf)]
+
+
+def _encode_abr(frames, cfg):
+    """The cli.py RC loop distilled: lookahead type decision, RC frame
+    QP, IPPP encode, actual bits fed back. Returns per-frame actual
+    bits."""
+    enc = IntraEncoder(cfg)
+    rc = RateControl(cfg)
+    la = Lookahead(cfg)
+    prev_y = None
+    bits = []
+    for i, (y, cb, cr) in enumerate(frames):
+        is_intra = la.decide(y) == "I"
+        cplx = rc.frame_complexity(np.asarray(y),
+                                   None if is_intra else prev_y)
+        fqp = rc.frame_qp(is_intra, cplx)
+        if is_intra:
+            res = enc.encode_frame(y, cb, cr, qp=max(fqp - 3, 0))
+            enc.ref = res.recon
+            enc.poc = 0
+        else:
+            res = enc.encode_pgop([(y, cb, cr)], qp=fqp)[0]
+        rc.frame_done(res.bits, fqp, cplx, is_intra)
+        bits.append(res.bits)
+        prev_y = np.asarray(y)
+    return bits
+
+
+def test_abr_hits_target_within_5pct():
+    nf, fps = 40, 25.0
+    target_kbps = 400
+    cfg = EncoderConfig(width=256, height=192, qp=32, deblock=True,
+                        sao=False, bitrate=target_kbps, rc_mode="abr",
+                        keyint=250)
+    frames = _clip(nf, 192, 256)
+    bits = _encode_abr(frames, cfg)
+    kbps = sum(bits) * fps / nf / 1000.0
+    err = abs(kbps - target_kbps) / target_kbps
+    assert err <= 0.05, f"ABR {kbps:.0f} kbps vs target {target_kbps}" \
+        f" ({err * 100:.1f}% off)"
+
+
+def test_vbv_buffer_never_underflows_on_actual_bits():
+    nf, fps = 40, 25.0
+    cfg = EncoderConfig(width=256, height=192, qp=32, deblock=True,
+                        sao=False, bitrate=300, rc_mode="abr",
+                        keyint=250, vbv_maxrate=330, vbv_bufsize=330)
+    frames = _clip(nf, 192, 256)
+    bits = _encode_abr(frames, cfg)
+    # replay the HRD buffer with the ACTUAL bits
+    size = cfg.vbv_bufsize * 1000.0
+    fill = size * cfg.vbv_init
+    per_frame = cfg.vbv_maxrate * 1000.0 / fps
+    for i, b in enumerate(bits):
+        fill -= b
+        assert fill > -per_frame, \
+            f"VBV underflow at frame {i}: {fill:.0f} bits"
+        fill = min(fill + per_frame, size)

@@ -159,18 +159,41 @@ def main():
 
     print("\n# paste into x265_tpu/common/bit_calib.py:")
     print("BIT_CALIB = {")
-    for qp in qps:
-        X = np.stack(data[qp][0])
-        y = np.array(data[qp][1], np.float64)
-        # ridge, then clip negatives to 0 and re-solve the rest
-        lam = 1e-3 * np.trace(X.T @ X) / X.shape[1]
-        coef = np.linalg.solve(X.T @ X + lam * np.eye(X.shape[1]),
-                               X.T @ y)
-        pred = X @ coef
-        err = np.abs(pred - y) / y
-        print(f"    {qp}: ({', '.join(f'{c:.4f}' for c in coef)}),"
+    for i, qp in enumerate(qps):
+        # pool each QP with its neighbours for conditioning, and
+        # decorrelate nnz/slog (corr ~0.95) by fitting
+        # [nnz, slog - nnz] then mapping back
+        rows, ys = [], []
+        for q2 in qps[max(i - 1, 0):i + 2]:
+            rows += data[q2][0]
+            ys += data[q2][1]
+        X = np.stack(rows).astype(np.float64)
+        y = np.array(ys, np.float64)
+        Xd = X.copy()
+        Xd[:, 1] = X[:, 1] - X[:, 0]          # excess bitlen
+        coef = _nnls(Xd, y)
+        # back to [A, B, ...]: bits = a*nnz + b*(slog-nnz) + ...
+        a, bcoef = coef[0] - coef[1], coef[1]
+        out = np.array([a, bcoef, *coef[2:]])
+        pred = X @ out
+        err = np.abs(pred - y) / np.maximum(y, 1)
+        print(f"    {qp}: ({', '.join(f'{c:.4f}' for c in out)}),"
               f"  # mean|err| {err.mean()*100:.1f}%")
     print("}")
+
+
+def _nnls(X, y, iters: int = 60):
+    """Projected-gradient non-negative least squares (no scipy dep):
+    negative rates would invert the RD preference ordering."""
+    n = X.shape[1]
+    scale = np.sqrt((X * X).mean(axis=0)) + 1e-9
+    Xs = X / scale
+    w = np.full(n, 0.1)
+    lr = 1.0 / (np.linalg.norm(Xs, 2) ** 2)
+    for _ in range(iters * 50):
+        g = Xs.T @ (Xs @ w - y)
+        w = np.maximum(w - lr * g, 0.0)
+    return w / scale
 
 
 if __name__ == "__main__":

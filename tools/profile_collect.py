@@ -35,8 +35,8 @@ ocr = np.stack([pad_plane(np.asarray(f[2]), h // 2, w // 2) for f in frames[1:]]
 pend = submit_pgop_tpu(oy, ocb, ocr, ref, cfg, cfg.qp, need_recon=False,
                        me_range=cfg.me_range)
 jax.block_until_ready(pend.res)
-jax.block_until_ready(pend.cy_cgs)
-jax.block_until_ready(pend.cc_cgs)
+jax.block_until_ready(pend.cg)
+jax.block_until_ready(pend.small)
 
 # warm fetch path
 _ = np.asarray(pend.cy_cgs[1])

@@ -64,8 +64,8 @@ for it in range(2):
     t_scan = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    jax.block_until_ready(pend.cy_cgs)
-    jax.block_until_ready(pend.cc_cgs)
+    jax.block_until_ready(pend.cg)
+    jax.block_until_ready(pend.small)
     t_cgs = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -96,7 +96,8 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.write_ue(cfg.log2_ctu - cfg.log2_min_cu)
     w.write_ue(0)                     # log2_min_luma_transform_block_size_minus2
     w.write_ue(min(cfg.log2_ctu, 5) - 2)  # log2_diff_max_min_transform_block_size
-    w.write_ue(0)                     # max_transform_hierarchy_depth_inter
+    # inter TU tree depth (16/32 CUs may split residual into 4 TUs)
+    w.write_ue(1 if getattr(cfg, "rqt_inter", False) else 0)
     w.write_ue(0)                     # max_transform_hierarchy_depth_intra
     w.write_flag(0)                   # scaling_list_enabled_flag
     w.write_flag(0)                   # amp_enabled_flag

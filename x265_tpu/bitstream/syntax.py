@@ -84,6 +84,8 @@ class FramePSyntax:
     qp_map: np.ndarray | None = None  # per-CTU QP (dQP), None = uniform
     intra8: np.ndarray | None = None  # (n8y, n8x) bool: 8x8 intra CUs
     mode8: np.ndarray | None = None   # luma intra mode where intra8
+    tusplit8: np.ndarray | None = None  # (n8y, n8x) uint8: CU's TU
+    #                                     tree split one level (RQT)
 
 
 def derive_mpm(cand_a: int, cand_b: int) -> list[int]:
@@ -524,33 +526,98 @@ class SliceSyntaxEncoder:
         cab.encode_bypass(0)
         cab.encode_bypass_bins(symbol, count)
 
+    def _tusplit_at(self, x0: int, y0: int) -> int:
+        t8 = getattr(self.syn, "tusplit8", None)
+        if t8 is None:
+            return 0
+        return int(t8[y0 >> 3, x0 >> 3])
+
     def _code_transform_unit_inter(self, x0: int, y0: int, log2_size: int,
                                    cbf_y: int, cbf_cb: int,
                                    cbf_cr: int) -> None:
+        """transform_tree for an inter 2Nx2N CU (clause 7.3.8.8), TU
+        depth 0 or 1 (split chosen by the device RD; the
+        estimateResidualQT analog, search.cpp:3178)."""
         cab = self.cab
         syn = self.syn
         size = 1 << log2_size
         cx, cy, csize = x0 >> 1, y0 >> 1, size >> 1
+        split = 0
+        if getattr(self.cfg, "rqt_inter", False) and 2 < log2_size <= 5:
+            split = self._tusplit_at(x0, y0)
+            cab.encode_bin(OFF["split_transform_flag"] + 5 - log2_size,
+                           split)
         cab.encode_bin(OFF["cbf_chroma"], cbf_cb)
         cab.encode_bin(OFF["cbf_chroma"], cbf_cr)
-        if cbf_cb or cbf_cr:
-            cab.encode_bin(OFF["cbf_luma"] + 1, cbf_y)
-        else:
-            assert cbf_y, "rqt_root_cbf implies residual"
-        if cbf_y or cbf_cb or cbf_cr:
-            self._maybe_code_dqp()
-        if cbf_y:
-            self.code_residual(syn.coeff_y[y0:y0 + size, x0:x0 + size],
-                               log2_size, 0, SCAN_DIAG)
-        if csize >= 4:
-            if cbf_cb:
+        if not split:
+            if cbf_cb or cbf_cr:
+                cab.encode_bin(OFF["cbf_luma"] + 1, cbf_y)
+            else:
+                assert cbf_y, "rqt_root_cbf implies residual"
+            if cbf_y or cbf_cb or cbf_cr:
+                self._maybe_code_dqp()
+            if cbf_y:
                 self.code_residual(
-                    syn.coeff_cb[cy:cy + csize, cx:cx + csize],
-                    log2_size - 1, 1, SCAN_DIAG)
-            if cbf_cr:
+                    syn.coeff_y[y0:y0 + size, x0:x0 + size],
+                    log2_size, 0, SCAN_DIAG)
+            if csize >= 4:
+                if cbf_cb:
+                    self.code_residual(
+                        syn.coeff_cb[cy:cy + csize, cx:cx + csize],
+                        log2_size - 1, 1, SCAN_DIAG)
+                if cbf_cr:
+                    self.code_residual(
+                        syn.coeff_cr[cy:cy + csize, cx:cx + csize],
+                        log2_size - 1, 2, SCAN_DIAG)
+            return
+        # split: four TUs at log2_size-1, trafoDepth 1 == MaxTrafoDepth
+        cl2 = log2_size - 1
+        hs = size >> 1
+        qs = hs >> 1
+        for blk, (dy, dx) in enumerate(((0, 0), (0, hs), (hs, 0),
+                                        (hs, hs))):
+            if cl2 > 2:
+                scx, scy = (x0 + dx) >> 1, (y0 + dy) >> 1
+                c_cb = self._cbf(syn.coeff_cb, scx, scy, qs) \
+                    if cbf_cb else 0
+                c_cr = self._cbf(syn.coeff_cr, scx, scy, qs) \
+                    if cbf_cr else 0
+                if cbf_cb:
+                    cab.encode_bin(OFF["cbf_chroma"] + 1, c_cb)
+                if cbf_cr:
+                    cab.encode_bin(OFF["cbf_chroma"] + 1, c_cr)
+            else:
+                # 4x4 luma TUs: single chroma TU coded with blkIdx 3
+                c_cb = cbf_cb if blk == 3 else 0
+                c_cr = cbf_cr if blk == 3 else 0
+            c_y = self._cbf(syn.coeff_y, x0 + dx, y0 + dy, hs)
+            cab.encode_bin(OFF["cbf_luma"], c_y)   # trafoDepth 1
+            if c_y or c_cb or c_cr:
+                self._maybe_code_dqp()
+            if c_y:
                 self.code_residual(
-                    syn.coeff_cr[cy:cy + csize, cx:cx + csize],
-                    log2_size - 1, 2, SCAN_DIAG)
+                    syn.coeff_y[y0 + dy:y0 + dy + hs,
+                                x0 + dx:x0 + dx + hs],
+                    cl2, 0, SCAN_DIAG)
+            if cl2 > 2:
+                scx, scy = (x0 + dx) >> 1, (y0 + dy) >> 1
+                if c_cb:
+                    self.code_residual(
+                        syn.coeff_cb[scy:scy + qs, scx:scx + qs],
+                        cl2 - 1, 1, SCAN_DIAG)
+                if c_cr:
+                    self.code_residual(
+                        syn.coeff_cr[scy:scy + qs, scx:scx + qs],
+                        cl2 - 1, 2, SCAN_DIAG)
+            elif blk == 3:
+                if cbf_cb:
+                    self.code_residual(syn.coeff_cb[cy:cy + 4,
+                                                    cx:cx + 4],
+                                       2, 1, SCAN_DIAG)
+                if cbf_cr:
+                    self.code_residual(syn.coeff_cr[cy:cy + 4,
+                                                    cx:cx + 4],
+                                       2, 2, SCAN_DIAG)
 
     # -- coding unit (clause 7.3.8.5, intra only so far) ------------------------
 

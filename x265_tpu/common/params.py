@@ -95,6 +95,11 @@ class EncoderConfig:
     #                              fused P-GOP path's search effort
     intra_in_inter: bool = True  # 8x8 intra CUs in P frames
     #                              (checkIntraInInter, search.cpp:1291)
+    rqt_inter: bool = True       # inter TU tree depth 1: 16/32 CUs may
+    #                              code their residual as four TUs
+    #                              (estimateResidualQT analog,
+    #                              search.cpp:3178; SPS
+    #                              max_transform_hierarchy_depth_inter)
     weightp: bool = True         # explicit weighted prediction for P
     #                              slices (x265 --weightp default on,
     #                              param.cpp bEnableWeightedPred;

@@ -44,6 +44,22 @@ class SpsInfo:
     conf_bottom: int = 0
     sao: bool = False
     poc_lsb_bits: int = 8
+    max_trafo_depth_inter: int = 0
+
+
+def _inv_tu(coeff, qp, bd, split_n):
+    """Inverse transform a CU-sized coeff array; per-quadrant at
+    split_n when the TU tree split one level (0 = single TU)."""
+    if not split_n:
+        return idct_np(dequant_np(coeff, qp, bd), bd)
+    out = np.zeros_like(coeff)
+    for dy in (0, split_n):
+        for dx in (0, split_n):
+            sub = coeff[dy:dy + split_n, dx:dx + split_n]
+            if sub.any():
+                out[dy:dy + split_n, dx:dx + split_n] = \
+                    idct_np(dequant_np(sub, qp, bd), bd)
+    return out
 
 
 @dataclass
@@ -101,7 +117,8 @@ def parse_sps(rbsp: bytes) -> SpsInfo:
     min_tb = r.read_ue() + 2
     r.read_ue()                    # max-min tb diff
     assert min_tb == 2
-    r.read_ue(); r.read_ue()       # transform hierarchy depths
+    s.max_trafo_depth_inter = r.read_ue()
+    r.read_ue()                    # max_transform_hierarchy_depth_intra
     assert not r.read_flag(), "scaling lists unsupported"
     r.read_flag()                  # amp
     s.sao = bool(r.read_flag())
@@ -314,7 +331,8 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
                                        inter_bs_maps)
             vbs, hbs = inter_bs_maps(frame.depth8, frame.mv8,
                                      frame.coeff_y, 1 << sps.log2_ctu,
-                                     intra8=dec.intra8)
+                                     intra8=dec.intra8,
+                                     tusplit8=dec.tusplit8)
             dqp = dec.qp8 if pps.cu_qp_delta else qp
             frame.y = deblock_luma_np(frame.y, vbs, hbs, dqp,
                                       sps.bit_depth)
@@ -976,6 +994,7 @@ class PSliceDecoder:
         self.inter8 = np.zeros((n8y, n8x), dtype=bool)
         self.imode8 = np.full((n8y, n8x), 255, dtype=np.uint8)
         self.intra8 = np.zeros((n8y, n8x), dtype=bool)
+        self.tusplit8 = np.zeros((n8y, n8x), dtype=np.int32)
         self.coeff_y = np.zeros((self.h, self.w), dtype=np.int32)
         self.qp_c = chroma_qp(qp)
         self._init_dqp()
@@ -1117,23 +1136,89 @@ class PSliceDecoder:
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             root_cbf = cab.decode_bin(OFF["rqt_root_cbf"])
         cy_ = ccb = ccr = None
+        tusplit = False
         if root_cbf:
-            cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
-            cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
+            cy_, ccb, ccr, tusplit = \
+                self._transform_tree_inter(log2_size)
+        if tusplit:
+            self.tusplit8[sl] = 1
+        self._finish_cu(x0, y0, size, mv, cy_, ccb, ccr, False, sl, d,
+                        tusplit=tusplit)
+
+    def _transform_tree_inter(self, l2):
+        """transform_tree for an inter 2Nx2N CU (clause 7.3.8.8),
+        MaxTrafoDepth = sps.max_trafo_depth_inter (0 or 1). Returns
+        CU-sized coefficient arrays (None when no coded coefficients)
+        plus the split flag."""
+        cab = self.cab
+        size = 1 << l2
+        cn = size >> 1
+        split = 0
+        if self.sps.max_trafo_depth_inter > 0 and 2 < l2 <= 5:
+            split = cab.decode_bin(OFF["split_transform_flag"] + 5 - l2)
+        cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
+        cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
+        if not split:
             if cbf_cb or cbf_cr:
                 cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1)
             else:
-                cbf_y = 1
+                cbf_y = 1           # inferred (7.4.9.8)
             if cbf_y or cbf_cb or cbf_cr:
                 self._parse_dqp()
-            if cbf_y:
-                cy_ = self._residual(log2_size, 0, SCAN_DIAG)
-            if size >> 1 >= 4:
+            cy_ = self._residual(l2, 0, SCAN_DIAG) if cbf_y else None
+            ccb = ccr = None
+            if cn >= 4:
                 if cbf_cb:
-                    ccb = self._residual(log2_size - 1, 1, SCAN_DIAG)
+                    ccb = self._residual(l2 - 1, 1, SCAN_DIAG)
                 if cbf_cr:
-                    ccr = self._residual(log2_size - 1, 2, SCAN_DIAG)
-        self._finish_cu(x0, y0, size, mv, cy_, ccb, ccr, False, sl, d)
+                    ccr = self._residual(l2 - 1, 2, SCAN_DIAG)
+            return cy_, ccb, ccr, False
+        # split: 4 children at l2-1, trafoDepth 1 == MaxTrafoDepth
+        cl2 = l2 - 1
+        hs = size >> 1
+        cy_full = np.zeros((size, size), np.int32)
+        ccb_full = np.zeros((cn, cn), np.int32)
+        ccr_full = np.zeros((cn, cn), np.int32)
+        any_y = any_cb = any_cr = False
+        for blk, (dy, dx) in enumerate(((0, 0), (0, hs), (hs, 0),
+                                        (hs, hs))):
+            if cl2 > 2:
+                c_cb = cab.decode_bin(OFF["cbf_chroma"] + 1) \
+                    if cbf_cb else 0
+                c_cr = cab.decode_bin(OFF["cbf_chroma"] + 1) \
+                    if cbf_cr else 0
+            else:
+                # 4x4 luma TUs: single chroma TU coded with blkIdx 3
+                c_cb = cbf_cb if blk == 3 else 0
+                c_cr = cbf_cr if blk == 3 else 0
+            cbf_y = cab.decode_bin(OFF["cbf_luma"])   # trafoDepth 1
+            if cbf_y or c_cb or c_cr:
+                self._parse_dqp()
+            if cbf_y:
+                cy_full[dy:dy + hs, dx:dx + hs] = \
+                    self._residual(cl2, 0, SCAN_DIAG)
+                any_y = True
+            if cl2 > 2:
+                if c_cb:
+                    ccb_full[dy >> 1:(dy >> 1) + (hs >> 1),
+                             dx >> 1:(dx >> 1) + (hs >> 1)] = \
+                        self._residual(cl2 - 1, 1, SCAN_DIAG)
+                    any_cb = True
+                if c_cr:
+                    ccr_full[dy >> 1:(dy >> 1) + (hs >> 1),
+                             dx >> 1:(dx >> 1) + (hs >> 1)] = \
+                        self._residual(cl2 - 1, 2, SCAN_DIAG)
+                    any_cr = True
+            else:
+                if c_cb:
+                    ccb_full[:, :] = self._residual(2, 1, SCAN_DIAG)
+                    any_cb = True
+                if c_cr:
+                    ccr_full[:, :] = self._residual(2, 2, SCAN_DIAG)
+                    any_cr = True
+        return (cy_full if any_y else None,
+                ccb_full if any_cb else None,
+                ccr_full if any_cr else None, True)
 
     def _merge_idx(self):
         if self.max_merge <= 1:
@@ -1281,13 +1366,17 @@ class PSliceDecoder:
             plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
                 pred_c + resi_c, 0, maxv)
 
-    def _finish_cu(self, x0, y0, size, mv, cy_, ccb, ccr, skip, sl, d):
+    def _finish_cu(self, x0, y0, size, mv, cy_, ccb, ccr, skip, sl, d,
+                   tusplit=False):
         self.depth8[sl] = d
         self.mv8[sl] = mv
         self.skip8[sl] = skip
         self.coded8[sl] = True
         self.inter8[sl] = True
         bd = self.bd
+
+        def inv(coeff, qp, split_n):
+            return _inv_tu(coeff, qp, bd, split_n)
 
         def weighted(acc, w, o, denom):
             # uni weighted sample prediction from the 26-bit two-stage
@@ -1311,7 +1400,7 @@ class PSliceDecoder:
         resi = 0
         if cy_ is not None:
             self.coeff_y[y0:y0 + size, x0:x0 + size] = cy_
-            resi = idct_np(dequant_np(cy_, qpy, bd), bd)
+            resi = inv(cy_, qpy, (size >> 1) if tusplit else 0)
         self.y[y0:y0 + size, x0:x0 + size] = np.clip(
             pred + resi, 0, (1 << bd) - 1)
         cn = size >> 1
@@ -1328,7 +1417,8 @@ class PSliceDecoder:
                                       bd)
             resi_c = 0
             if coeff is not None:
-                resi_c = idct_np(dequant_np(coeff, qpc, bd), bd)
+                csplit = (cn >> 1) if (tusplit and cn > 4) else 0
+                resi_c = inv(coeff, qpc, csplit)
             plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
                 pred_c + resi_c, 0, (1 << bd) - 1)
 
@@ -1397,6 +1487,7 @@ class BSliceDecoder:
     _ctu_qp_start = SliceDecoder._ctu_qp_start
     _ctu_qp_end = SliceDecoder._ctu_qp_end
     _parse_dqp = SliceDecoder._parse_dqp
+    _transform_tree_inter = PSliceDecoder._transform_tree_inter
     qp_y = SliceDecoder.qp_y
 
     def _cu(self, x0, y0, log2_size):
@@ -1451,23 +1542,15 @@ class BSliceDecoder:
             mi = (pf, mvs[0], mvs[1])
             root_cbf = cab.decode_bin(OFF["rqt_root_cbf"])
         cy_ = ccb = ccr = None
+        tusplit = False
         if root_cbf:
-            cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
-            cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
-            cbf_y = cab.decode_bin(OFF["cbf_luma"] + 1) \
-                if (cbf_cb or cbf_cr) else 1
-            if cbf_y or cbf_cb or cbf_cr:
-                self._parse_dqp()
-            if cbf_y:
-                cy_ = self._residual(log2_size, 0, SCAN_DIAG)
-            if size >> 1 >= 4:
-                if cbf_cb:
-                    ccb = self._residual(log2_size - 1, 1, SCAN_DIAG)
-                if cbf_cr:
-                    ccr = self._residual(log2_size - 1, 2, SCAN_DIAG)
-        self._finish_cu(x0, y0, size, mi, cy_, ccb, ccr, False, sl, d)
+            cy_, ccb, ccr, tusplit = \
+                self._transform_tree_inter(log2_size)
+        self._finish_cu(x0, y0, size, mi, cy_, ccb, ccr, False, sl, d,
+                        tusplit=tusplit)
 
-    def _finish_cu(self, x0, y0, size, mi, cy_, ccb, ccr, skip, sl, d):
+    def _finish_cu(self, x0, y0, size, mi, cy_, ccb, ccr, skip, sl, d,
+                   tusplit=False):
         from ..ops.interp import (_luma_mc_acc, chroma_mc_acc_np,
                                   bi_average_np, luma_mc_np, chroma_mc_np)
         pf, mv0, mv1 = mi
@@ -1502,7 +1585,8 @@ class BSliceDecoder:
         resi = 0
         if cy_ is not None:
             self.coeff_y[y0:y0 + size, x0:x0 + size] = cy_
-            resi = idct_np(dequant_np(cy_, qpy, bd), bd)
+            resi = _inv_tu(cy_, qpy, bd,
+                           (size >> 1) if tusplit else 0)
         self.y[y0:y0 + size, x0:x0 + size] = np.clip(
             pred + resi, 0, (1 << bd) - 1)
         cn = size >> 1
@@ -1512,6 +1596,7 @@ class BSliceDecoder:
             pred_c = pred_plane(sel, cx0, cy0, cn, False)
             resi_c = 0
             if coeff is not None:
-                resi_c = idct_np(dequant_np(coeff, qpc, bd), bd)
+                csplit = (cn >> 1) if (tusplit and cn > 4) else 0
+                resi_c = _inv_tu(coeff, qpc, bd, csplit)
             plane[cy0:cy0 + cn, cx0:cx0 + cn] = np.clip(
                 pred_c + resi_c, 0, (1 << bd) - 1)

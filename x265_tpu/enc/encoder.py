@@ -436,7 +436,8 @@ class IntraEncoder:
                 cfg.log2_min_cu, init_states(B_SLICE, qp), mvb=mvb,
                 pf8=syn.pf8, poc=poc, poc_refs=poc_refs,
                 max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
-                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp)
+                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp,
+                rqt_inter=cfg.rqt_inter)
             escaped = [emulation_prevention(s) for s in subs]
             sw = write_slice_header(
                 cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
@@ -460,7 +461,8 @@ class IntraEncoder:
                 cfg.log2_min_cu, init_states(B_SLICE, qp), mvb=mvb,
                 pf8=syn.pf8, poc=poc, poc_refs=poc_refs,
                 max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
-                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp)
+                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp,
+                rqt_inter=cfg.rqt_inter)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)
@@ -542,7 +544,8 @@ class IntraEncoder:
                 cfg.log2_min_cu, init_states(_B, qp), mvb=mvb,
                 pf8=syn.pf8, poc=poc, poc_refs=poc_refs,
                 max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
-                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp)
+                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp,
+                rqt_inter=cfg.rqt_inter)
             escaped = [emulation_prevention(s) for s in subs]
             sw = write_slice_header(
                 cfg, B_SLICE, idr=False, poc=poc, slice_qp=qp,
@@ -566,7 +569,8 @@ class IntraEncoder:
                 cfg.log2_min_cu, init_states(_B, qp), mvb=mvb,
                 pf8=syn.pf8, poc=poc, poc_refs=poc_refs,
                 max_merge=syn.max_merge, sign_hiding=cfg.sign_hiding,
-                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp)
+                sao_params=sao_params, qp_map=bqp_map, slice_qp=qp,
+                rqt_inter=cfg.rqt_inter)
             sw.write_bytes(payload)
             if tail_bits:
                 sw.write(tail_val, tail_bits)
@@ -855,7 +859,8 @@ class IntraEncoder:
                     max_merge=syn.max_merge,
                     sign_hiding=cfg.sign_hiding,
                     sao_params=sao_params, qp_map=syn.qp_map,
-                    slice_qp=qp, mode8=syn.mode8, intra8=syn.intra8)
+                    slice_qp=qp, mode8=syn.mode8, intra8=syn.intra8,
+                    tusplit8=syn.tusplit8, rqt_inter=cfg.rqt_inter)
                 escaped = [emulation_prevention(s) for s in subs]
                 sw = write_slice_header(
                     cfg, P_SLICE, idr=False, poc=self.poc,
@@ -880,7 +885,8 @@ class IntraEncoder:
                     max_merge=syn.max_merge,
                     sign_hiding=cfg.sign_hiding,
                     sao_params=sao_params, qp_map=syn.qp_map,
-                    slice_qp=qp, mode8=syn.mode8, intra8=syn.intra8)
+                    slice_qp=qp, mode8=syn.mode8, intra8=syn.intra8,
+                    tusplit8=syn.tusplit8, rqt_inter=cfg.rqt_inter)
                 sw.write_bytes(payload)
                 if tail_bits:
                     sw.write(tail_val, tail_bits)
@@ -926,8 +932,13 @@ class IntraEncoder:
                             for f in chunk_frames])
             return oy, ocb, ocr
 
+        # pipeline order matters on this backend: the D2H link serves
+        # ~30 MB/s and transfers QUEUE BEHIND already-submitted device
+        # work, so chunk k's results are downloaded BEFORE chunk k+1's
+        # scan is enqueued; only the serial host tail (CABAC + NAL)
+        # overlaps the next chunk's device compute.
         results: list[FrameResult] = []
-        prev = prev_wps = None
+        pend_emit = None
         for s in range(0, len(frames), chunk):
             ck = frames[s:s + chunk]
             qmk = None if qp_maps is None else qp_maps[s:s + chunk]
@@ -939,15 +950,15 @@ class IntraEncoder:
                                    weights=wvecs)
             self.ref = pend.last_ref
             self.last_src = ck[-1]
-            if prev is not None:
-                syns, recons, _ = collect_pgop_tpu(prev)
+            if pend_emit is not None:
                 results.extend(self._emit_p_frames(
-                    syns, recons, qp, poc_step, weights_hdr=prev_wps))
-            prev, prev_wps = pend, wps
-        if prev is not None:
-            syns, recons, _ = collect_pgop_tpu(prev)
+                    *pend_emit[:2], qp, poc_step,
+                    weights_hdr=pend_emit[2]))
+            syns, recons, _ = collect_pgop_tpu(pend)
+            pend_emit = (syns, recons, wps)
+        if pend_emit is not None:
             results.extend(self._emit_p_frames(
-                syns, recons, qp, poc_step, weights_hdr=prev_wps))
+                *pend_emit[:2], qp, poc_step, weights_hdr=pend_emit[2]))
         return results
 
     def encode_gop(self, frames: list[tuple[np.ndarray, np.ndarray,

@@ -37,8 +37,11 @@ from ..ops.me_win import (apply_weight_acc, apply_weight_fullpel,
                           seed_floor_off)
 from ..ops.sao_tpu import apply_sao_t, choose_sao_chroma_t, choose_sao_t
 from ..ops.me import _downsample4
-from ..ops.transforms import dct_batch, idct_batch, quant_batch, \
-    dequant_batch, sign_hide_batch, rdoq_batch
+from ..ops.transforms import (dct_batch, dct_lanes, dequant_batch,
+                              dequant_lanes, idct_batch, idct_lanes,
+                              quant_batch, quant_lanes, rdoq_batch,
+                              rdoq_lanes, sign_hide_batch,
+                              sign_hide_lanes)
 from .intra_recon import ReconFrame, DeviceRef
 
 SIZES = (8, 16, 32)
@@ -313,7 +316,8 @@ def _psy8_energy(plane: jnp.ndarray) -> jnp.ndarray:
 
 def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                   sign_hiding, real_h, real_w, preds, cpreds,
-                  qp_ctu=None, ctu=32, rdoq=False, psy_rd=0.0):
+                  qp_ctu=None, ctu=32, rdoq=False, psy_rd=0.0,
+                  rqt=False):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds carries the luma
@@ -338,40 +342,43 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         qc = jnp.take(jnp.asarray(CHROMA_QP_LUT), jnp.clip(q, 0, 57))
         return q, qc
 
-    def blocks_of(plane, nn):
+    def lanes_of_plane(plane, nn):
         bby, bbx = plane.shape[0] // nn, plane.shape[1] // nn
-        return plane.reshape(bby, nn, bbx, nn).transpose(0, 2, 1, 3) \
-            .reshape(-1, nn, nn).astype(jnp.int32)
+        return plane.reshape(bby, nn, bbx, nn).transpose(1, 3, 0, 2) \
+            .reshape(nn, nn, -1).astype(jnp.int32)
 
-    def to_plane(blocks, nn, hh, ww):
+    def to_plane(lanes, nn, hh, ww):
         bby, bbx = hh // nn, ww // nn
-        return blocks.reshape(bby, bbx, nn, nn).transpose(0, 2, 1, 3) \
+        return lanes.reshape(nn, nn, bby, bbx).transpose(2, 0, 3, 1) \
             .reshape(hh, ww)
 
     def one_plane(orig, nn, qqp, pred):
-        ob = blocks_of(orig, nn)
+        """Whole residual pipeline in lanes layout (nn, nn, B): block-
+        major forms keep an 8..32-wide minor dim in the 128 lanes and
+        pay a wide transpose per matmul stage."""
+        ob = lanes_of_plane(orig, nn)
         resi = ob - pred
-        tcoef = dct_batch(resi, nn, bit_depth)
+        tcoef = dct_lanes(resi, nn, bit_depth)
         if rdoq:
             # RDOQ replaces the dead-zone quantizer entirely
             if sign_hiding:
-                coefs, du = rdoq_batch(tcoef, nn, qqp, lam2, bit_depth,
+                coefs, du = rdoq_lanes(tcoef, nn, qqp, lam2, bit_depth,
                                        with_rem=True)
-                coefs = sign_hide_batch(coefs, nn, 0, du)
+                coefs = sign_hide_lanes(coefs, nn, 0, du)
             else:
-                coefs = rdoq_batch(tcoef, nn, qqp, lam2, bit_depth)
+                coefs = rdoq_lanes(tcoef, nn, qqp, lam2, bit_depth)
         elif sign_hiding:
-            coefs, du = quant_batch(tcoef, nn, qqp, bit_depth,
+            coefs, du = quant_lanes(tcoef, nn, qqp, bit_depth,
                                     intra=False, with_rem=True)
-            coefs = sign_hide_batch(coefs, nn, 0, du)  # inter: diag scan
+            coefs = sign_hide_lanes(coefs, nn, 0, du)  # inter: diag scan
         else:
-            coefs = quant_batch(tcoef, nn, qqp, bit_depth, intra=False)
-        cbf = jnp.any(coefs != 0, axis=(1, 2))
-        r = idct_batch(dequant_batch(coefs, nn, qqp, bit_depth), nn,
+            coefs = quant_lanes(tcoef, nn, qqp, bit_depth, intra=False)
+        cbf = jnp.any(coefs != 0, axis=(0, 1))
+        r = idct_lanes(dequant_lanes(coefs, nn, qqp, bit_depth), nn,
                        bit_depth)
-        rec = jnp.where(cbf[:, None, None], jnp.clip(pred + r, 0, maxv),
+        rec = jnp.where(cbf[None, None, :], jnp.clip(pred + r, 0, maxv),
                         pred)
-        coefs = jnp.where(cbf[:, None, None], coefs, 0)
+        coefs = jnp.where(cbf[None, None, :], coefs, 0)
         return rec, coefs
 
     def blk_sum(plane, by, bx, k):
@@ -381,14 +388,19 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
     planes = {}
     sse = {}
     bits = {}
+    tusplit = {}
     for n in SIZES:
         by, bx = h // n, w // n
         grid = mvs[n].reshape(by, bx, 2)
         cn = n >> 1
         qn, qcn = qp_vecs(n, by, bx)
-        rec_y, cf_y = one_plane(oy, n, qn, preds[n])
-        rec_cb, cf_cb = one_plane(ocb, cn, qcn, cpreds[n][0])
-        rec_cr, cf_cr = one_plane(ocr, cn, qcn, cpreds[n][1])
+
+        def lan(p):
+            return jnp.transpose(p, (1, 2, 0))
+
+        rec_y, cf_y = one_plane(oy, n, qn, lan(preds[n]))
+        rec_cb, cf_cb = one_plane(ocb, cn, qcn, lan(cpreds[n][0]))
+        rec_cr, cf_cr = one_plane(ocr, cn, qcn, lan(cpreds[n][1]))
         cal3 = calib[:3]
         planes[n] = (to_plane(rec_y, n, h, w), to_plane(cf_y, n, h, w),
                      to_plane(rec_cb, cn, h // 2, w // 2),
@@ -404,6 +416,52 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
             _coeff_bits_est(planes[n][1], by, bx, n, cal3) + \
             _coeff_bits_est(planes[n][3], by, bx, cn, cal3) + \
             _coeff_bits_est(planes[n][5], by, bx, cn, cal3)
+
+        # --- RQT: TU-split candidate (four (n/2)^2 luma TUs + four
+        # (n/4)^2 chroma TUs on the SAME prediction; the
+        # estimateResidualQT analog, search.cpp:3178). Per-CU choose
+        # split-vs-not by true recon SSE + estimated bits.
+        if rqt and n >= 16:
+            n2, n4 = n >> 1, n >> 2
+            qn2, qcn2 = qp_vecs(n2, h // n2, w // n2)
+            py_pl = to_plane(lan(preds[n]), n, h, w)
+            pcb_pl = to_plane(lan(cpreds[n][0]), cn, h // 2, w // 2)
+            pcr_pl = to_plane(lan(cpreds[n][1]), cn, h // 2, w // 2)
+            ry_s, cfy_s = one_plane(oy, n2, qn2,
+                                    lanes_of_plane(py_pl, n2))
+            rcb_s, cfcb_s = one_plane(ocb, n4, qcn2,
+                                      lanes_of_plane(pcb_pl, n4))
+            rcr_s, cfcr_s = one_plane(ocr, n4, qcn2,
+                                      lanes_of_plane(pcr_pl, n4))
+            pl_s = (to_plane(ry_s, n2, h, w),
+                    to_plane(cfy_s, n2, h, w),
+                    to_plane(rcb_s, n4, h // 2, w // 2),
+                    to_plane(cfcb_s, n4, h // 2, w // 2),
+                    to_plane(rcr_s, n4, h // 2, w // 2),
+                    to_plane(cfcr_s, n4, h // 2, w // 2))
+            sse_s = blk_sum((pl_s[0] - oy) ** 2, by, bx, n) + \
+                blk_sum((pl_s[2] - ocb) ** 2, by, bx, cn) + \
+                blk_sum((pl_s[4] - ocr) ** 2, by, bx, cn)
+
+            def up2(a):
+                return a.reshape(by, 2, bx, 2).sum((1, 3))
+
+            bits_s = float(calib[5]) * _mvd_bits_est(grid) + \
+                up2(_coeff_bits_est(pl_s[1], h // n2, w // n2, n2,
+                                    cal3)) + \
+                up2(_coeff_bits_est(pl_s[3], h // n2, w // n2, n4,
+                                    cal3)) + \
+                up2(_coeff_bits_est(pl_s[5], h // n2, w // n2, n4,
+                                    cal3)) + 3.0
+            sp = (sse_s + lam2 * bits_s) < (sse[n] + lam2 * bits[n])
+            tusplit[n] = sp
+            sse[n] = jnp.where(sp, sse_s, sse[n])
+            bits[n] = jnp.where(sp, bits_s, bits[n])
+            my = jnp.repeat(jnp.repeat(sp, n, 0), n, 1)
+            mc = jnp.repeat(jnp.repeat(sp, cn, 0), cn, 1)
+            planes[n] = tuple(
+                jnp.where(my if i < 2 else mc, pl_s[i], planes[n][i])
+                for i in range(6))
 
     if psy_rd > 0:
         # psy-rd (x265 rdcost.h:30 calcPsyRdCost): penalize recon that
@@ -427,6 +485,17 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                                      hdr_bits=float(calib[3]),
                                      split_bits=float(calib[4]))
 
+    n8y_, n8x_ = h // 8, w // 8
+
+    def rep8(a, k):
+        return jnp.repeat(jnp.repeat(a, k, 0), k, 1)[:n8y_, :n8x_]
+
+    zb = jnp.zeros((n8y_, n8x_), bool)
+    tusplit8 = jnp.where(
+        depth8 == 0, rep8(tusplit[32], 4) if 32 in tusplit else zb,
+        jnp.where(depth8 == 1,
+                  rep8(tusplit[16], 2) if 16 in tusplit else zb, False))
+
     size_of_depth = {0: 32, 1: 16, 2: 8}
     out = [jnp.zeros_like(p) for p in planes[8]]
     for d, n in size_of_depth.items():
@@ -438,7 +507,7 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                 [(mpx, ps[0]), (mpx, ps[1]), (mpx_c, ps[2]),
                  (mpx_c, ps[3]), (mpx_c, ps[4]), (mpx_c, ps[5])]):
             out[i] = jnp.where(mask, p, out[i])
-    return out + [depth8, mv8]
+    return out + [depth8, mv8, tusplit8]
 
 
 # =============================================================================
@@ -658,11 +727,13 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
 # in-graph deblock with data-dependent boundary strengths
 # =============================================================================
 
-def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int, intra8=None):
+def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int, intra8=None,
+                     tusplit8=None):
     """Traced boundary-strength maps (ops/deblock.inter_bs_maps recast):
-    bs = 2 when either side is intra (clause 8.7.2.4), else 1 on CU
-    boundaries where either side's TU has coefficients or the MV
-    difference reaches a full pel."""
+    bs = 2 when either side is intra (clause 8.7.2.4), else 1 on TU
+    boundaries where either side's TU has coefficients, or on CU (=PU)
+    boundaries where the MV difference reaches a full pel. With RQT,
+    TU edges live at CU/2 granularity inside split CUs."""
     n8y, n8x = depth8.shape
     nz8 = cf_y[:n8y * 8, :n8x * 8].reshape(n8y, 8, n8x, 8)
     nz8 = jnp.any(nz8 != 0, axis=(1, 3))
@@ -675,38 +746,46 @@ def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int, intra8=None):
         return jnp.pad(r, ((0, a.shape[0] - r.shape[0]),
                            (0, a.shape[1] - r.shape[1])))
 
-    cbf8 = jnp.where(depth8 == 0, orpool(nz8, 4),
-                     jnp.where(depth8 == 1, orpool(nz8, 2), nz8))
-
-    # CU-boundary masks (edge_masks_from_depth, traced): cell (i,k) has
-    # a left/top CU edge iff its pixel coordinate is a multiple of the
-    # covering CU's size
     size = (ctu >> depth8).astype(jnp.int32)
+    if tusplit8 is None:
+        tusplit8 = jnp.zeros((n8y, n8x), jnp.int32)
+    tdepth = depth8 + (tusplit8 > 0)
+    # per-cell TU-has-coefficients, pooled at the effective TU size
+    cbf8 = jnp.where(tdepth == 0, orpool(nz8, 4),
+                     jnp.where(tdepth == 1, orpool(nz8, 2), nz8))
+    tsize = jnp.maximum(size >> (tusplit8 > 0), 8)
+
     xs = (jnp.arange(n8x) * 8)[None, :]
     ys = (jnp.arange(n8y) * 8)[:, None]
-    vmask = (xs % size) == 0
+    vmask = (xs % tsize) == 0          # TU boundaries (incl. CU edges)
     vmask = vmask.at[:, 0].set(False)
-    hmask = (ys % size) == 0
+    hmask = (ys % tsize) == 0
     hmask = hmask.at[0, :].set(False)
+    vmask_cu = (xs % size) == 0        # CU (= PU) boundaries
+    vmask_cu = vmask_cu.at[:, 0].set(False)
+    hmask_cu = (ys % size) == 0
+    hmask_cu = hmask_cu.at[0, :].set(False)
 
     if intra8 is None:
         intra8 = jnp.zeros((n8y, n8x), bool)
 
-    def bs_of(mP, mQ, mvP, mvQ, iP, iQ):
+    def bs_of(mP, mQ, mvP, mvQ, iP, iQ, cu_edge):
         mvd = (jnp.abs(mvP[..., 0] - mvQ[..., 0]) >= 4) | \
               (jnp.abs(mvP[..., 1] - mvQ[..., 1]) >= 4)
-        bs1 = (mP | mQ | mvd).astype(jnp.int32)
+        bs1 = (mP | mQ | (mvd & cu_edge)).astype(jnp.int32)
         return jnp.where(iP | iQ, 2, bs1)
 
     vbs = jnp.zeros((n8y, n8x), jnp.int32)
     vbs = vbs.at[:, 1:].set(bs_of(cbf8[:, :-1], cbf8[:, 1:],
                                   mv8[:, :-1], mv8[:, 1:],
-                                  intra8[:, :-1], intra8[:, 1:]))
+                                  intra8[:, :-1], intra8[:, 1:],
+                                  vmask_cu[:, 1:]))
     vbs = vbs * vmask
     hbs = jnp.zeros((n8y, n8x), jnp.int32)
     hbs = hbs.at[1:, :].set(bs_of(cbf8[:-1, :], cbf8[1:, :],
                                   mv8[:-1, :], mv8[1:, :],
-                                  intra8[:-1, :], intra8[1:, :]))
+                                  intra8[:-1, :], intra8[1:, :],
+                                  hmask_cu[1:, :]))
     hbs = hbs * hmask
     return vbs, hbs
 
@@ -826,7 +905,7 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                     dqp: bool = False, intra_ii: bool = True,
                     use_seeds: bool = False, rdoq: bool = False,
                     psy_rd: float = 0.0, weightp: bool = False,
-                    weight_denom: int = 6):
+                    weight_denom: int = 6, rqt: bool = False):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -900,12 +979,13 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
 
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
-        (rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8) = \
+        (rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8,
+         tusplit8) = \
             _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                           sign_hiding, real_h, real_w, preds=preds,
                           cpreds=cpreds,
                           qp_ctu=qp_ctu if dqp else None, ctu=ctu,
-                          rdoq=rdoq, psy_rd=psy_rd)
+                          rdoq=rdoq, psy_rd=psy_rd, rqt=rqt)
 
         # --- intra-in-inter: 8x8 intra CUs where intra beats inter
         if intra_ii:
@@ -959,7 +1039,8 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
             vbs, hbs = _inter_bs_maps_t(
                 depth8[:rh // 8, :rw // 8], mv8[:rh // 8, :rw // 8],
                 cf_y[:rh, :rw], ctu,
-                intra8=intra8[:rh // 8, :rw // 8] if intra_ii else None)
+                intra8=intra8[:rh // 8, :rw // 8] if intra_ii else None,
+                tusplit8=tusplit8[:rh // 8, :rw // 8] if rqt else None)
             ry_c = deblock_luma_t(ry_c, vbs, hbs, qp, bit_depth,
                                   qp8=eff_qp8)
             if intra_ii:
@@ -996,7 +1077,8 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                 cf_y.astype(jnp.int16), cf_cb.astype(jnp.int16),
                 cf_cr.astype(jnp.int16),
                 jnp.stack([p_y, p_cb, p_cr]).astype(jnp.int8),
-                intra8.astype(jnp.uint8), imode8.astype(jnp.uint8))
+                intra8.astype(jnp.uint8), imode8.astype(jnp.uint8),
+                tusplit8.astype(jnp.uint8))
         if need_recon:
             outs = outs + (rec_y.astype(rdt), rec_cb.astype(rdt),
                            rec_cr.astype(rdt))
@@ -1013,10 +1095,11 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
     cf_y2 = outs[2].reshape(f * hp, wp)
     cf_c2 = jnp.concatenate([outs[3], outs[4]]).reshape(
         2 * f * (hp // 2), wp // 2)
-    res = (outs[0], outs[1], cf_y2, cf_c2, outs[5], outs[6], outs[7])
+    res = (outs[0], outs[1], cf_y2, cf_c2, outs[5], outs[6], outs[7],
+           outs[8])
     if need_recon:
-        rec_y2 = outs[8].reshape(f * hp, wp)
-        rec_c2 = jnp.concatenate([outs[9], outs[10]]).reshape(
+        rec_y2 = outs[9].reshape(f * hp, wp)
+        rec_c2 = jnp.concatenate([outs[10], outs[11]]).reshape(
             2 * f * (hp // 2), wp // 2)
         res = res + (rec_y2, rec_c2)
     return res, carry              # final ref stays int32 device-side
@@ -1029,7 +1112,7 @@ _pgop_scan = partial(jax.jit, static_argnames=(
     "qp", "qpc", "bit_depth", "real_h", "real_w", "ctu", "deblock",
     "sao", "sign_hiding", "me_range", "need_recon", "dqp", "intra_ii",
     "use_seeds", "rdoq", "psy_rd", "weightp",
-    "weight_denom"))(_pgop_scan_body)
+    "weight_denom", "rqt"))(_pgop_scan_body)
 
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
@@ -1037,7 +1120,7 @@ _pgop_scan = partial(jax.jit, static_argnames=(
                                    "sign_hiding", "me_range",
                                    "need_recon", "dqp", "intra_ii",
                                    "use_seeds", "rdoq", "psy_rd",
-                                   "weightp", "weight_denom"))
+                                   "weightp", "weight_denom", "rqt"))
 def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                       qp_maps, seeds16, wvecs=None, *,
                       qp: int, qpc: int, bit_depth: int, real_h: int,
@@ -1046,7 +1129,8 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                       need_recon: bool, dqp: bool = False,
                       intra_ii: bool = True, use_seeds: bool = False,
                       rdoq: bool = False, psy_rd: float = 0.0,
-                      weightp: bool = False, weight_denom: int = 6):
+                      weightp: bool = False, weight_denom: int = 6,
+                      rqt: bool = False):
     """ONE compiled program for the whole submit path (cold-compile
     budget: every separately-jitted helper costs 10-60 s of XLA compile
     on this backend, so the scan, the decision-field packing, the CG
@@ -1076,7 +1160,7 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         sao=sao, sign_hiding=sign_hiding, me_range=me_range,
         need_recon=need_recon, dqp=dqp, intra_ii=intra_ii,
         use_seeds=use_seeds, rdoq=rdoq, psy_rd=psy_rd, weightp=weightp,
-        weight_denom=weight_denom)
+        weight_denom=weight_denom, rqt=rqt)
 
     def cg_pack(plane2d):
         h2, w2 = plane2d.shape
@@ -1085,15 +1169,22 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         nz = jnp.any(cg != 0, axis=1)
         return cg, jnp.packbits(nz)
 
-    small = _pack_fields_t(res[0], res[1], res[4], res[5], res[6])
+    small = _pack_fields_t(res[0], res[1], res[4], res[5], res[6],
+                           res[7])
     cg_y, nzp_y = cg_pack(res[2])
     cg_c, nzp_c = cg_pack(res[3])
+    # ONE bundle for the first download (fields + both nonzero masks)
+    # and ONE row tensor for the second: the D2H link here runs at
+    # ~30 MB/s with ~45 ms latency per round trip, so collect must be
+    # exactly two transfers
+    small = jnp.concatenate([small, nzp_y, nzp_c])
+    cg = jnp.concatenate([cg_y, cg_c])
     fin = (carry[0][:rh, :rw].astype(rdt),
            carry[1][:rh // 2, :rw // 2].astype(rdt),
            carry[2][:rh // 2, :rw // 2].astype(rdt))
-    out = (small, cg_y, nzp_y, cg_c, nzp_c) + fin
+    out = (small, cg) + fin
     if need_recon:
-        out = out + (res[7], res[8])
+        out = out + (res[8], res[9])
     return out
 
 
@@ -1106,7 +1197,7 @@ def _pad_gop_j(p2d, *, f: int, h: int, w: int, hp: int, wp: int):
     return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
 
-def _pack_fields_t(depth8, mv8, sao, intra8, imode8):
+def _pack_fields_t(depth8, mv8, sao, intra8, imode8, tusplit8):
     """Bundle the small per-frame decision fields into ONE uint8
     buffer so collect pays a single D2H round trip. Traced inline in
     _pgop_scan_packed (a standalone jit of this costs ~60 s of XLA
@@ -1114,7 +1205,8 @@ def _pack_fields_t(depth8, mv8, sao, intra8, imode8):
     parts = [depth8.reshape(-1),
              jax.lax.bitcast_convert_type(mv8, jnp.uint8).reshape(-1),
              jax.lax.bitcast_convert_type(sao, jnp.uint8).reshape(-1),
-             intra8.reshape(-1), imode8.reshape(-1)]
+             intra8.reshape(-1), imode8.reshape(-1),
+             tusplit8.reshape(-1)]
     return jnp.concatenate(parts)
 
 
@@ -1122,7 +1214,8 @@ def _unpack_fields(buf: np.ndarray, f: int, n8y: int, n8x: int,
                    ncty: int, nctx: int):
     """Host-side inverse of _pack_fields."""
     sizes = [f * n8y * n8x, f * n8y * n8x * 2 * 2,
-             f * 3 * ncty * nctx * 6, f * n8y * n8x, f * n8y * n8x]
+             f * 3 * ncty * nctx * 6, f * n8y * n8x, f * n8y * n8x,
+             f * n8y * n8x]
     offs = np.cumsum([0] + sizes)
     depth8 = buf[offs[0]:offs[1]].reshape(f, n8y, n8x)
     mv8 = buf[offs[1]:offs[2]].view(np.int16) \
@@ -1131,7 +1224,8 @@ def _unpack_fields(buf: np.ndarray, f: int, n8y: int, n8x: int,
         .reshape(f, 3, ncty, nctx, 6)
     intra8 = buf[offs[3]:offs[4]].reshape(f, n8y, n8x)
     imode8 = buf[offs[4]:offs[5]].reshape(f, n8y, n8x)
-    return depth8, mv8, sao, intra8, imode8
+    tusplit8 = buf[offs[5]:offs[6]].reshape(f, n8y, n8x)
+    return depth8, mv8, sao, intra8, imode8, tusplit8
 
 
 class PgopPending:
@@ -1243,14 +1337,13 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         me_range=me_range, need_recon=need_recon,
         dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter,
         use_seeds=seeds16 is not None, rdoq=cfg.rdoq,
-        psy_rd=float(cfg.psy_rd), weightp=cfg.weightp)
-    small, cg_y, nzp_y, cg_c, nzp_c = out[:5]
-    cy_cgs = (cg_y, nzp_y, f * hp, wp)
-    cc_cgs = (cg_c, nzp_c, 2 * f * (hp // 2), wp // 2)
-    last_ref = DeviceRef(out[5], out[6], out[7])
+        psy_rd=float(cfg.psy_rd), weightp=cfg.weightp,
+        rqt=bool(getattr(cfg, "rqt_inter", False)))
+    small, cg = out[:2]
+    last_ref = DeviceRef(out[2], out[3], out[4])
     return PgopPending(
-        res=out[8:] if need_recon else None,
-        cy_cgs=cy_cgs, cc_cgs=cc_cgs, small=small,
+        res=out[5:] if need_recon else None,
+        cg=cg, small=small,
         qmj=qmj if qp_maps is not None else None, f=f, h=h, w=w, hp=hp,
         wp=wp, ctu=ctu, sao=cfg.sao, need_recon=need_recon,
         last_ref=last_ref)
@@ -1259,29 +1352,55 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
 def collect_pgop_tpu(p: PgopPending
                      ) -> tuple[list[FramePSyntax],
                                 list[ReconFrame | None], DeviceRef]:
-    """Synchronize one submitted chunk: download decisions + compacted
-    coefficients, build per-frame syntax structs. Coefficient planes
+    """Synchronize one submitted chunk in exactly TWO D2H round trips
+    (~30 MB/s link, ~45 ms latency each): (1) the bundled decision
+    fields + both bit-packed nonzero-CG masks; (2) one gather of the
+    nonzero CG rows of luma and chroma together. Coefficient planes
     are expanded by the native CG scatter straight into int16 — the
-    dtype the native slice encoder consumes — so no full-plane numpy
-    rebuild or conversion happens on this path."""
-    from ..ops.compact import fetch_compact_frames
+    dtype the native slice encoder consumes."""
+    from ..native.entropy_native import expand_cgs_native
+    from ..ops.compact import fetch_rows
     res, f, h, w, hp, wp = p.res, p.f, p.h, p.w, p.hp, p.wp
     n8y_p, n8x_p = hp // 8, wp // 8
     # the scan sizes its SAO grid from the CODED dims (body: ncty =
     # ceil(rh / ctu)), which can differ from the padded grid
     scty = (h + p.ctu - 1) // p.ctu
     sctx = (w + p.ctu - 1) // p.ctu
-    depth8, mv8, sao_all, intra8, imode8 = _unpack_fields(
-        np.asarray(p.small), f, n8y_p, n8x_p, scty, sctx)
+    ncg_y = (f * hp // 4) * (wp // 4)
+    ncg_c = (2 * f * (hp // 2) // 4) * ((wp // 2) // 4)
+    buf = np.asarray(p.small)                       # D2H #1
+    mask_bytes_y = (ncg_y + 7) // 8
+    nzp_c = buf[len(buf) - (ncg_c + 7) // 8:]
+    nzp_y = buf[len(buf) - (ncg_c + 7) // 8 - mask_bytes_y:
+                len(buf) - (ncg_c + 7) // 8]
+    depth8, mv8, sao_all, intra8, imode8, tusplit8 = _unpack_fields(
+        buf, f, n8y_p, n8x_p, scty, sctx)
     depth8 = depth8[:, :h // 8, :w // 8]
     mv8 = mv8.astype(np.int32)[:, :h // 8, :w // 8]
     sao_all = sao_all.astype(np.int32)
     intra8 = intra8[:, :h // 8, :w // 8] != 0
     imode8 = imode8[:, :h // 8, :w // 8]
+    tusplit8 = tusplit8[:, :h // 8, :w // 8]
 
-    cf_y = fetch_compact_frames(p.cy_cgs, hp, wp, h, w)
-    cf_c = fetch_compact_frames(p.cc_cgs, hp // 2, wp // 2,
-                                h // 2, w // 2)
+    idx_y = np.nonzero(np.unpackbits(nzp_y, count=ncg_y))[0] \
+        .astype(np.int32)
+    idx_c = np.nonzero(np.unpackbits(nzp_c, count=ncg_c))[0] \
+        .astype(np.int32)
+    vals = fetch_rows(p.cg, np.concatenate([idx_y, idx_c + ncg_y]))
+    vals_y, vals_c = vals[:len(idx_y)], vals[len(idx_y):]
+
+    def expand(vals_p, idx_p, fh, fw, ch, cw, nf):
+        ncx = fw // 4
+        cg_per_frame = (fh // 4) * ncx
+        bounds = np.searchsorted(idx_p, np.arange(nf + 1) * cg_per_frame)
+        return [expand_cgs_native(vals_p[bounds[i]:bounds[i + 1]],
+                                  idx_p[bounds[i]:bounds[i + 1]]
+                                  - i * cg_per_frame, ncx, ch, cw)
+                for i in range(nf)]
+
+    cf_y = expand(vals_y, idx_y, hp, wp, h, w, f)
+    cf_c = expand(vals_c, idx_c, hp // 2, wp // 2, h // 2, w // 2,
+                  2 * f)
     if p.need_recon:
         ry_np = np.asarray(res[0]).reshape(f, hp, wp)[:, :h, :w]
         rc_np = np.asarray(res[1]).reshape(2 * f, hp // 2, wp // 2) \
@@ -1297,7 +1416,9 @@ def collect_pgop_tpu(p: PgopPending
             mv8=mv8[i],
             coeff_y=cf_y[i],
             coeff_cb=cf_c[i],
-            coeff_cr=cf_c[f + i]))
+            coeff_cr=cf_c[f + i],
+            tusplit8=np.ascontiguousarray(tusplit8[i])
+            if tusplit8[i].any() else None))
         syns[-1].sao_params = (
             (sao_all[i, 0], sao_all[i, 1], sao_all[i, 2])
             if p.sao else None)

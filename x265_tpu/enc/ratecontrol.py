@@ -45,6 +45,7 @@ class RateControl:
         self.wanted_bits = 0.0
         self.short_cplx_sum = 0.0
         self.short_cplx_count = 0.0
+        self.cplx_window_n = 0.0
         self.cplxr_sum = 0.01
         self.last_qp = float(cfg.qp)
         # frame-level VBV (ratecontrol.cpp:2750 updateVbv; the row
@@ -62,7 +63,11 @@ class RateControl:
             qp_to_qscale(cfg.crf)
         if self.mode == "abr":
             # x264-lineage ABR init: plausible starting complexity and a
-            # one-frame wanted-bits window
+            # one-frame wanted-bits window. Both accumulators decay at
+            # the SAME rate (frame_done), so their ratio is an unbiased
+            # bits-per-complexity estimate — decaying only one of them
+            # biased the model ~8-11% high on short encodes
+            # (ratecontrol.cpp:1746 rateEstimateQscale discipline).
             self.cplxr_sum = 0.01 * math.pow(7e5, self.QCOMPRESS) * \
                 math.pow(ncu, 0.5)
             self.wanted_bits_window = self.bitrate / max(self.fps, 1e-9)
@@ -87,14 +92,26 @@ class RateControl:
         if self.mode == "crf":
             qscale = math.pow(blur, 1 - self.QCOMPRESS) / self.rate_factor_crf
         else:   # abr
-            rate_factor = self.wanted_bits_window / self.cplxr_sum
-            qscale = math.pow(blur, 1 - self.QCOMPRESS) / max(rate_factor,
-                                                              1e-9)
-            wanted = self.bitrate / self.fps * (self.frame_count + 1)
-            abr_buffer = 2 * self.RATE_TOLERANCE * self.bitrate
-            if abr_buffer > 0 and self.frame_count > 0:
-                overflow = 1.0 + (self.total_bits - wanted) / abr_buffer
-                qscale *= min(max(overflow, 0.5), 2.0)
+            w_frame = self.bitrate / max(self.fps, 1e-9)
+            if self.cplx_window_n > 0:
+                # direct budget solve: the running bits*qscale/rceq
+                # average predicts this frame's bits at any qscale, so
+                # set qscale to hit the per-frame budget plus half the
+                # accumulated error (an x264 rateEstimateQscale recast:
+                # the pure cplxr model's B*Q product is scale-invariant
+                # and only regulates rate through a slow clamp)
+                err = self.total_bits - w_frame * self.frame_count
+                desired = w_frame - 0.5 * err
+                desired = min(max(desired, 0.33 * w_frame),
+                              3.0 * w_frame)
+                avg_bqr = self.cplxr_sum / self.cplx_window_n
+                qscale = math.pow(blur, 1 - self.QCOMPRESS) * avg_bqr \
+                    / max(desired, 1e-9)
+            else:
+                # no data yet: blind-seeded model for the first frame
+                rate_factor = self.wanted_bits_window / self.cplxr_sum
+                qscale = math.pow(blur, 1 - self.QCOMPRESS) / \
+                    max(rate_factor, 1e-9)
         if is_intra:
             qscale /= self.IP_FACTOR
         qp = qscale_to_qp(max(qscale, 1e-6))
@@ -147,7 +164,15 @@ class RateControl:
                                                  1e-9), 1.0)
             rceq = max(math.pow(blur, 1 - self.QCOMPRESS), 1e-9)
             qscale = qp_to_qscale(qp) * (self.IP_FACTOR if is_intra else 1.0)
-            self.cplxr_sum = 0.5 * self.cplxr_sum + bits * qscale / rceq
+            contrib = bits * qscale / rceq
+            decay = 0.5 ** (1.0 / 20.0)        # cplxblur 20 frames
+            if self.frame_count == 1:
+                # first real data point replaces the blind seed
+                self.cplxr_sum = contrib
+                self.cplx_window_n = 1.0
+            else:
+                self.cplxr_sum = decay * self.cplxr_sum + contrib
+                self.cplx_window_n = decay * self.cplx_window_n + 1.0
             self.wanted_bits_window = 0.5 * self.wanted_bits_window + \
                 self.bitrate / self.fps
 

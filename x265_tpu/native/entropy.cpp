@@ -275,6 +275,8 @@ struct SliceEnc {
     int lossless = 0;              // cu_transquant_bypass on every CU
     const uint8_t* cmode8 = nullptr;   // chroma pred mode; null = DM
     const uint8_t* intra8 = nullptr;   // P slices: 8x8 intra CU flags
+    const uint8_t* tusplit8 = nullptr; // inter TU-tree split flags
+    int rqt_inter = 0;                 // SPS max TU hierarchy depth inter
     const uint8_t* nxn8 = nullptr;     // PART_NxN flags at min CU
     const uint8_t* mode4 = nullptr;    // per-PU modes, 4x4 granularity
     const int32_t* sao_p[3] = {nullptr, nullptr, nullptr};
@@ -843,14 +845,67 @@ struct SliceEnc {
             cab.encode_bin(OFF_RQT_ROOT_CBF, any ? 1 : 0);
             if (!any) return;
         }
+        transform_tree_inter(x0, y0, l2, fy, fcb, fcr);
+    }
+
+    // transform_tree for an inter 2Nx2N CU (clause 7.3.8.8): TU depth
+    // 0 or 1 (split from tusplit8; SPS max_transform_hierarchy_depth_
+    // inter == rqt_inter). Mirrors syntax.py _code_transform_unit_inter.
+    void transform_tree_inter(int x0, int y0, int l2, bool fy,
+                              bool fcb, bool fcr) {
+        int size = 1 << l2;
+        int cstride = w >> 1;
+        int split = 0;
+        if (rqt_inter && l2 > 2 && l2 <= 5) {
+            split = tusplit8 ? tusplit8[(y0 >> 3) * n8x + (x0 >> 3)] : 0;
+            cab.encode_bin(OFF_SPLIT_TRANSFORM_FLAG + 5 - l2, split);
+        }
         cab.encode_bin(OFF_CBF_CHROMA, fcb);
         cab.encode_bin(OFF_CBF_CHROMA, fcr);
-        if (fcb || fcr) cab.encode_bin(OFF_CBF_LUMA + 1, fy);
-        if (fy || fcb || fcr) maybe_code_dqp();
-        if (fy) residual(cy, w, x0, y0, l2, 0, 0);
-        if ((size >> 1) >= 4) {
-            if (fcb) residual(ccb, cstride, x0 >> 1, y0 >> 1, l2 - 1, 1, 0);
-            if (fcr) residual(ccr, cstride, x0 >> 1, y0 >> 1, l2 - 1, 2, 0);
+        if (!split) {
+            if (fcb || fcr) cab.encode_bin(OFF_CBF_LUMA + 1, fy);
+            if (fy || fcb || fcr) maybe_code_dqp();
+            if (fy) residual(cy, w, x0, y0, l2, 0, 0);
+            if ((size >> 1) >= 4) {
+                if (fcb) residual(ccb, cstride, x0 >> 1, y0 >> 1, l2 - 1, 1, 0);
+                if (fcr) residual(ccr, cstride, x0 >> 1, y0 >> 1, l2 - 1, 2, 0);
+            }
+            return;
+        }
+        int cl2 = l2 - 1, hs = size >> 1, qs = hs >> 1;
+        static const int offs[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+        for (int blk = 0; blk < 4; blk++) {
+            int dy = offs[blk][0] * hs, dx = offs[blk][1] * hs;
+            bool c_cb = false, c_cr = false;
+            if (cl2 > 2) {
+                if (fcb) {
+                    c_cb = cbf(ccb, cstride, (x0 + dx) >> 1,
+                               (y0 + dy) >> 1, qs);
+                    cab.encode_bin(OFF_CBF_CHROMA + 1, c_cb);
+                }
+                if (fcr) {
+                    c_cr = cbf(ccr, cstride, (x0 + dx) >> 1,
+                               (y0 + dy) >> 1, qs);
+                    cab.encode_bin(OFF_CBF_CHROMA + 1, c_cr);
+                }
+            } else {
+                // 4x4 luma TUs: single chroma TU coded with blkIdx 3
+                c_cb = blk == 3 && fcb;
+                c_cr = blk == 3 && fcr;
+            }
+            bool c_y = cbf(cy, w, x0 + dx, y0 + dy, hs);
+            cab.encode_bin(OFF_CBF_LUMA, c_y);   // trafoDepth 1
+            if (c_y || c_cb || c_cr) maybe_code_dqp();
+            if (c_y) residual(cy, w, x0 + dx, y0 + dy, cl2, 0, 0);
+            if (cl2 > 2) {
+                if (c_cb) residual(ccb, cstride, (x0 + dx) >> 1,
+                                   (y0 + dy) >> 1, cl2 - 1, 1, 0);
+                if (c_cr) residual(ccr, cstride, (x0 + dx) >> 1,
+                                   (y0 + dy) >> 1, cl2 - 1, 2, 0);
+            } else if (blk == 3) {
+                if (fcb) residual(ccb, cstride, x0 >> 1, y0 >> 1, 2, 1, 0);
+                if (fcr) residual(ccr, cstride, x0 >> 1, y0 >> 1, 2, 2, 0);
+            }
         }
     }
 
@@ -905,16 +960,9 @@ struct SliceEnc {
             cab.encode_bin(OFF_RQT_ROOT_CBF, any ? 1 : 0);
             if (!any) return;
         }
-        // inter transform unit: diag scans, cbf_luma inference
-        cab.encode_bin(OFF_CBF_CHROMA, fcb);
-        cab.encode_bin(OFF_CBF_CHROMA, fcr);
-        if (fcb || fcr) cab.encode_bin(OFF_CBF_LUMA + 1, fy);
-        if (fy || fcb || fcr) maybe_code_dqp();
-        if (fy) residual(cy, w, x0, y0, l2, 0, 0);
-        if ((size >> 1) >= 4) {
-            if (fcb) residual(ccb, cstride, x0 >> 1, y0 >> 1, l2 - 1, 1, 0);
-            if (fcr) residual(ccr, cstride, x0 >> 1, y0 >> 1, l2 - 1, 2, 0);
-        }
+        // inter transform tree: diag scans, cbf_luma inference, TU
+        // depth 0/1
+        transform_tree_inter(x0, y0, l2, fy, fcb, fcr);
     }
 
     void cu_tree(int x0, int y0, int l2) {
@@ -1252,6 +1300,7 @@ int encode_slice(int slice_type, const uint8_t* depth8,
                  const int32_t* sao_pcr,
                  const uint8_t* nxn8, const uint8_t* mode4,
                  const uint8_t* intra8,
+                 const uint8_t* tusplit8, int rqt_inter,
                  const int32_t* qp_map, int slice_qp,
                  int w, int h, int log2_ctu, int log2_min_cu,
                  uint8_t* init_states, int num_ctx,
@@ -1272,6 +1321,8 @@ int encode_slice(int slice_type, const uint8_t* depth8,
     enc.nxn8 = nxn8;
     enc.mode4 = mode4;
     enc.intra8 = intra8;
+    enc.tusplit8 = tusplit8;
+    enc.rqt_inter = rqt_inter;
     enc.qp_map = qp_map;
     enc.slice_qp = slice_qp;
     enc.sao_p[0] = sao_py; enc.sao_p[1] = sao_pcb; enc.sao_p[2] = sao_pcr;
@@ -1319,6 +1370,7 @@ int encode_slice_wpp(int slice_type, const uint8_t* depth8,
                      const int32_t* sao_pcr,
                      const uint8_t* nxn8, const uint8_t* mode4,
                      const uint8_t* intra8,
+                     const uint8_t* tusplit8, int rqt_inter,
                      const int32_t* qp_map, int slice_qp,
                      int w, int h, int log2_ctu, int log2_min_cu,
                      uint8_t* init_states, int num_ctx,
@@ -1338,6 +1390,8 @@ int encode_slice_wpp(int slice_type, const uint8_t* depth8,
     enc.nxn8 = nxn8;
     enc.mode4 = mode4;
     enc.intra8 = intra8;
+    enc.tusplit8 = tusplit8;
+    enc.rqt_inter = rqt_inter;
     enc.qp_map = qp_map;
     enc.slice_qp = slice_qp;
     enc.wpp = 1;

@@ -33,19 +33,24 @@ TC_TABLE = np.array(
 
 
 def inter_bs_maps(depth8: np.ndarray, mv8: np.ndarray, coeff_y: np.ndarray,
-                  ctu: int, intra8: np.ndarray | None = None
+                  ctu: int, intra8: np.ndarray | None = None,
+                  tusplit8: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Boundary-strength maps for a P frame (clause 8.7.2.4): bs = 2
-    when either side is intra, else 1 on CU boundaries where either
-    side's luma TU has coefficients or the MV difference reaches a
-    full pel; else 0. Returns (vbs, hbs) int arrays on the 8x8 grid."""
-    vmask, hmask = edge_masks_from_depth(depth8, ctu)
+    when either side is intra, else 1 on TU boundaries where either
+    side's luma TU has coefficients, or on CU (= PU) boundaries where
+    the MV difference reaches a full pel; else 0. With RQT, a split
+    CU's TU edges live at CU/2 granularity (tusplit8 flags). Returns
+    (vbs, hbs) int arrays on the 8x8 grid."""
+    vmask_cu, hmask_cu = edge_masks_from_depth(depth8, ctu)
     n8y, n8x = depth8.shape
     h, w = coeff_y.shape
     nz8 = coeff_y[:n8y * 8, :n8x * 8].reshape(n8y, 8, n8x, 8)
     nz8 = np.any(nz8 != 0, axis=(1, 3))
     if intra8 is None:
         intra8 = np.zeros((n8y, n8x), bool)
+    if tusplit8 is None:
+        tusplit8 = np.zeros((n8y, n8x), np.int32)
 
     def orpool(a, k):
         yy = a.shape[0] // k * k
@@ -56,22 +61,31 @@ def inter_bs_maps(depth8: np.ndarray, mv8: np.ndarray, coeff_y: np.ndarray,
         p[:q.shape[0], :q.shape[1]] = q
         return np.repeat(np.repeat(p, k, 0), k, 1)[:a.shape[0], :a.shape[1]]
 
-    cbf8 = np.where(depth8 == 0, orpool(nz8, 4),
-                    np.where(depth8 == 1, orpool(nz8, 2), nz8))
+    tdepth = depth8 + (tusplit8 > 0)
+    cbf8 = np.where(tdepth == 0, orpool(nz8, 4),
+                    np.where(tdepth == 1, orpool(nz8, 2), nz8))
+    size = (ctu >> depth8).astype(np.int32)
+    tsize = np.maximum(size >> (tusplit8 > 0), 8)
+    xs = (np.arange(n8x) * 8)[None, :]
+    ys = (np.arange(n8y) * 8)[:, None]
+    vmask = (xs % tsize) == 0
+    vmask[:, 0] = False
+    hmask = (ys % tsize) == 0
+    hmask[0, :] = False
 
-    def bs_of(maskP, maskQ, mvP, mvQ, iP, iQ):
+    def bs_of(maskP, maskQ, mvP, mvQ, iP, iQ, cu_edge):
         mvd = (np.abs(mvP[..., 0] - mvQ[..., 0]) >= 4) | \
               (np.abs(mvP[..., 1] - mvQ[..., 1]) >= 4)
-        bs1 = (maskP | maskQ | mvd).astype(np.int32)
+        bs1 = (maskP | maskQ | (mvd & cu_edge)).astype(np.int32)
         return np.where(iP | iQ, 2, bs1)
 
     vbs = np.zeros((n8y, n8x), np.int32)
     vbs[:, 1:] = bs_of(cbf8[:, :-1], cbf8[:, 1:], mv8[:, :-1], mv8[:, 1:],
-                       intra8[:, :-1], intra8[:, 1:])
+                       intra8[:, :-1], intra8[:, 1:], vmask_cu[:, 1:])
     vbs = vbs * vmask
     hbs = np.zeros((n8y, n8x), np.int32)
     hbs[1:, :] = bs_of(cbf8[:-1, :], cbf8[1:, :], mv8[:-1, :], mv8[1:, :],
-                       intra8[:-1, :], intra8[1:, :])
+                       intra8[:-1, :], intra8[1:, :], hmask_cu[1:, :])
     hbs = hbs * hmask
     return vbs, hbs
 

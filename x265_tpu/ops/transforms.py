@@ -141,6 +141,202 @@ def _rshift_round_j(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     return (x + (1 << (shift - 1))) >> shift
 
 
+# =============================================================================
+# lanes-layout variants: blocks live as (N, N, B) with the batch in the
+# 128-lane axis. The block-major (B, N, N) forms put an 8..32-wide
+# minor dim in the lanes (6-25% occupancy) and need a wide transpose
+# around every matmul stage; these contract sublane axes directly with
+# dot_general and keep every elementwise stage fully lane-dense.
+# =============================================================================
+
+def _exact_dot_axis(t: jnp.ndarray, x: jnp.ndarray,
+                    axis: int) -> jnp.ndarray:
+    """Exact integer t @ x contracting x's `axis`, bf16 limbs on the
+    MXU (same exactness envelope as _exact_matmul_tx). Output dims:
+    (t.rows,) + x dims with `axis` removed."""
+    tb = t.astype(jnp.bfloat16)
+    hi, lo = _split_limbs(x)
+
+    def dot(a):
+        return jax.lax.dot_general(
+            tb, a.astype(jnp.bfloat16), (((1,), (axis,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return (dot(hi).astype(jnp.int32) << 8) + dot(lo).astype(jnp.int32)
+
+
+def dct_lanes(resi: jnp.ndarray, size: int, bit_depth: int = 8,
+              dst: bool = False) -> jnp.ndarray:
+    """Forward transform of (N, N, B) lanes blocks -> (N, N, B) coeffs
+    ([row, col] = [vertical, horizontal] frequency, matching
+    dct_batch's block order)."""
+    log2n = size.bit_length() - 1
+    t = jnp.asarray(_fwd_matrix(size, dst), dtype=jnp.int32)
+    s1 = log2n + bit_depth - 9
+    s2 = log2n + 6
+    m1 = _rshift_round_j(_exact_dot_axis(t, resi, 1), s1)   # (i, r, B)
+    m2 = _rshift_round_j(_exact_dot_axis(t, m1, 1), s2)     # (u, i, B)
+    return m2
+
+
+def idct_lanes(coef: jnp.ndarray, size: int, bit_depth: int = 8,
+               dst: bool = False) -> jnp.ndarray:
+    """Inverse transform of (N, N, B) lanes coeff blocks."""
+    t = jnp.asarray(_fwd_matrix(size, dst).T.copy(), dtype=jnp.int32)
+    s2 = 20 - bit_depth
+    m1 = jnp.clip(_rshift_round_j(_exact_dot_axis(t, coef, 0), 7),
+                  -32768, 32767)                            # (k, i, B)
+    r = jnp.clip(_rshift_round_j(_exact_dot_axis(t, m1, 1), s2),
+                 -32768, 32767)                             # (j, k, B)
+    return jnp.swapaxes(r, 0, 1)                            # (k, j, B)
+
+
+def quant_lanes(coef: jnp.ndarray, size: int, qp, bit_depth: int = 8,
+                intra: bool = True, with_rem: bool = False):
+    """quant_batch for (N, N, B) lanes blocks; (B,) qp broadcasts over
+    the lane axis."""
+    log2n = size.bit_length() - 1
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    if qp.ndim == 1:
+        qp = qp[None, None, :]
+    per, rem = qp // 6, qp % 6
+    qbits = QUANT_SHIFT + per + transform_shift(log2n, bit_depth)
+    add = jnp.left_shift(jnp.int32(171 if intra else 85), qbits - 9)
+    scale = jnp.take(jnp.asarray(QUANT_SCALES), rem)
+    a = jnp.abs(coef) * scale
+    level = jnp.right_shift(a + add, qbits)
+    level = jnp.clip(level, 0, 32767)
+    out = jnp.sign(coef) * level
+    if not with_rem:
+        return out
+    delta_u = jnp.right_shift(a - jnp.left_shift(level, qbits),
+                              qbits - 8)
+    return out, delta_u
+
+
+def dequant_lanes(level: jnp.ndarray, size: int, qp,
+                  bit_depth: int = 8) -> jnp.ndarray:
+    log2n = size.bit_length() - 1
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    if qp.ndim == 1:
+        qp = qp[None, None, :]
+    per, rem = qp // 6, qp % 6
+    shift = bit_depth + log2n - 9
+    scale = jnp.left_shift(jnp.take(jnp.asarray(INV_QUANT_SCALES), rem),
+                           per)
+    v = (level * scale + (1 << (shift - 1))) >> shift
+    return jnp.clip(v, -32768, 32767)
+
+
+def sign_hide_lanes(coefs: jnp.ndarray, size: int, scan_sel: int,
+                    delta_u: jnp.ndarray) -> jnp.ndarray:
+    """sign_hide_batch for (N, N, B) lanes blocks (uniform scan only —
+    the fused P path always codes inter TUs in diag scan)."""
+    assert isinstance(scan_sel, int)
+    n = size
+    b = coefs.shape[-1]
+    ncgs = max(n // 4, 1)
+
+    def to_cg(a):
+        return a.reshape(ncgs, 4, ncgs, 4, b).transpose(0, 2, 1, 3, 4) \
+            .reshape(ncgs * ncgs, 16, b)
+
+    lv = to_cg(coefs)
+    du = to_cg(delta_u)
+    rank = jnp.asarray(_cg_rank(scan_sel))[None, :, None]   # (1, 16, 1)
+    nzm = lv != 0
+    first = jnp.min(jnp.where(nzm, rank, 16), axis=1)       # (ncg2, B)
+    last = jnp.max(jnp.where(nzm, rank, -1), axis=1)
+    hidden = (last - first) > 3
+    sumabs = jnp.abs(lv).sum(1)
+    firstval = jnp.sum(jnp.where(rank == first[:, None], lv, 0), axis=1)
+    neg = (firstval < 0).astype(jnp.int32)
+    fix = hidden & ((sumabs & 1) != neg)
+
+    big = jnp.int32(1 << 24)
+    is_end = (rank == first[:, None]) | (rank == last[:, None])
+    can_lower = nzm & (jnp.abs(lv) < 32768) & \
+        ((jnp.abs(lv) >= 2) | ~is_end)
+    can_raise = nzm & (jnp.abs(lv) < 32767)
+    lower_cost = jnp.where(can_lower, du, big)
+    raise_cost = jnp.where(can_raise, -du, big)
+    key_l = lower_cost * 64 + rank
+    key_r = raise_cost * 64 + 32 + rank
+    kmin = jnp.minimum(key_l.min(1), key_r.min(1))          # (ncg2, B)
+    sel_l = key_l == kmin[:, None]
+    sel_r = key_r == kmin[:, None]
+    sel = sel_l | sel_r
+    tgt = jnp.sum(jnp.where(sel, lv, 0), axis=1)
+    d = jnp.sum(jnp.where(sel_l, -1, jnp.where(sel_r, 1, 0)), axis=1)
+    newv = tgt + jnp.where(tgt > 0, d, -d)
+    lv = jnp.where(fix[:, None] & sel, newv[:, None], lv)
+    return lv.reshape(ncgs, ncgs, 4, 4, b).transpose(0, 2, 1, 3, 4) \
+        .reshape(n, n, b)
+
+
+def rdoq_lanes(tcoef: jnp.ndarray, size: int, qp, lam2: float,
+               bit_depth: int = 8, with_rem: bool = False):
+    """rdoq_batch for (N, N, B) lanes blocks."""
+    log2n = size.bit_length() - 1
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    if qp.ndim == 1:
+        qp = qp[None, None, :]
+    per, rem = qp // 6, qp % 6
+    qbits = QUANT_SHIFT + per + transform_shift(log2n, bit_depth)
+    scale = jnp.take(jnp.asarray(QUANT_SCALES), rem)
+    a = jnp.abs(tcoef) * scale
+    l_up = jnp.clip(jnp.right_shift(a + jnp.left_shift(1, qbits - 1),
+                                    qbits), 0, 32767)
+
+    af = a.astype(jnp.float32)
+    step = jnp.exp2(qbits.astype(jnp.float32))
+    tgain = jnp.exp2(jnp.float32(2 * (15 - bit_depth - log2n)))
+    norm = scale.astype(jnp.float32) ** 2 * tgain
+
+    def dist(lq):
+        e = af - lq.astype(jnp.float32) * step
+        return e * e / norm
+
+    def bits_of(lq):
+        return jnp.where(lq > 0,
+                         2.0 + 2.0 * _bitlen_j(lq).astype(jnp.float32),
+                         0.0)
+
+    cand = [jnp.zeros_like(l_up), jnp.maximum(l_up - 1, 0), l_up]
+    costs = [dist(c) + lam2 * bits_of(c) for c in cand]
+    best = jnp.argmin(jnp.stack(costs), axis=0)
+    newlv = jnp.where(best == 0, 0,
+                      jnp.where(best == 1, jnp.maximum(l_up - 1, 0),
+                                l_up))
+
+    d_gain = dist(jnp.zeros_like(newlv)) - dist(newlv)
+    r_gain = bits_of(newlv)
+    if size > 4:
+        g = size // 4
+        b = newlv.shape[-1]
+
+        def by_cg(x):
+            return x.reshape(g, 4, g, 4, b).sum(axis=(1, 3))
+
+        dd, rr = by_cg(d_gain), by_cg(r_gain)
+        kill = (dd <= lam2 * (rr + 2.0)) & (rr > 0)
+        kill = jnp.repeat(jnp.repeat(kill, 4, axis=0), 4, axis=1)
+        newlv = jnp.where(kill, 0, newlv)
+        d_gain = jnp.where(kill, 0.0, d_gain)
+        r_gain = jnp.where(kill, 0.0, r_gain)
+
+    dd_tu = d_gain.sum(axis=(0, 1))
+    rr_tu = r_gain.sum(axis=(0, 1))
+    kill_tu = (dd_tu <= lam2 * (rr_tu + 2.0)) & (rr_tu > 0)
+    newlv = jnp.where(kill_tu[None, None, :], 0, newlv)
+    out = jnp.sign(tcoef) * newlv
+    if not with_rem:
+        return out
+    delta_u = jnp.right_shift(a - jnp.left_shift(newlv, qbits),
+                              qbits - 8)
+    return out, delta_u
+
+
 def dct_batch(resi: jnp.ndarray, size: int, bit_depth: int = 8,
               dst: bool = False) -> jnp.ndarray:
     """Forward transform of (B, N, N) int32 residual blocks."""

@@ -64,7 +64,8 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             real_h=real_h, real_w=real_w, ctu=cfg.ctu_size,
             deblock=cfg.deblock, sao=cfg.sao,
             sign_hiding=cfg.sign_hiding, me_range=me_range,
-            need_recon=True, psy_rd=float(cfg.psy_rd))
+            need_recon=True, psy_rd=float(cfg.psy_rd),
+            rqt=bool(getattr(cfg, "rqt_inter", False)))
         # rate-control all-reduce across the GOP mesh (ICI collective):
         # total coded-energy proxy feeds the shared rate controller
         rate = jnp.sum(jnp.abs(res[2]).astype(jnp.float32))
@@ -73,7 +74,7 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             tuple(p[None] for p in final_ref) + (total_rate,)
         return out
 
-    n_out = 9 + 3  # res 9-tuple (with recon planes) + final_ref triple
+    n_out = 10 + 3  # res 10-tuple (with recon planes) + final_ref triple
     # check_rep off: the body is fully per-device (no cross-chain data
     # flow except the final psum), but its internal fori_loop carries
     # are built from constants the replication analysis rejects
@@ -89,9 +90,9 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             jnp.asarray(ref_y), jnp.asarray(ref_cb), jnp.asarray(ref_cr),
             jnp.asarray(oy), jnp.asarray(ocb), jnp.asarray(ocr))
         jax.block_until_ready(outs)
-    res = outs[:9]
-    final_ref = outs[9:12]
-    total_rate = float(outs[12])
+    res = outs[:10]
+    final_ref = outs[10:13]
+    total_rate = float(outs[13])
     return res, final_ref, total_rate
 
 
@@ -140,8 +141,9 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
     sao_all = np.asarray(res[4]).astype(np.int32)
     intra8 = np.asarray(res[5])[:, :, :h // 8, :w // 8] != 0
     imode8 = np.asarray(res[6])[:, :, :h // 8, :w // 8]
-    rec_y = np.asarray(res[7]).reshape(c, f, hp, wp)[:, :, :h, :w]
-    rec_c = np.asarray(res[8]).reshape(c, 2 * f, hp // 2, wp // 2) \
+    tusplit8 = np.asarray(res[7])[:, :, :h // 8, :w // 8]
+    rec_y = np.asarray(res[8]).reshape(c, f, hp, wp)[:, :, :h, :w]
+    rec_c = np.asarray(res[9]).reshape(c, 2 * f, hp // 2, wp // 2) \
         [:, :, :h // 2, :w // 2]
 
     out = []
@@ -159,6 +161,8 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
             if intra8[ci, i].any():
                 syn.intra8 = intra8[ci, i]
                 syn.mode8 = imode8[ci, i]
+            if tusplit8[ci, i].any():
+                syn.tusplit8 = tusplit8[ci, i]
             syns.append(syn)
             recons.append(ReconFrame(rec_y[ci, i].astype(np.int32),
                                      rec_c[ci, i].astype(np.int32),
