@@ -376,8 +376,12 @@ def _bframe_batch(r0y, r0cb, r0cr, r1y, r1cb, r1cr, oy_b, ocb_b, ocr_b,
 
 
 def encode_bframes_tpu(frames, ref0s, ref1s, cfg: EncoderConfig,
-                       qp: int, qp_maps=None):
-    """Encode a LAYER of independent B frames on device.
+                       qp: int, qp_maps=None, mesh=None):
+    """Encode a LAYER of independent B frames on device. With `mesh`,
+    the layer FANS OUT across the device mesh (one shard of frames per
+    device; a B layer's frames are independent given their references,
+    so no collectives are needed) — the bonded-group fan-out analog of
+    x265's frame threads on B batches (SURVEY.md §2.5).
 
     frames: list of (y, cb, cr) originals (coded size); ref0s/ref1s:
     lists of ReconFrame/DeviceRef (post-filter). Returns (syns list of
@@ -428,14 +432,48 @@ def encode_bframes_tpu(frames, ref0s, ref1s, cfg: EncoderConfig,
     qmj = jnp.asarray(np.clip(qp_maps, 0, 51)) if dqp else \
         jnp.zeros((f, ncty_p, nctx_p), jnp.int32)
 
-    res = _bframe_batch(
-        jnp.asarray(r0y), jnp.asarray(r0cb), jnp.asarray(r0cr),
-        jnp.asarray(r1y), jnp.asarray(r1cb), jnp.asarray(r1cr),
-        jnp.asarray(oy), jnp.asarray(ocb), jnp.asarray(ocr), qmj,
+    kw = dict(
         qp=int(qp), qpc=int(chroma_qp(qp)), bit_depth=cfg.bit_depth,
         real_h=h, real_w=w, ctu=ctu, deblock=cfg.deblock, sao=cfg.sao,
         sign_hiding=cfg.sign_hiding, me_range=cfg.me_range, dqp=dqp,
         need_recon=True, rdoq=cfg.rdoq, psy_rd=float(cfg.psy_rd))
+    args = (jnp.asarray(r0y), jnp.asarray(r0cb), jnp.asarray(r0cr),
+            jnp.asarray(r1y), jnp.asarray(r1cb), jnp.asarray(r1cr),
+            jnp.asarray(oy), jnp.asarray(ocb), jnp.asarray(ocr), qmj)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        n_dev = mesh.devices.size
+        assert f % n_dev == 0, "B-layer frames must tile the mesh"
+        fl = f // n_dev
+        hc, wc = hp // 2, wp // 2
+
+        def to_frame_major(cc, rows):
+            # local chroma stacks are [cb frames..., cr frames...];
+            # make the shard axis frame-major so the global concat
+            # across devices keeps a consistent order
+            return cc.reshape(2, fl, rows, wc).transpose(1, 0, 2, 3) \
+                .reshape(fl * 2 * rows, wc)
+
+        def body(*arrs):
+            r = list(_bframe_batch(*arrs, **kw))
+            r[4] = to_frame_major(r[4], hc)
+            r[7] = to_frame_major(r[7], hc)
+            return tuple(r)
+
+        res = list(jax.jit(shard_map(
+            body, mesh=mesh, in_specs=(P("gop"),) * 10,
+            out_specs=(P("gop"),) * 8, check_rep=False))(*args))
+
+        def from_frame_major(cc):
+            return jnp.asarray(cc).reshape(f, 2, hc, wc) \
+                .transpose(1, 0, 2, 3).reshape(2 * f * hc, wc)
+
+        res[4] = from_frame_major(res[4])
+        res[7] = from_frame_major(res[7])
+        res = tuple(res)
+    else:
+        res = _bframe_batch(*args, **kw)
 
     depth8 = np.asarray(res[0])[:, :h // 8, :w // 8]
     mvb = np.asarray(res[1]).astype(np.int32)[:, :h // 8, :w // 8]

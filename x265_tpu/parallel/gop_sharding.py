@@ -66,15 +66,38 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             sign_hiding=cfg.sign_hiding, me_range=me_range,
             need_recon=True, psy_rd=float(cfg.psy_rd),
             rqt=bool(getattr(cfg, "rqt_inter", False)))
-        # rate-control all-reduce across the GOP mesh (ICI collective):
-        # total coded-energy proxy feeds the shared rate controller
-        rate = jnp.sum(jnp.abs(res[2]).astype(jnp.float32))
+        # rate-control all-reduce across the GOP mesh (ICI collective,
+        # the rateControlStart serialization analog,
+        # ratecontrol.cpp:1248): each device estimates its chain's
+        # coded BITS with the CABAC-calibrated model the RD decisions
+        # use (common/bit_calib.py), and the psum gives the fleet
+        # total that the shared rate controller consumes
+        from ..common.bit_calib import calib_for_qp
+        a_, b_, c_ = (float(v) for v in calib_for_qp(int(qp))[:3])
+
+        def est_bits(cf):
+            a = jnp.abs(cf.astype(jnp.int32))
+            nnz = jnp.sum((a > 0).astype(jnp.float32))
+            f32 = a.astype(jnp.float32)
+            e = (jax.lax.bitcast_convert_type(f32, jnp.int32) >> 23) \
+                - 127
+            slog = jnp.sum(jnp.where(a > 0, e + 1, 0)
+                           .astype(jnp.float32))
+            h2, w2 = cf.shape
+            coded = jnp.sum(jnp.any(
+                (cf != 0).reshape(h2 // 8, 8, w2 // 8, 8),
+                axis=(1, 3)).astype(jnp.float32))
+            return a_ * nnz + b_ * slog + c_ * coded
+
+        rate = est_bits(res[2]) + est_bits(res[3])
         total_rate = jax.lax.psum(rate, axis_name="gop")
         out = tuple(r[None] for r in res) + \
-            tuple(p[None] for p in final_ref) + (total_rate,)
+            tuple(p[None] for p in final_ref) + \
+            (rate[None] if rate.ndim else rate.reshape(1),
+             total_rate)
         return out
 
-    n_out = 10 + 3  # res 10-tuple (with recon planes) + final_ref triple
+    n_out = 10 + 3 + 1  # res + final_ref triple + per-chain rate
     # check_rep off: the body is fully per-device (no cross-chain data
     # flow except the final psum), but its internal fori_loop carries
     # are built from constants the replication analysis rejects
@@ -92,8 +115,9 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
         jax.block_until_ready(outs)
     res = outs[:10]
     final_ref = outs[10:13]
-    total_rate = float(outs[13])
-    return res, final_ref, total_rate
+    chain_rates = np.asarray(outs[13]).reshape(-1)
+    total_rate = float(outs[14])
+    return res, final_ref, total_rate, chain_rates
 
 
 def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
@@ -129,7 +153,7 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
     rcb = np.stack([padp(ref.cb, hp // 2, wp // 2) for _, ref in chains])
     rcr = np.stack([padp(ref.cr, hp // 2, wp // 2) for _, ref in chains])
 
-    res, final_ref, total_rate = encode_chains_sharded(
+    res, final_ref, total_rate, chain_rates = encode_chains_sharded(
         oy, ocb, ocr, ry, rcb, rcr, cfg, qp, mesh,
         me_range=cfg.me_range)
 
@@ -169,3 +193,21 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
                                      rec_c[ci, f + i].astype(np.int32)))
         out.append((syns, recons))
     return out, total_rate
+
+
+def shared_rc_step(rc, total_rate_bits: float, n_frames: int,
+                   qp: int) -> int:
+    """Feed the mesh's all-reduced bit estimate into the shared rate
+    controller and return the QP for the next GOP wave — the
+    cross-chain rateControlStart/End serialization analog
+    (ratecontrol.cpp:1248/2795) with ONE controller decision per wave
+    instead of per-frame locks.
+
+    rc: enc.ratecontrol.RateControl in abr mode. The estimate is the
+    same CABAC-calibrated model the device RD uses, so the controller
+    sees fleet-consistent numbers without waiting for host CABAC."""
+    per_frame = total_rate_bits / max(n_frames, 1)
+    for _ in range(n_frames):
+        rc.frame_done(int(per_frame), qp, 1.0, False)
+    return rc.frame_qp(False, rc.short_cplx_sum /
+                       max(rc.short_cplx_count, 1e-9))
