@@ -306,6 +306,8 @@ def main(argv=None) -> int:
     psnr_acc = 0.0
     gop_buf: list = []          # pending display frames for a mini-GOP
     gop_base = 0                # display index of the current anchor
+    last_anchor_y = None        # source luma of the last coded anchor
+    #                             (B-adapt lowres costs reference it)
 
     ssim_acc = 0.0
     au_since_bp = 0
@@ -393,18 +395,21 @@ def main(argv=None) -> int:
               f"Y-PSNR {py:6.3f}{ssim_txt}", file=sys.stderr)
         n += 1
 
-    def flush_minigop(fqp):
-        nonlocal gop_buf, gop_base
+    def flush_minigop(fqp, count=None):
+        nonlocal gop_buf, gop_base, last_anchor_y
         if not gop_buf:
             return
-        results = enc.encode_minigop(gop_buf, qp=fqp)
-        n0 = n                       # display index of gop_buf[0]
+        cnt = len(gop_buf) if count is None else min(count, len(gop_buf))
+        chunk = gop_buf[:cnt]
+        results = enc.encode_minigop(chunk, qp=fqp)
+        n0 = n                       # display index of chunk[0]
         for res in results:
             i = res.poc - gop_base - 1
-            emit(res, gop_buf[i], res.ftype, fqp, disp=n0 + i)
+            emit(res, chunk[i], res.ftype, fqp, disp=n0 + i)
             rc.frame_done(res.bits, fqp, 1.0, False)
-        gop_base += len(gop_buf)
-        gop_buf = []
+        gop_base += cnt
+        last_anchor_y = chunk[-1][0]
+        gop_buf = gop_buf[cnt:]
 
     src_idx = -1                # source frame index (pre-chunk)
     for frame in reader:
@@ -457,6 +462,7 @@ def main(argv=None) -> int:
             enc.ref = res.recon
             enc.poc = 0
             gop_base = 0
+            last_anchor_y = y
             rc.frame_done(res.bits, fqp, cplx, True)
             if pass1_log is not None:
                 pass1_log.record("I", fqp, res.bits, max(cplx, 1.0))
@@ -467,7 +473,15 @@ def main(argv=None) -> int:
         elif cfg.bframes > 0:
             gop_buf.append((y, cb, cr))
             if len(gop_buf) >= cfg.bframes + 1:
-                flush_minigop(fqp)
+                if cfg.b_adapt and last_anchor_y is not None:
+                    # adaptive B placement (slicetypePath analog):
+                    # flush only the chosen B-run + its P anchor; the
+                    # rest stays queued for the next decision
+                    nb = la.plan_minigop(last_anchor_y,
+                                         [f[0] for f in gop_buf])
+                    flush_minigop(fqp, count=nb + 1)
+                else:
+                    flush_minigop(fqp)
         else:
             seeds16 = None
             if analysis_src is not None:

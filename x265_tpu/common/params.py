@@ -36,6 +36,9 @@ class EncoderConfig:
     min_cu_size: int = 8
     keyint: int = 250            # max GOP length (x265 --keyint)
     bframes: int = 0             # 0 = IPPP; >0 enables B-GOP (later)
+    b_adapt: int = 1             # adaptive B placement from lowres
+    #                              costs (slicetypePath analog,
+    #                              slicetype.cpp:2378); 0 = fixed runs
     num_refs: int = 1
 
     # rate control (CQP only for now; ABR/CRF land with ratecontrol.py)
@@ -172,6 +175,7 @@ class EncoderConfig:
             "hash": "hash_sei", "aq_mode": "aq_mode",
             "aq_strength": "aq_strength", "cutree": "cutree",
             "cu_tree": "cutree", "qcomp": "qcomp",
+            "b_adapt": "b_adapt", "rqt": "rqt_inter",
         }
         key = alias.get(key, key)
         if not hasattr(self, key):

@@ -55,6 +55,85 @@ class Lookahead:
                     best = sad
         return best * h.size
 
+    # -- B-adapt (the slicetypePath analog, slicetype.cpp:2378) ------------
+
+    _SHIFTS = [(dy, dx)
+               for dy in (-8, -6, -4, -3, -2, -1, 0, 1, 2, 3, 4, 6, 8)
+               for dx in (-8, -6, -4, -3, -2, -1, 0, 1, 2, 3, 4, 6, 8)]
+
+    @classmethod
+    def _block_cost(cls, cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        """Per-8x8-block lowres motion-compensated SAD: min over a
+        small shift set (the lowres-ME cost proxy of estimateCUCost,
+        slicetype.cpp:3216)."""
+        hh, ww = cur.shape
+        by, bx = hh // 8, ww // 8
+        best = None
+        for dy, dx in cls._SHIFTS:
+            p = np.roll(np.roll(ref, dy, axis=0), dx, axis=1)
+            d = np.abs(cur - p)[:by * 8, :bx * 8]
+            blk = d.reshape(by, 8, bx, 8).sum((1, 3))
+            best = blk if best is None else np.minimum(best, blk)
+        return best
+
+    @classmethod
+    def _best_shift(cls, cur: np.ndarray, ref: np.ndarray):
+        best, arg = np.inf, (0, 0)
+        for dy, dx in cls._SHIFTS:
+            p = np.roll(np.roll(ref, dy, axis=0), dx, axis=1)
+            s = float(np.abs(cur - p).sum())
+            if s < best:
+                best, arg = s, (dy, dx)
+        return arg
+
+    @classmethod
+    def _bi_cost(cls, cur: np.ndarray, p0: np.ndarray,
+                 p1: np.ndarray) -> float:
+        """Lowres B-frame cost: per-block min of uni-L0, uni-L1 and a
+        bidir average at the globally best shifts (x264's lowres
+        bidir try)."""
+        u0 = cls._block_cost(cur, p0)
+        u1 = cls._block_cost(cur, p1)
+        d0, x0 = cls._best_shift(cur, p0)
+        d1, x1 = cls._best_shift(cur, p1)
+        m0 = np.roll(np.roll(p0, d0, axis=0), x0, axis=1)
+        m1 = np.roll(np.roll(p1, d1, axis=0), x1, axis=1)
+        bi = (m0 + m1 + 1) >> 1
+        hh, ww = cur.shape
+        by, bx = hh // 8, ww // 8
+        bb = np.abs(cur - bi)[:by * 8, :bx * 8] \
+            .reshape(by, 8, bx, 8).sum((1, 3))
+        return float(np.minimum(np.minimum(u0, u1), bb).sum())
+
+    def plan_minigop(self, anchor_y: np.ndarray, ys: list,
+                     max_b: int | None = None) -> int:
+        """Adaptive B count (the slicetypePath trellis, greedy form):
+        given the last coded anchor's SOURCE and the next queued
+        sources, choose how many leading frames to code as B before
+        the next P anchor. Minimizes the average lowres cost per
+        consumed frame over paths B^L P, L in [0, min(max_b,
+        len(ys)-1)] — fades and erratic motion (where bi-prediction
+        from mismatched anchors is poor) fall back to P runs."""
+        max_b = self.cfg.bframes if max_b is None else max_b
+        a0 = self._half(np.asarray(anchor_y))
+        hs = [self._half(np.asarray(y)) for y in ys]
+        n = len(hs)
+        avgs = []
+        for L in range(0, min(max_b, n - 1) + 1):
+            anchor = hs[L]
+            total = float(self._block_cost(anchor, a0).sum())
+            for k in range(L):
+                total += self._bi_cost(hs[k], a0, anchor)
+            avgs.append(total / (L + 1))
+        # near-ties go to the LONGER B run (B frames cost fewer bits
+        # at equal lowres distortion — the B-bias of slicetypePath)
+        best = min(avgs)
+        best_l = 0
+        for L, a in enumerate(avgs):
+            if a <= best * 1.05 + 1e-6:
+                best_l = L
+        return best_l
+
     def decide(self, y: np.ndarray) -> str:
         """Returns 'I' or 'P' for the next frame, updating state."""
         h = self._half(np.asarray(y))
