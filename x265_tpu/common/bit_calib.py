@@ -21,7 +21,17 @@ from __future__ import annotations
 
 import numpy as np
 
-# qp -> (A, B, C, H, S, M, D); filled by tools/calibrate_bits.py
+# qp -> (A, B, C, H, S, M, D), filled by tools/calibrate_bits.py.
+#
+# Round-4 finding: NNLS fits of frame-level sums (A~2-4, B~0.7-1.8,
+# C noisy 0-18 across QP) measured +20.2% BD-rate vs x265 medium —
+# slightly WORSE than the structural constants below (+19.7%). The
+# frame-level experiment cannot identify per-leaf/per-split/MVD costs
+# (collinear with the coefficient features), and per-QP A/B noise
+# perturbs the split decisions more than the calibration helps. The
+# table therefore stays empty until a BLOCK-level calibration (actual
+# per-CU bits from the CABAC's bit-counting mode) replaces it; the
+# fallback keeps the validated r03 behavior.
 BIT_CALIB: dict[int, tuple] = {}
 
 # round-3 constants, kept as the fallback when the table is empty
