@@ -85,3 +85,17 @@ def test_sps_signals_inter_tu_depth():
     info2 = parse_sps(write_sps(
         EncoderConfig(width=64, height=64, qp=32, rqt_inter=True)))
     assert info2.max_trafo_depth_inter == 1
+
+
+def test_lowpass_dct_decodes_and_saves_bits():
+    """--lowpass-dct (lowpassdct.cpp analog): encoder-side approximate
+    transform; streams stay conformant (decode-exact) and noisy
+    content codes fewer bits at a small PSNR cost."""
+    frames = _busy_frames(4, 128, 192, seed=9)
+    cfg_on = EncoderConfig(width=192, height=128, qp=30, deblock=True,
+                           lowpass_dct=True)
+    cfg_off = EncoderConfig(width=192, height=128, qp=30, deblock=True)
+    rs_on, st_on = _roundtrip(cfg_on, frames)
+    rs_off, st_off = _roundtrip(cfg_off, frames)
+    assert len(st_on) < len(st_off), \
+        "lowpass DCT should drop high-band bits on noisy content"

@@ -98,6 +98,9 @@ class EncoderConfig:
     #                              fused P-GOP path's search effort
     intra_in_inter: bool = True  # 8x8 intra CUs in P frames
     #                              (checkIntraInInter, search.cpp:1291)
+    lowpass_dct: bool = False    # approximate transform: half-size DCT
+    #                              of 2x2 averages, high bands zeroed
+    #                              (x265 --lowpass-dct, lowpassdct.cpp)
     rqt_inter: bool = True       # inter TU tree depth 1: 16/32 CUs may
     #                              code their residual as four TUs
     #                              (estimateResidualQT analog,
@@ -176,6 +179,7 @@ class EncoderConfig:
             "aq_strength": "aq_strength", "cutree": "cutree",
             "cu_tree": "cutree", "qcomp": "qcomp",
             "b_adapt": "b_adapt", "rqt": "rqt_inter",
+            "lowpass_dct": "lowpass_dct",
         }
         key = alias.get(key, key)
         if not hasattr(self, key):

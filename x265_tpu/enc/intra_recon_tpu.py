@@ -329,10 +329,25 @@ def _finalize(rec_y, rec_c, cf_y, cf_c, *, nf: int, ncy: int, ncx: int,
             .transpose(0, 1, 3, 2, 4).reshape(count // nct * ncy * m,
                                               ncx * m)
 
+    cfy2 = untile(cf_y, nf * nct, ctu).astype(jnp.int16)
+    cfc2 = untile(cf_c, 2 * nf * nct, half).astype(jnp.int16)
+
+    def cg_pack(plane2d):
+        h2, w2 = plane2d.shape
+        cg = plane2d.reshape(h2 // 4, 4, w2 // 4, 4) \
+            .transpose(0, 2, 1, 3).reshape(-1, 16)
+        nz = jnp.any(cg != 0, axis=1)
+        return cg, jnp.packbits(nz)
+
+    # nonzero-CG rows + bit-packed masks IN THIS PROGRAM (the P-path
+    # two-transfer collect discipline: the D2H link runs ~30 MB/s with
+    # ~45 ms latency per round trip)
+    cg_y, nzp_y = cg_pack(cfy2)
+    cg_c, nzp_c = cg_pack(cfc2)
     return (untile(rec_y, nf * nct, ctu).astype(rdt),
             untile(rec_c, 2 * nf * nct, half).astype(rdt),
-            untile(cf_y, nf * nct, ctu).astype(jnp.int16),
-            untile(cf_c, 2 * nf * nct, half).astype(jnp.int16))
+            jnp.concatenate([cg_y, cg_c]),
+            jnp.concatenate([nzp_y, nzp_c]))
 
 
 @lru_cache(maxsize=None)
@@ -456,16 +471,37 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
 
     # device-side untile + downcast, then 2D transfers (fast layout)
     hp, wp = ncy * ctu, ncx * ctu
-    ry2, rc2, cfy2, cfc2 = _finalize(rec_y, rec_c, cf_y, cf_c, nf=nf,
-                                     ncy=ncy, ncx=ncx, ctu=ctu,
-                                     bit_depth=cfg.bit_depth)
-    # compact CG download (ops/compact.py): intra planes are denser
-    # than P so use a larger capacity fraction
-    from ..ops.compact import fetch_plane_compact
-    cfy_np = fetch_plane_compact(cfy2, cap_frac=3) \
-        .reshape(nf, hp, wp)[:, :h, :w]
-    cfc_np = fetch_plane_compact(cfc2, cap_frac=3) \
-        .reshape(2 * nf, hp // 2, wp // 2)[:, :h // 2, :w // 2]
+    ry2, rc2, cg, nzp = _finalize(rec_y, rec_c, cf_y, cf_c, nf=nf,
+                                  ncy=ncy, ncx=ncx, ctu=ctu,
+                                  bit_depth=cfg.bit_depth)
+    # two-transfer compact download: masks, then one combined row
+    # gather; rows expand via the native CG scatter
+    from ..native.entropy_native import expand_cgs_native
+    from ..ops.compact import fetch_rows
+    ncg_y = (nf * hp // 4) * (wp // 4)
+    ncg_c = (2 * nf * (hp // 2) // 4) * ((wp // 2) // 4)
+    nzh = np.asarray(nzp)                               # D2H #1
+    mb_y = (ncg_y + 7) // 8
+    idx_y = np.nonzero(np.unpackbits(nzh[:mb_y], count=ncg_y))[0] \
+        .astype(np.int32)
+    idx_c = np.nonzero(np.unpackbits(nzh[mb_y:],
+                                     count=ncg_c))[0].astype(np.int32)
+    vals = fetch_rows(cg, np.concatenate([idx_y, idx_c + ncg_y]))
+    vals_y, vals_c = vals[:len(idx_y)], vals[len(idx_y):]
+
+    def expand(vals_p, idx_p, fh, fw, ch, cw, n):
+        ncxg = fw // 4
+        per = (fh // 4) * ncxg
+        bounds = np.searchsorted(idx_p, np.arange(n + 1) * per)
+        return np.stack([
+            expand_cgs_native(vals_p[bounds[i]:bounds[i + 1]],
+                              idx_p[bounds[i]:bounds[i + 1]] - i * per,
+                              ncxg, ch, cw).astype(np.int32)
+            for i in range(n)])
+
+    cfy_np = expand(vals_y, idx_y, hp, wp, h, w, nf)
+    cfc_np = expand(vals_c, idx_c, hp // 2, wp // 2, h // 2, w // 2,
+                    2 * nf)
     if need_recon:
         ry_np = np.asarray(ry2).reshape(nf, hp, wp)[:, :h, :w] \
             .astype(np.int32)

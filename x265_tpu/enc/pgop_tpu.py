@@ -317,7 +317,7 @@ def _psy8_energy(plane: jnp.ndarray) -> jnp.ndarray:
 def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                   sign_hiding, real_h, real_w, preds, cpreds,
                   qp_ctu=None, ctu=32, rdoq=False, psy_rd=0.0,
-                  rqt=False):
+                  rqt=False, lowpass=False):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds carries the luma
@@ -358,7 +358,7 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         pay a wide transpose per matmul stage."""
         ob = lanes_of_plane(orig, nn)
         resi = ob - pred
-        tcoef = dct_lanes(resi, nn, bit_depth)
+        tcoef = dct_lanes(resi, nn, bit_depth, lowpass=lowpass)
         if rdoq:
             # RDOQ replaces the dead-zone quantizer entirely
             if sign_hiding:
@@ -905,7 +905,8 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                     dqp: bool = False, intra_ii: bool = True,
                     use_seeds: bool = False, rdoq: bool = False,
                     psy_rd: float = 0.0, weightp: bool = False,
-                    weight_denom: int = 6, rqt: bool = False):
+                    weight_denom: int = 6, rqt: bool = False,
+                    lowpass: bool = False):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -985,7 +986,8 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                           sign_hiding, real_h, real_w, preds=preds,
                           cpreds=cpreds,
                           qp_ctu=qp_ctu if dqp else None, ctu=ctu,
-                          rdoq=rdoq, psy_rd=psy_rd, rqt=rqt)
+                          rdoq=rdoq, psy_rd=psy_rd, rqt=rqt,
+                          lowpass=lowpass)
 
         # --- intra-in-inter: 8x8 intra CUs where intra beats inter
         if intra_ii:
@@ -1112,7 +1114,7 @@ _pgop_scan = partial(jax.jit, static_argnames=(
     "qp", "qpc", "bit_depth", "real_h", "real_w", "ctu", "deblock",
     "sao", "sign_hiding", "me_range", "need_recon", "dqp", "intra_ii",
     "use_seeds", "rdoq", "psy_rd", "weightp",
-    "weight_denom", "rqt"))(_pgop_scan_body)
+    "weight_denom", "rqt", "lowpass"))(_pgop_scan_body)
 
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
@@ -1120,7 +1122,8 @@ _pgop_scan = partial(jax.jit, static_argnames=(
                                    "sign_hiding", "me_range",
                                    "need_recon", "dqp", "intra_ii",
                                    "use_seeds", "rdoq", "psy_rd",
-                                   "weightp", "weight_denom", "rqt"))
+                                   "weightp", "weight_denom", "rqt",
+                                   "lowpass"))
 def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                       qp_maps, seeds16, wvecs=None, *,
                       qp: int, qpc: int, bit_depth: int, real_h: int,
@@ -1130,7 +1133,7 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                       intra_ii: bool = True, use_seeds: bool = False,
                       rdoq: bool = False, psy_rd: float = 0.0,
                       weightp: bool = False, weight_denom: int = 6,
-                      rqt: bool = False):
+                      rqt: bool = False, lowpass: bool = False):
     """ONE compiled program for the whole submit path (cold-compile
     budget: every separately-jitted helper costs 10-60 s of XLA compile
     on this backend, so the scan, the decision-field packing, the CG
@@ -1160,7 +1163,7 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         sao=sao, sign_hiding=sign_hiding, me_range=me_range,
         need_recon=need_recon, dqp=dqp, intra_ii=intra_ii,
         use_seeds=use_seeds, rdoq=rdoq, psy_rd=psy_rd, weightp=weightp,
-        weight_denom=weight_denom, rqt=rqt)
+        weight_denom=weight_denom, rqt=rqt, lowpass=lowpass)
 
     def cg_pack(plane2d):
         h2, w2 = plane2d.shape
@@ -1338,7 +1341,8 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         dqp=qp_maps is not None, intra_ii=cfg.intra_in_inter,
         use_seeds=seeds16 is not None, rdoq=cfg.rdoq,
         psy_rd=float(cfg.psy_rd), weightp=cfg.weightp,
-        rqt=bool(getattr(cfg, "rqt_inter", False)))
+        rqt=bool(getattr(cfg, "rqt_inter", False)),
+        lowpass=bool(getattr(cfg, "lowpass_dct", False)))
     small, cg = out[:2]
     last_ref = DeviceRef(out[2], out[3], out[4])
     return PgopPending(

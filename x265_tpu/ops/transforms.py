@@ -166,11 +166,32 @@ def _exact_dot_axis(t: jnp.ndarray, x: jnp.ndarray,
 
 
 def dct_lanes(resi: jnp.ndarray, size: int, bit_depth: int = 8,
-              dst: bool = False) -> jnp.ndarray:
+              dst: bool = False, lowpass: bool = False) -> jnp.ndarray:
     """Forward transform of (N, N, B) lanes blocks -> (N, N, B) coeffs
     ([row, col] = [vertical, horizontal] frequency, matching
-    dct_batch's block order)."""
+    dct_batch's block order).
+
+    lowpass (x265 --lowpass-dct, lowpassdct.cpp): for N >= 8,
+    approximate the transform with a half-size DCT of the 2x2-averaged
+    residual placed in the low band (high bands zero), DC replaced by
+    the scaled whole-block sum. Encoder-side only — the emitted
+    coefficients decode through the normative inverse transform."""
     log2n = size.bit_length() - 1
+    if lowpass and size >= 8:
+        r = resi.astype(jnp.int32)
+        s2x2 = r[0::2, 0::2] + r[0::2, 1::2] + r[1::2, 0::2] + \
+            r[1::2, 1::2]
+        half = dct_lanes(s2x2 >> 2, size // 2, bit_depth)
+        total = r.sum(axis=(0, 1))
+        # DC = block sum scaled to the full-size DCT's DC domain
+        # (lowpassdct.cpp: <<1 / >>1 / >>3 for N=8/16/32 at 8-bit)
+        exp = 7 - 2 * log2n - (bit_depth - 8)
+        dc = jnp.left_shift(total, exp) if exp >= 0 else \
+            jnp.right_shift(total, -exp)
+        out = jnp.zeros(resi.shape, jnp.int32)
+        out = out.at[:size // 2, :size // 2].set(half)
+        out = out.at[0, 0].set(dc)
+        return out
     t = jnp.asarray(_fwd_matrix(size, dst), dtype=jnp.int32)
     s1 = log2n + bit_depth - 9
     s2 = log2n + 6
