@@ -99,3 +99,17 @@ def test_lowpass_dct_decodes_and_saves_bits():
     rs_off, st_off = _roundtrip(cfg_off, frames)
     assert len(st_on) < len(st_off), \
         "lowpass DCT should drop high-band bits on noisy content"
+
+
+def test_noise_reduction_denoises_and_decodes():
+    """--nr-inter (denoiseDct, quant.cpp:744): encoder-side coefficient
+    denoising accumulated across the GOP; streams decode exactly and
+    grain content codes fewer bits."""
+    frames = _busy_frames(6, 128, 192, seed=13)
+    cfg_on = EncoderConfig(width=192, height=128, qp=28, deblock=True,
+                           nr_inter=600)
+    cfg_off = EncoderConfig(width=192, height=128, qp=28, deblock=True)
+    rs_on, st_on = _roundtrip(cfg_on, frames)
+    rs_off, st_off = _roundtrip(cfg_off, frames)
+    assert len(st_on) < len(st_off), \
+        "noise reduction should strip grain bits"

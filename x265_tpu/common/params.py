@@ -98,6 +98,9 @@ class EncoderConfig:
     #                              fused P-GOP path's search effort
     intra_in_inter: bool = True  # 8x8 intra CUs in P frames
     #                              (checkIntraInInter, search.cpp:1291)
+    nr_inter: int = 0            # inter noise reduction strength
+    #                              0-2000 (x265 --nr-inter; denoiseDct,
+    #                              quant.cpp:744 + frameencoder.cpp:2098)
     lowpass_dct: bool = False    # approximate transform: half-size DCT
     #                              of 2x2 averages, high bands zeroed
     #                              (x265 --lowpass-dct, lowpassdct.cpp)
@@ -179,7 +182,7 @@ class EncoderConfig:
             "aq_strength": "aq_strength", "cutree": "cutree",
             "cu_tree": "cutree", "qcomp": "qcomp",
             "b_adapt": "b_adapt", "rqt": "rqt_inter",
-            "lowpass_dct": "lowpass_dct",
+            "lowpass_dct": "lowpass_dct", "nr_inter": "nr_inter",
         }
         key = alias.get(key, key)
         if not hasattr(self, key):

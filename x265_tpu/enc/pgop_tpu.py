@@ -314,10 +314,27 @@ def _psy8_energy(plane: jnp.ndarray) -> jnp.ndarray:
     return (sa - dc).astype(jnp.float32).reshape(by, bx)
 
 
+# noise-reduction categories for the P scan: (TU size, plane kind).
+# The frameencoder.cpp:2098 category layout restricted to the sizes
+# this pipeline codes (inter luma 8-32, chroma 4-16).
+NR_CATS = ((8, "y"), (16, "y"), (32, "y"), (4, "c"), (8, "c"),
+           (16, "c"))
+
+
+def _nr_denoise(tcoef, off_flat):
+    """denoiseDct (quant.cpp:744): |coef| -= offset per position,
+    clamped at 0, sign restored. tcoef (n, n, B); off (n*n,) f32."""
+    n = tcoef.shape[0]
+    off = off_flat.reshape(n, n, 1).astype(jnp.int32)
+    a = jnp.abs(tcoef)
+    return jnp.sign(tcoef) * jnp.maximum(a - off, 0), \
+        a.sum(axis=2).reshape(-1).astype(jnp.float32)
+
+
 def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                   sign_hiding, real_h, real_w, preds, cpreds,
                   qp_ctu=None, ctu=32, rdoq=False, psy_rd=0.0,
-                  rqt=False, lowpass=False):
+                  rqt=False, lowpass=False, nr_offsets=None):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds carries the luma
@@ -352,13 +369,24 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         return lanes.reshape(nn, nn, bby, bbx).transpose(2, 0, 3, 1) \
             .reshape(hh, ww)
 
-    def one_plane(orig, nn, qqp, pred):
+    nr_accum = {}
+
+    def one_plane(orig, nn, qqp, pred, nr_kind=None):
         """Whole residual pipeline in lanes layout (nn, nn, B): block-
         major forms keep an 8..32-wide minor dim in the 128 lanes and
-        pay a wide transpose per matmul stage."""
+        pay a wide transpose per matmul stage. nr_kind ('y'/'c'):
+        apply + accumulate noise reduction for this TU category;
+        'apply-only' categories pass kind None with offsets applied by
+        the caller."""
         ob = lanes_of_plane(orig, nn)
         resi = ob - pred
         tcoef = dct_lanes(resi, nn, bit_depth, lowpass=lowpass)
+        if nr_offsets is not None and nr_kind is not None:
+            tcoef, acc = _nr_denoise(tcoef, nr_offsets[(nn, nr_kind)])
+            nb = tcoef.shape[2]
+            prev = nr_accum.get((nn, nr_kind))
+            nr_accum[(nn, nr_kind)] = (acc, nb) if prev is None \
+                else (prev[0] + acc, prev[1] + nb)
         if rdoq:
             # RDOQ replaces the dead-zone quantizer entirely
             if sign_hiding:
@@ -398,9 +426,11 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         def lan(p):
             return jnp.transpose(p, (1, 2, 0))
 
-        rec_y, cf_y = one_plane(oy, n, qn, lan(preds[n]))
-        rec_cb, cf_cb = one_plane(ocb, cn, qcn, lan(cpreds[n][0]))
-        rec_cr, cf_cr = one_plane(ocr, cn, qcn, lan(cpreds[n][1]))
+        rec_y, cf_y = one_plane(oy, n, qn, lan(preds[n]), nr_kind="y")
+        rec_cb, cf_cb = one_plane(ocb, cn, qcn, lan(cpreds[n][0]),
+                                  nr_kind="c")
+        rec_cr, cf_cr = one_plane(ocr, cn, qcn, lan(cpreds[n][1]),
+                                  nr_kind="c")
         cal3 = calib[:3]
         planes[n] = (to_plane(rec_y, n, h, w), to_plane(cf_y, n, h, w),
                      to_plane(rec_cb, cn, h // 2, w // 2),
@@ -507,7 +537,7 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                 [(mpx, ps[0]), (mpx, ps[1]), (mpx_c, ps[2]),
                  (mpx_c, ps[3]), (mpx_c, ps[4]), (mpx_c, ps[5])]):
             out[i] = jnp.where(mask, p, out[i])
-    return out + [depth8, mv8, tusplit8]
+    return out + [depth8, mv8, tusplit8], nr_accum
 
 
 # =============================================================================
@@ -906,7 +936,7 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                     use_seeds: bool = False, rdoq: bool = False,
                     psy_rd: float = 0.0, weightp: bool = False,
                     weight_denom: int = 6, rqt: bool = False,
-                    lowpass: bool = False):
+                    lowpass: bool = False, nr: int = 0):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
     ref_*: initial reference planes (the I frame recon, post-filter).
     Returns per-frame stacked decision fields + coefficients + SAO
@@ -925,7 +955,17 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
     rh, rw = real_h, real_w
 
     def body(carry, xs):
-        ry, rcb, rcr = carry
+        if nr:
+            (ry, rcb, rcr), nr_sums, nr_counts = carry
+            # offsets from the accumulated state (frameencoder.cpp:2098
+            # noiseReductionUpdate: value/denom per position, DC = 0)
+            nr_off = {}
+            for ci, (nn, kind) in enumerate(NR_CATS):
+                sm, ct = nr_sums[ci], nr_counts[ci]
+                off = (jnp.float32(nr) * ct + sm * 0.5) / (sm + 1.0)
+                nr_off[(nn, kind)] = off.at[0].set(0.0)
+        else:
+            ry, rcb, rcr = carry
         oy8, ocb8, ocr8, qp_ctu, seed16_f, wvec_f = xs
         wvec = wvec_f if weightp else None
         oy = oy8.astype(jnp.int32)
@@ -980,14 +1020,15 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
 
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
-        (rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8,
-         tusplit8) = \
+        ((rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8,
+          tusplit8), nr_accum) = \
             _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                           sign_hiding, real_h, real_w, preds=preds,
                           cpreds=cpreds,
                           qp_ctu=qp_ctu if dqp else None, ctu=ctu,
                           rdoq=rdoq, psy_rd=psy_rd, rqt=rqt,
-                          lowpass=lowpass)
+                          lowpass=lowpass,
+                          nr_offsets=nr_off if nr else None)
 
         # --- intra-in-inter: 8x8 intra CUs where intra beats inter
         if intra_ii:
@@ -1084,14 +1125,35 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         if need_recon:
             outs = outs + (rec_y.astype(rdt), rec_cb.astype(rdt),
                            rec_cr.astype(rdt))
+        if nr:
+            new_sums, new_counts = [], []
+            for ci, (nn, kind) in enumerate(NR_CATS):
+                acc, nb = nr_accum[(nn, kind)]
+                sm = nr_sums[ci] + acc
+                ct = nr_counts[ci] + jnp.float32(nb)
+                # halve when the category saturates
+                # (maxBlocksPerTrSize, frameencoder.cpp:2100)
+                cap = jnp.float32(1 << (22 - 2 * (nn.bit_length() - 1)))
+                halve = ct > cap
+                new_sums.append(jnp.where(halve, sm * 0.5, sm))
+                new_counts.append(jnp.where(halve, ct * 0.5, ct))
+            return ((rec_y, rec_cb, rec_cr), tuple(new_sums),
+                    tuple(new_counts)), outs
         return (rec_y, rec_cb, rec_cr), outs
 
     if wvecs is None:
         wvecs = jnp.zeros((orig_y.shape[0], 6), jnp.int32)
+    init = (ref_y.astype(jnp.int32), ref_cb.astype(jnp.int32),
+            ref_cr.astype(jnp.int32))
+    if nr:
+        init = (init,
+                tuple(jnp.zeros((n * n,), jnp.float32)
+                      for n, _ in NR_CATS),
+                tuple(jnp.zeros((), jnp.float32) for _ in NR_CATS))
     carry, outs = jax.lax.scan(
-        body, (ref_y.astype(jnp.int32), ref_cb.astype(jnp.int32),
-               ref_cr.astype(jnp.int32)),
-        (orig_y, orig_cb, orig_cr, qp_maps, seeds16, wvecs))
+        body, init, (orig_y, orig_cb, orig_cr, qp_maps, seeds16, wvecs))
+    if nr:
+        carry = carry[0]
     f = orig_y.shape[0]
     # 2D layouts for the tunnel (3D-planar D2H is ~100x slower here)
     cf_y2 = outs[2].reshape(f * hp, wp)
@@ -1114,7 +1176,7 @@ _pgop_scan = partial(jax.jit, static_argnames=(
     "qp", "qpc", "bit_depth", "real_h", "real_w", "ctu", "deblock",
     "sao", "sign_hiding", "me_range", "need_recon", "dqp", "intra_ii",
     "use_seeds", "rdoq", "psy_rd", "weightp",
-    "weight_denom", "rqt", "lowpass"))(_pgop_scan_body)
+    "weight_denom", "rqt", "lowpass", "nr"))(_pgop_scan_body)
 
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
@@ -1123,7 +1185,7 @@ _pgop_scan = partial(jax.jit, static_argnames=(
                                    "need_recon", "dqp", "intra_ii",
                                    "use_seeds", "rdoq", "psy_rd",
                                    "weightp", "weight_denom", "rqt",
-                                   "lowpass"))
+                                   "lowpass", "nr"))
 def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                       qp_maps, seeds16, wvecs=None, *,
                       qp: int, qpc: int, bit_depth: int, real_h: int,
@@ -1133,7 +1195,8 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                       intra_ii: bool = True, use_seeds: bool = False,
                       rdoq: bool = False, psy_rd: float = 0.0,
                       weightp: bool = False, weight_denom: int = 6,
-                      rqt: bool = False, lowpass: bool = False):
+                      rqt: bool = False, lowpass: bool = False,
+                      nr: int = 0):
     """ONE compiled program for the whole submit path (cold-compile
     budget: every separately-jitted helper costs 10-60 s of XLA compile
     on this backend, so the scan, the decision-field packing, the CG
@@ -1163,7 +1226,7 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         sao=sao, sign_hiding=sign_hiding, me_range=me_range,
         need_recon=need_recon, dqp=dqp, intra_ii=intra_ii,
         use_seeds=use_seeds, rdoq=rdoq, psy_rd=psy_rd, weightp=weightp,
-        weight_denom=weight_denom, rqt=rqt, lowpass=lowpass)
+        weight_denom=weight_denom, rqt=rqt, lowpass=lowpass, nr=nr)
 
     def cg_pack(plane2d):
         h2, w2 = plane2d.shape
@@ -1342,7 +1405,8 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         use_seeds=seeds16 is not None, rdoq=cfg.rdoq,
         psy_rd=float(cfg.psy_rd), weightp=cfg.weightp,
         rqt=bool(getattr(cfg, "rqt_inter", False)),
-        lowpass=bool(getattr(cfg, "lowpass_dct", False)))
+        lowpass=bool(getattr(cfg, "lowpass_dct", False)),
+        nr=int(getattr(cfg, "nr_inter", 0)))
     small, cg = out[:2]
     last_ref = DeviceRef(out[2], out[3], out[4])
     return PgopPending(
