@@ -1,15 +1,19 @@
-"""Validation HEVC decoder (intra subset), written from the H.265 spec.
+"""Validation HEVC decoder, written from the H.265 spec.
 
 Role: the project has no external reference decoder, so this module is
 the conformance oracle — it parses the Annex-B stream the encoder emits
 (headers + CABAC slice data), reconstructs frames with the numpy spec
-oracles (intra_np / transforms), and tests assert the result is
-bit-exact against the encoder's own reconstruction. Analog of x265's
-practice of decoding golden bitstreams (source/test/regression-tests.txt:3-6).
+oracles, and tests assert the result is bit-exact against the
+encoder's own reconstruction. Analog of x265's practice of decoding
+golden bitstreams (source/test/regression-tests.txt:3-6).
 
-Supports what the encoder emits today: Main/Main10 all-intra, 4:2:0,
-one slice, CTU 16/32, TU == CU, no SAO/deblock/WPP. Grows with the
-encoder; unsupported syntax raises instead of mis-decoding.
+Supports what the encoder emits today: Main/Main10, 4:2:0, one slice,
+CTU 16/32; I slices (35-mode intra incl. PART_NxN/DST, lossless
+transquant bypass), P slices (2Nx2N inter, merge/AMVP/skip, weighted
+prediction, intra-in-inter, inter RQT depth 1), B slices (two lists,
+bi-prediction, POC-scaled AMVP), deblocking (incl. TU edges), SAO,
+WPP substreams, per-CTU dQP, decoded-picture-hash verification.
+Unsupported syntax raises instead of mis-decoding.
 """
 
 from __future__ import annotations
