@@ -74,6 +74,8 @@ def run_ours(frames, qp: int, w: int, h: int):
     from x265_tpu.enc import IntraEncoder
     cfg = EncoderConfig(width=w, height=h, qp=qp, deblock=True,
                         sao=False)
+    if os.environ.get("RD_ME_RANGE"):
+        cfg.me_range = int(os.environ["RD_ME_RANGE"])
     if os.environ.get("RD_AQ"):           # AQ + cuTree (x265 defaults)
         cfg.aq_mode = int(os.environ.get("RD_AQ_MODE", "2"))
         cfg.cutree = os.environ.get("RD_CUTREE", "1") == "1"

@@ -93,9 +93,12 @@ class EncoderConfig:
     #                              search.cpp:2166 checkIntra PART_NxN)
     me_iters: int = 8            # integer diamond rounds, host/B path
     #                              (subme analog, motion.cpp:820 ladder)
-    me_range: int = 6            # windowed full-search radius around the
+    me_range: int = 10           # windowed full-search radius around the
     #                              coarse seed (merange analog) — the
-    #                              fused P-GOP path's search effort
+    #                              fused P-GOP path's search effort.
+    #                              Round-4 sweep: 6 -> 10 is worth 5.8
+    #                              BD-rate points vs x265 medium
+    #                              (+19.7% -> +13.9%); 12 adds nothing
     intra_in_inter: bool = True  # 8x8 intra CUs in P frames
     #                              (checkIntraInInter, search.cpp:1291)
     nr_inter: int = 0            # inter noise reduction strength
@@ -264,11 +267,11 @@ PRESETS = {
                    sign_hiding=True, deblock=True),
     "fast": dict(me_iters=6, me_range=5, bframes=3, sao=True,
                  sign_hiding=True, deblock=True),
-    "medium": dict(me_iters=8, me_range=6, bframes=4, sao=True,
+    "medium": dict(me_iters=8, me_range=10, bframes=4, sao=True,
                    sign_hiding=True, deblock=True),
-    "slow": dict(rdoq=True, me_iters=10, me_range=8, bframes=4, sao=True,
+    "slow": dict(rdoq=True, me_iters=10, me_range=10, bframes=4, sao=True,
                  sign_hiding=True, deblock=True),
-    "slower": dict(rdoq=True, me_iters=12, me_range=10, bframes=8, sao=True,
+    "slower": dict(rdoq=True, me_iters=12, me_range=12, bframes=8, sao=True,
                    sign_hiding=True, deblock=True),
     "veryslow": dict(rdoq=True, me_iters=16, me_range=12, bframes=8, sao=True,
                      sign_hiding=True, deblock=True),
