@@ -138,26 +138,24 @@ def bench_ippp() -> None:
         # warm the host CABAC tail too (native encoder init)
         wenc.poc = 0
         wenc._emit_p_frames(syns[:1], [None], cfg.qp)
-        # timed warm chunk: the compile-free P-chunk wall time
-        t1 = time.perf_counter()
-        pend = submit_pgop_tpu(oy, ocb, ocr, ref, cfg, cfg.qp,
-                               need_recon=False, me_range=cfg.me_range,
-                               weights=wvecs)
-        syns, _, _ = collect_pgop_tpu(pend)
-        wenc.poc = 0
-        wenc._emit_p_frames(syns, [None] * chunk, cfg.qp)
-        stage_dt["chunk"] = time.perf_counter() - t1
+
+        def timed_chunk():
+            t1 = time.perf_counter()
+            pend = submit_pgop_tpu(oy, ocb, ocr, ref, cfg, cfg.qp,
+                                   need_recon=False,
+                                   me_range=cfg.me_range, weights=wvecs)
+            syns, _, _ = collect_pgop_tpu(pend)
+            wenc.poc = 0
+            wenc._emit_p_frames(syns, [None] * chunk, cfg.qp)
+            stage_dt["chunk"] = time.perf_counter() - t1
+
+        stage_dt["run_chunk"] = timed_chunk
 
     def warm_intra():
         enc.frame_count = 1
         enc.poc = 0
         enc.encode_frame(*frames[0], qp=cfg.qp - 3,
                          use_device_recon=True, need_recon=False)
-        t1 = time.perf_counter()
-        enc.frame_count = 1
-        enc.encode_frame(*frames[0], qp=cfg.qp - 3,
-                         use_device_recon=True, need_recon=False)
-        stage_dt["intra"] = time.perf_counter() - t1
 
     ts = [threading.Thread(target=warm_pgop),
           threading.Thread(target=warm_intra)]
@@ -165,6 +163,16 @@ def bench_ippp() -> None:
         t.start()
     for t in ts:
         t.join()
+    # timed stage passes AFTER the join: cross-thread compile traffic
+    # would otherwise inflate them (a watchdog fallback built from
+    # contaminated timings printed 0.12 fps once)
+    t1 = time.perf_counter()
+    enc.frame_count = 1
+    enc.encode_frame(*frames[0], qp=cfg.qp - 3,
+                     use_device_recon=True, need_recon=False)
+    stage_dt["intra"] = time.perf_counter() - t1
+    stage_dt.pop("run_chunk")()
+
     # deadline watchdog: the axon compile service sometimes degrades
     # ~50x (a trivial jit taking >1 min); if the measured passes can't
     # finish inside the driver's window, print the warm pass's REAL
