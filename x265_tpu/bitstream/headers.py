@@ -105,7 +105,8 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.write_flag(0)                   # pcm_enabled_flag
     w.write_ue(0)                     # num_short_term_ref_pic_sets
     w.write_flag(0)                   # long_term_ref_pics_present_flag
-    w.write_flag(0)                   # sps_temporal_mvp_enabled_flag
+    w.write_flag(1 if getattr(cfg, "tmvp", False) else 0)
+    #                                 # sps_temporal_mvp_enabled_flag
     w.write_flag(0)                   # strong_intra_smoothing_enabled_flag
     w.write_flag(1)                   # vui_parameters_present_flag
     _write_vui(w, cfg)
@@ -251,7 +252,8 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
                        rps_pos: list[tuple[int, bool]] | None = None,
                        num_entry_points: int = 0,
                        entry_point_offsets: list[int] | None = None,
-                       weights=None) -> BitWriter:
+                       weights=None, num_ref: int = 1,
+                       tmvp: bool = False) -> BitWriter:
     """slice_segment_header — clause 7.3.6.1. Returns the open BitWriter so
     the caller appends CABAC slice data after byte alignment.
 
@@ -273,7 +275,8 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
         # st_ref_pic_set() (clause 7.3.7)
         if rps_neg is None:
             delta_poc = ref_delta_poc if ref_delta_poc else 1
-            rps_neg = [(delta_poc, True)]
+            rps_neg = [(delta_poc * k, True)
+                       for k in range(1, max(num_ref, 1) + 1)]
             rps_pos = [(ref_delta_poc_after or 1, True)] \
                 if slice_type == B_SLICE else []
         rps_pos = rps_pos or []
@@ -289,29 +292,44 @@ def write_slice_header(cfg: EncoderConfig, slice_type: int, *, poc: int = 0,
             w.write_ue(delta - prev - 1)   # delta_poc_s1_minus1
             w.write_flag(1 if used else 0)
             prev = delta
+        if getattr(cfg, "tmvp", False):
+            w.write_flag(1 if tmvp else 0)
+            #                         # slice_temporal_mvp_enabled_flag
     if cfg.sao:
         w.write_flag(1)               # slice_sao_luma_flag
         w.write_flag(1)               # slice_sao_chroma_flag
     if slice_type != I_SLICE:
-        w.write_flag(0)               # num_ref_idx_active_override_flag
-        # ref_pic_lists_modification absent (flag off, 1 ref/list)
+        # num_ref_idx override: the PPS default is 1 ref/list
+        if slice_type == P_SLICE and num_ref > 1:
+            w.write_flag(1)           # num_ref_idx_active_override_flag
+            w.write_ue(num_ref - 1)   # num_ref_idx_l0_active_minus1
+        else:
+            w.write_flag(0)
+        # ref_pic_lists_modification absent (flag off)
         if slice_type == B_SLICE:
             w.write_flag(0)           # mvd_l1_zero_flag
-        # cabac_init / collocated absent (features off)
+        # cabac_init absent (cabac_init_present_flag = 0)
+        if getattr(cfg, "tmvp", False) and tmvp:
+            # collocated_from_l0 inferred 1 for P; the collocated
+            # picture is always L0 ref 0 (the previous frame)
+            if num_ref > 1:
+                w.write_ue(0)         # collocated_ref_idx
         if cfg.weightp and slice_type == P_SLICE:
-            # pred_weight_table, clause 7.3.6.3 (one L0 ref). Explicit
-            # weights come from weightp.WeightParams; None writes the
-            # inferred-neutral table (flags 0) — the weighted formula
-            # with w=2^denom, o=0 decodes identically to the default
-            # path (nested-floor identity, ops/me_win.apply_weight_acc)
+            # pred_weight_table, clause 7.3.6.3. Explicit weights come
+            # from weightp.WeightParams for ref 0; further refs write
+            # inferred-neutral flags (decodes identically to the
+            # default path — nested-floor identity,
+            # ops/me_win.apply_weight_acc). None = all-neutral.
             wp = weights
             denom = wp.denom if wp is not None else 6
             w.write_ue(denom)             # luma_log2_weight_denom
             w.write_se(0)                 # delta_chroma_log2_weight_denom
             luma_on = wp is not None and wp.luma_on
             chroma_on = wp is not None and wp.chroma_on
-            w.write_flag(1 if luma_on else 0)    # luma_weight_l0_flag
-            w.write_flag(1 if chroma_on else 0)  # chroma_weight_l0_flag
+            for i in range(num_ref):      # luma_weight_l0_flag[i]
+                w.write_flag(1 if (luma_on and i == 0) else 0)
+            for i in range(num_ref):      # chroma_weight_l0_flag[i]
+                w.write_flag(1 if (chroma_on and i == 0) else 0)
             if luma_on:
                 w.write_se(wp.wy - (1 << denom))  # delta_luma_weight_l0
                 w.write_se(wp.oy)                 # luma_offset_l0

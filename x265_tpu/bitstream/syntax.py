@@ -72,7 +72,7 @@ class FrameBSyntax:
 
 @dataclass
 class FramePSyntax:
-    """P-frame decisions: inter 2Nx2N CUs (single L0 reference) plus
+    """P-frame decisions: inter 2Nx2N CUs (multi-reference L0) plus
     optional 8x8 intra CUs (checkIntraInInter analog)."""
     depth8: np.ndarray     # (n8y, n8x) uint8
     mv8: np.ndarray        # (n8y, n8x, 2) int32 qpel MV of covering CU
@@ -86,6 +86,19 @@ class FramePSyntax:
     mode8: np.ndarray | None = None   # luma intra mode where intra8
     tusplit8: np.ndarray | None = None  # (n8y, n8x) uint8: CU's TU
     #                                     tree split one level (RQT)
+    # --- multi-reference prediction (x265 --ref N, search.cpp:2354) ---
+    ref8: np.ndarray | None = None    # (n8y, n8x) uint8 L0 refIdx of
+    #                                   covering CU (None == all 0)
+    num_ref: int = 1                  # num_ref_idx_l0_active
+    ref_pocs: tuple | None = None     # POC of each L0 ref, idx order
+    poc: int = 0
+    # --- temporal MVP (sps_temporal_mvp, clause 8.5.3.2.8): the
+    # collocated (previous-P) picture's per-8x8 motion fields ---
+    col_mv: np.ndarray | None = None
+    col_ref: np.ndarray | None = None
+    col_inter: np.ndarray | None = None
+    col_poc: int = 0
+    col_ref_pocs: tuple = (0,)
 
 
 def derive_mpm(cand_a: int, cand_b: int) -> list[int]:
@@ -433,6 +446,35 @@ class SliceSyntaxEncoder:
         cab.encode_bin(OFF["intra_chroma_pred_mode"], 0)   # DM
         self._code_transform_unit(x0, y0, log2_size, mode, mode)
 
+    def _tmvp_fn(self, x0: int, y0: int, target_ref: int):
+        """Temporal-candidate closure for (x0, y0) targeting
+        `target_ref`, or None when TMVP is off / no collocated
+        fields."""
+        syn = self.syn
+        if getattr(syn, "col_inter", None) is None:
+            return None
+        from ..common.mv_derive import temporal_mv_p
+        return lambda nw, nh: temporal_mv_p(
+            syn.col_mv, syn.col_ref, syn.col_inter, x0, y0, nw, nh,
+            self.w, self.h, syn.poc, syn.ref_pocs or (syn.poc - 1,),
+            syn.col_poc, syn.col_ref_pocs, target_ref,
+            self.cfg.log2_ctu)
+
+    def _code_ref_idx(self, ref: int) -> None:
+        """ref_idx_l0 — TR binarization cMax = num_ref-1 (9.3.3.2);
+        bins 0/1 context-coded, the rest bypass."""
+        cmax = self.syn.num_ref - 1
+        if cmax <= 0:
+            return
+        for i in range(min(ref + 1, cmax)):
+            bit = 1 if i < ref else 0
+            if i < 2:
+                self.cab.encode_bin(OFF["ref_idx"] + i, bit)
+            else:
+                self.cab.encode_bypass(bit)
+            if not bit:
+                break
+
     def _code_cu_p(self, x0: int, y0: int, log2_size: int) -> None:
         from ..common.mv_derive import merge_candidates, amvp_candidates
         cab = self.cab
@@ -443,13 +485,18 @@ class SliceSyntaxEncoder:
         size = 1 << log2_size
         mv = (int(syn.mv8[y0 >> 3, x0 >> 3, 0]),
               int(syn.mv8[y0 >> 3, x0 >> 3, 1]))
+        ref = int(syn.ref8[y0 >> 3, x0 >> 3]) \
+            if syn.ref8 is not None else 0
         cbf_y = self._cbf(syn.coeff_y, x0, y0, size)
         cbf_cb = self._cbf(syn.coeff_cb, x0 >> 1, y0 >> 1, size >> 1)
         cbf_cr = self._cbf(syn.coeff_cr, x0 >> 1, y0 >> 1, size >> 1)
         cbf_any = bool(cbf_y or cbf_cb or cbf_cr)
         mcands = merge_candidates(self.field, x0, y0, size, self.w, self.h,
-                                  self.cfg.log2_ctu, syn.max_merge)
-        merge_idx = mcands.index(mv) if mv in mcands else -1
+                                  self.cfg.log2_ctu, syn.max_merge,
+                                  num_ref=syn.num_ref,
+                                  tmvp=self._tmvp_fn(x0, y0, 0))
+        mi = (ref, mv)
+        merge_idx = mcands.index(mi) if mi in mcands else -1
         skip = merge_idx >= 0 and not cbf_any
 
         ctx = 0
@@ -460,7 +507,7 @@ class SliceSyntaxEncoder:
         cab.encode_bin(OFF["cu_skip_flag"] + ctx, int(skip))
         s = size >> 3
         self.skip8[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s] = skip
-        self.field.set_cu(x0, y0, size, mv, inter=True)
+        self.field.set_cu(x0, y0, size, mv, inter=True, ref=ref)
 
         if skip:
             self._code_merge_idx(merge_idx)
@@ -474,8 +521,13 @@ class SliceSyntaxEncoder:
             assert cbf_any, "merge non-skip requires residual"
         else:
             cab.encode_bin(OFF["merge_flag"], 0)
+            self._code_ref_idx(ref)
             acands = amvp_candidates(self.field, x0, y0, size, self.w,
-                                     self.h, self.cfg.log2_ctu)
+                                     self.h, self.cfg.log2_ctu,
+                                     target_ref=ref,
+                                     ref_pocs=syn.ref_pocs,
+                                     poc_cur=syn.poc,
+                                     tmvp=self._tmvp_fn(x0, y0, ref))
             c0 = abs(mv[0] - acands[0][0]) + abs(mv[1] - acands[0][1])
             c1 = abs(mv[0] - acands[1][0]) + abs(mv[1] - acands[1][1])
             mvp_idx = 0 if c0 <= c1 else 1

@@ -45,42 +45,93 @@ def _z8(x: int, y: int, log2_ctu: int) -> int:
 
 
 class MvField:
-    """Per-8x8-cell motion info for one frame (P slice, L0, ref 0)."""
+    """Per-8x8-cell motion info for one frame (P slice, L0; per-cell
+    refIdx for multi-reference prediction, x265 search.cpp:2354)."""
 
     def __init__(self, n8y: int, n8x: int) -> None:
         self.mv = np.zeros((n8y, n8x, 2), dtype=np.int32)
         self.is_inter = np.zeros((n8y, n8x), dtype=bool)
+        self.ref = np.zeros((n8y, n8x), dtype=np.int32)
 
     def set_cu(self, x0: int, y0: int, size: int, mv: tuple[int, int],
-               inter: bool = True) -> None:
-        s = size >> 3
-        self.mv[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s] = mv
-        self.is_inter[y0 >> 3:(y0 >> 3) + s, x0 >> 3:(x0 >> 3) + s] = inter
+               inter: bool = True, ref: int = 0,
+               size_h: int | None = None) -> None:
+        sh = (size if size_h is None else size_h) >> 3
+        sw = size >> 3
+        sl = np.s_[y0 >> 3:(y0 >> 3) + sh, x0 >> 3:(x0 >> 3) + sw]
+        self.mv[sl] = mv
+        self.is_inter[sl] = inter
+        self.ref[sl] = ref
 
-    def at(self, x: int, y: int) -> tuple[bool, tuple[int, int]]:
+    def at(self, x: int, y: int) -> tuple[bool, tuple[int, int], int]:
         cy, cx = y >> 3, x >> 3
         return (bool(self.is_inter[cy, cx]),
-                (int(self.mv[cy, cx, 0]), int(self.mv[cy, cx, 1])))
+                (int(self.mv[cy, cx, 0]), int(self.mv[cy, cx, 1])),
+                int(self.ref[cy, cx]))
+
+
+def temporal_mv_p(col_mv, col_ref, col_inter, x0: int, y0: int,
+                  nw: int, nh: int, w: int, h: int, poc_cur: int,
+                  ref_pocs, col_poc: int, col_ref_pocs,
+                  target_ref: int = 0,
+                  log2_ctu: int = 5) -> tuple[int, int] | None:
+    """Temporal MV predictor for P slices (clause 8.5.3.2.8): the
+    collocated bottom-right cell (16x16-compressed, eq. 8-205) else the
+    centre cell, scaled by POC distances. col_* are the collocated
+    picture's per-8x8 fields (col_ref_pocs its own L0 ref POCs);
+    returns None when the col cell is intra/outside."""
+    if col_mv is None:
+        return None
+    n8y, n8x = col_inter.shape
+
+    def probe(px, py):
+        if px >= w or py >= h or px < 0 or py < 0:
+            return None
+        # MV storage compression: read at 16x16 granularity (8-205)
+        cx, cy = (px >> 4) << 4, (py >> 4) << 4
+        c8 = (cy >> 3, cx >> 3)
+        if c8[0] >= n8y or c8[1] >= n8x or not col_inter[c8]:
+            return None
+        mv = (int(col_mv[c8][0]), int(col_mv[c8][1]))
+        cref = int(col_ref[c8])
+        tb = poc_cur - ref_pocs[target_ref]
+        td = col_poc - col_ref_pocs[min(cref, len(col_ref_pocs) - 1)]
+        if tb == td:
+            return mv
+        return _scale_mv(mv, tb, td)
+
+    # bottom-right: unavailable when it leaves the current CTU row
+    # (the yColBr >> CtbLog2SizeY check of 8.5.3.2.8)
+    br = None
+    if (y0 + nh) >> log2_ctu == y0 >> log2_ctu:
+        br = probe(x0 + nw, y0 + nh)
+    if br is not None:
+        return br
+    return probe(x0 + (nw >> 1), y0 + (nh >> 1))
 
 
 def merge_candidates(field: MvField, x0: int, y0: int, size: int, w: int,
-                     h: int, log2_ctu: int, max_cands: int = 2
-                     ) -> list[tuple[int, int]]:
-    """Spatial merge candidate list for a 2Nx2N PU (8.5.3.2.3), padded
-    with zero candidates to max_cands."""
+                     h: int, log2_ctu: int, max_cands: int = 2,
+                     num_ref: int = 1, tmvp=None
+                     ) -> list[tuple[int, tuple[int, int]]]:
+    """Merge candidate list for a 2Nx2N PU (8.5.3.2.3) as
+    (refIdx, mv) pairs: spatial A1,B1,B0,A0,(B2), then the temporal
+    candidate (when `tmvp` — a callable (nw, nh) -> mv|None — is
+    given), then zero candidates with incrementing refIdx
+    (8.5.3.2.5)."""
     n = size
 
     def get(nx, ny):
         if not z_available(nx, ny, x0, y0, w, h, log2_ctu):
             return None
-        inter, mv = field.at(nx, ny)
-        return mv if inter else None
+        inter, mv, ref = field.at(nx, ny)
+        return (ref, mv) if inter else None
 
     a1 = get(x0 - 1, y0 + n - 1)
     b1 = get(x0 + n - 1, y0 - 1)
     b0 = get(x0 + n, y0 - 1)
     a0 = get(x0 - 1, y0 + n)
-    cands: list[tuple[int, int]] = []
+    cands: list[tuple[int, tuple[int, int]]] = []
     if a1 is not None:
         cands.append(a1)
     if b1 is not None and b1 != a1:
@@ -93,40 +144,95 @@ def merge_candidates(field: MvField, x0: int, y0: int, size: int, w: int,
         b2 = get(x0 - 1, y0 - 1)
         if b2 is not None and b2 != a1 and b2 != b1:
             cands.append(b2)
+    if tmvp is not None and len(cands) < max_cands:
+        t = tmvp(n, n)
+        if t is not None:
+            cands.append((0, t))    # temporal merge uses refIdx 0
     cands = cands[:max_cands]
+    zero_idx = 0
+    nref = max(num_ref, 1)
     while len(cands) < max_cands:
-        cands.append((0, 0))
+        cands.append((zero_idx if zero_idx < nref else 0, (0, 0)))
+        zero_idx += 1
     return cands
 
 
 def amvp_candidates(field: MvField, x0: int, y0: int, size: int, w: int,
-                    h: int, log2_ctu: int) -> list[tuple[int, int]]:
-    """AMVP predictor list (8.5.3.2.6): two entries.
+                    h: int, log2_ctu: int, target_ref: int = 0,
+                    ref_pocs=None, poc_cur: int = 0,
+                    size_h: int | None = None,
+                    tmvp=None) -> list[tuple[int, int]]:
+    """AMVP predictor list for refIdx `target_ref` (8.5.3.2.6-7): two
+    entries. First pass takes same-reference neighbours unscaled; the
+    scaled passes convert other-reference MVs by POC distance (the
+    multi-ref case, search.cpp:2393 analog). ref_pocs[i] = POC of L0
+    ref i (None == the single-ref, no-scaling legacy). The temporal
+    candidate (`tmvp` callable) fills the list when < 2 remain
+    (8.5.3.2.6 with sps_temporal_mvp on). size_h: PU height when
+    rectangular (2NxN/Nx2N partitions)."""
+    nw = size
+    nh = size if size_h is None else size_h
+    scaling = ref_pocs is not None and len(ref_pocs) > 1
+    tpoc = ref_pocs[target_ref] if scaling else 0
 
-    Same-reference, no-scaling case: mvpA = first available of A0, A1;
-    mvpB = first available of B0, B1, B2; duplicate B dropped; zero
-    fill."""
-    n = size
-
-    def get(nx, ny):
+    def info(nx, ny):
         if not z_available(nx, ny, x0, y0, w, h, log2_ctu):
             return None
-        inter, mv = field.at(nx, ny)
-        return mv if inter else None
+        inter, mv, ref = field.at(nx, ny)
+        return (ref, mv) if inter else None
 
-    a = get(x0 - 1, y0 + n)
-    if a is None:
-        a = get(x0 - 1, y0 + n - 1)
-    b = get(x0 + n, y0 - 1)
-    if b is None:
-        b = get(x0 + n - 1, y0 - 1)
-    if b is None:
-        b = get(x0 - 1, y0 - 1)
-    cands: list[tuple[int, int]] = []
-    if a is not None:
-        cands.append(a)
-    if b is not None and b != a:
-        cands.append(b)
+    def unscaled(c):
+        ref, mv = c
+        return mv if ref == target_ref else None
+
+    def scaled(c):
+        ref, mv = c
+        if not scaling:
+            return mv
+        tb = poc_cur - tpoc
+        td = poc_cur - ref_pocs[ref]
+        if tb == td:
+            return mv
+        return _scale_mv(mv, tb, td)
+
+    a0 = info(x0 - 1, y0 + nh)
+    a1 = info(x0 - 1, y0 + nh - 1)
+    b0 = info(x0 + nw, y0 - 1)
+    b1 = info(x0 + nw - 1, y0 - 1)
+    b2 = info(x0 - 1, y0 - 1)
+
+    mvp_a = None
+    for c in (a0, a1):
+        if c is not None and mvp_a is None:
+            mvp_a = unscaled(c)
+    is_scaled_a = a0 is not None or a1 is not None
+    if mvp_a is None:
+        for c in (a0, a1):
+            if c is not None and mvp_a is None:
+                mvp_a = scaled(c)
+
+    mvp_b = None
+    for c in (b0, b1, b2):
+        if c is not None and mvp_b is None:
+            mvp_b = unscaled(c)
+    if mvp_a is None:
+        mvp_a = mvp_b
+        mvp_b = None
+    if mvp_b is None and not is_scaled_a:
+        # scaled B pass only when neither A neighbour exists (8.5.3.2.7)
+        for c in (b0, b1, b2):
+            if c is not None and mvp_b is None:
+                mvp_b = scaled(c)
+
+    cands: list = []
+    if mvp_a is not None:
+        cands.append(mvp_a)
+    if mvp_b is not None and mvp_b != mvp_a:
+        cands.append(mvp_b)
+    if tmvp is not None and len(cands) < 2:
+        t = tmvp(nw, nh)
+        if t is not None and t not in cands:
+            cands.append(t)
     while len(cands) < 2:
         cands.append((0, 0))
     return cands[:2]

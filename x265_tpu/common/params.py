@@ -39,7 +39,16 @@ class EncoderConfig:
     b_adapt: int = 1             # adaptive B placement from lowres
     #                              costs (slicetypePath analog,
     #                              slicetype.cpp:2378); 0 = fixed runs
-    num_refs: int = 1
+    num_refs: int = 1            # L0 references for P slices (x265
+    #                              --ref, param.cpp:211 medium = 3;
+    #                              device ME selects the reference per
+    #                              16/32 region from the coarse pass)
+    tmvp: bool = False           # temporal MVP (sps_temporal_mvp,
+    #                              clause 8.5.3.2.8; x265 default on,
+    #                              encoder.cpp:3384). Flipped on by the
+    #                              medium+ presets once col fields flow.
+    max_merge: int = 2           # merge candidate list size (x265
+    #                              --max-merge, param.cpp:196 default 3)
 
     # rate control (CQP only for now; ABR/CRF land with ratecontrol.py)
     qp: int = 32

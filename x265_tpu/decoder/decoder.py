@@ -49,6 +49,7 @@ class SpsInfo:
     sao: bool = False
     poc_lsb_bits: int = 8
     max_trafo_depth_inter: int = 0
+    tmvp: bool = False             # sps_temporal_mvp_enabled_flag
 
 
 def _inv_tu(coeff, qp, bd, split_n):
@@ -91,6 +92,9 @@ class DecodedFrame:
     mv8: np.ndarray | None = None        # P frames: decoded MV field
     coeff_y: np.ndarray | None = None    # P frames: for bs derivation
     poc: int = 0
+    ref8: np.ndarray | None = None       # P frames: per-8x8 L0 refIdx
+    inter8: np.ndarray | None = None     # per-8x8 inter flag (TMVP col)
+    ref_pocs: tuple = ()                 # this frame's own L0 ref POCs
 
 
 def parse_sps(rbsp: bytes) -> SpsInfo:
@@ -130,7 +134,7 @@ def parse_sps(rbsp: bytes) -> SpsInfo:
     nrps = r.read_ue()
     assert nrps == 0, "sps-level RPS unsupported"
     assert not r.read_flag()       # long-term ref pics
-    r.read_flag()                  # temporal mvp
+    s.tmvp = bool(r.read_flag())   # sps_temporal_mvp_enabled_flag
     assert not r.read_flag(), "strong intra smoothing unsupported"
     return s
 
@@ -235,14 +239,16 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
     max_merge = 2
     poc = 0
     delta_s0 = delta_s1 = 1
+    slice_tmvp = False
+    neg = []
     if slice_type != 2:
         poc = r.read(sps.poc_lsb_bits)   # slice_pic_order_cnt_lsb
         assert r.read_flag() == 0  # short_term_ref_pic_set_sps_flag
         nneg = r.read_ue()
         npos = r.read_ue()
-        # general st_ref_pic_set: (delta, used) lists; ref list L0[0] /
-        # L1[0] = first USED entry (default ref list construction with
-        # one active ref per list)
+        # general st_ref_pic_set: (delta, used) lists; the L0 list is
+        # the used negative entries in delta order (default ref list
+        # construction, clause 8.3.4)
         neg, pos, prev = [], [], 0
         for _ in range(nneg):
             prev += r.read_ue() + 1
@@ -253,22 +259,38 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
             pos.append((prev, bool(r.read_flag())))
         delta_s0 = next((d for d, u in neg if u), neg[0][0] if neg else 1)
         delta_s1 = next((d for d, u in pos if u), pos[0][0] if pos else 1)
+        if sps.tmvp:
+            slice_tmvp = bool(r.read_flag())
     sao_luma = sao_chroma = False
     if sps.sao:
         sao_luma = bool(r.read_flag())
         sao_chroma = bool(r.read_flag())
     weights = None
+    num_ref_l0 = 1
     if slice_type != 2:
-        assert r.read_flag() == 0  # num_ref_idx_active_override_flag
+        if r.read_flag():          # num_ref_idx_active_override_flag
+            assert slice_type == 1, "override emitted for P only"
+            num_ref_l0 = r.read_ue() + 1
         if slice_type == 0:
             assert r.read_flag() == 0   # mvd_l1_zero_flag
+        if sps.tmvp and slice_tmvp:
+            # collocated_from_l0 inferred 1 for P slices
+            if slice_type == 0:
+                assert r.read_flag() == 1, "B collocated must be L0"
+            if num_ref_l0 > 1:
+                assert r.read_ue() == 0, "collocated_ref_idx must be 0"
         if pps.weighted_pred and slice_type == 1:
-            # pred_weight_table, clause 7.3.6.3 (one L0 ref)
+            # pred_weight_table, clause 7.3.6.3 (explicit weights on
+            # L0 ref 0 only; further refs inferred neutral)
             denom = r.read_ue()        # luma_log2_weight_denom
             assert r.read_se() == 0    # delta_chroma_log2_weight_denom
             one = 1 << denom
-            luma_on = r.read_flag()
-            chroma_on = r.read_flag()
+            lflags = [r.read_flag() for _ in range(num_ref_l0)]
+            cflags = [r.read_flag() for _ in range(num_ref_l0)]
+            assert not any(lflags[1:]) and not any(cflags[1:]), \
+                "explicit weights supported on ref 0 only"
+            luma_on = lflags[0]
+            chroma_on = cflags[0]
             wy, oy = one, 0
             wcb, ocb, wcr, ocr = one, 0, one, 0
             if luma_on:
@@ -325,9 +347,12 @@ def _decode_slice(rbsp: bytes, sps: SpsInfo, pps: PpsInfo, *,
         _apply_sao(frame, dec, sps, sao_luma, sao_chroma)
         return frame
     if slice_type == 1:
-        ref = dpb[poc - delta_s0]
-        dec = PSliceDecoder(sps, pps, qp, data, ref, max_merge,
-                            sao=sps.sao, weights=weights)
+        used_neg = [d for d, u in neg if u]
+        refs = [dpb[poc - d] for d in used_neg[:num_ref_l0]]
+        assert len(refs) == num_ref_l0, "RPS lists fewer refs than active"
+        dec = PSliceDecoder(sps, pps, qp, data, refs, max_merge,
+                            sao=sps.sao, weights=weights, poc=poc,
+                            tmvp=sps.tmvp and slice_tmvp)
         frame = dec.decode(substreams=substreams)
         frame.poc = poc
         if not pps.deblock_disabled:
@@ -956,7 +981,7 @@ class SliceDecoder:
 
 
 class PSliceDecoder:
-    """P-slice parser + reconstruction (all-inter 2Nx2N, one L0 ref).
+    """P-slice parser + reconstruction (inter 2Nx2N, multi-ref L0).
 
     Candidate derivation here is written independently of the encoder's
     common/mv_derive.py: availability uses an explicit decoded-cell mask
@@ -965,8 +990,9 @@ class PSliceDecoder:
     """
 
     def __init__(self, sps: SpsInfo, pps: PpsInfo, qp: int, data: bytes,
-                 ref: DecodedFrame, max_merge: int,
-                 sao: bool = False, weights=None) -> None:
+                 refs, max_merge: int,
+                 sao: bool = False, weights=None, poc: int = 0,
+                 tmvp: bool = False) -> None:
         self._init_sao(sao)
         self.sps = sps
         self.pps = pps
@@ -982,7 +1008,17 @@ class PSliceDecoder:
         ctx.states = init_states(1, qp)      # P_SLICE row
         self.cab = CabacDecoder(data, ctx)
         self.w, self.h = sps.width, sps.height
-        self.ref = ref
+        if isinstance(refs, DecodedFrame):
+            refs = [refs]
+        self.refs = refs
+        self.ref = refs[0]
+        self.num_ref = len(refs)
+        self.poc = poc
+        self.ref_pocs = tuple(r.poc for r in refs)
+        # TMVP collocated picture = L0 ref 0 (collocated_ref_idx 0)
+        self.tmvp = tmvp
+        col = refs[0]
+        self.col_ok = tmvp and col.inter8 is not None
         bd = sps.bit_depth
         self.bd = bd
         self.y = np.zeros((self.h, self.w), dtype=np.int32)
@@ -991,6 +1027,7 @@ class PSliceDecoder:
         n8y, n8x = self.h // 8, self.w // 8
         self.depth8 = np.zeros((n8y, n8x), dtype=np.uint8)
         self.mv8 = np.zeros((n8y, n8x, 2), dtype=np.int32)
+        self.ref8 = np.zeros((n8y, n8x), dtype=np.int32)
         self.skip8 = np.zeros((n8y, n8x), dtype=bool)
         self.coded8 = np.zeros((n8y, n8x), dtype=bool)
         # intra-in-inter state: intra CUs give no MV candidates and
@@ -1009,7 +1046,22 @@ class PSliceDecoder:
         self._decode_ctus(substreams)
         return DecodedFrame(self.y, self.cb, self.cr, self.qp,
                             depth8=self.depth8, mv8=self.mv8,
-                            coeff_y=self.coeff_y)
+                            coeff_y=self.coeff_y, ref8=self.ref8,
+                            inter8=self.inter8,
+                            ref_pocs=self.ref_pocs)
+
+    def _tmvp_cand(self, x0, y0, nw, nh, target_ref):
+        """Temporal candidate (8.5.3.2.8) from the collocated ref-0
+        picture's decoded fields."""
+        if not self.col_ok:
+            return None
+        from ..common.mv_derive import temporal_mv_p
+        col = self.refs[0]
+        return temporal_mv_p(col.mv8, col.ref8, col.inter8, x0, y0,
+                             nw, nh, self.w, self.h, self.poc,
+                             self.ref_pocs, col.poc,
+                             col.ref_pocs or (col.poc - 1,),
+                             target_ref, self.sps.log2_ctu)
 
     _init_sao = SliceDecoder._init_sao
     _parse_sao = SliceDecoder._parse_sao
@@ -1052,16 +1104,21 @@ class PSliceDecoder:
     # -- availability + candidates (decoded-mask formulation) ------------------
 
     def _mv_if_coded(self, nx, ny):
+        """(refIdx, mv) of the decoded inter cell at (nx, ny), else
+        None."""
         if nx < 0 or ny < 0 or nx >= self.w or ny >= self.h:
             return None
         if not self.coded8[ny >> 3, nx >> 3]:
             return None
         if not self.inter8[ny >> 3, nx >> 3]:
             return None            # intra neighbour: no MV candidate
-        return (int(self.mv8[ny >> 3, nx >> 3, 0]),
-                int(self.mv8[ny >> 3, nx >> 3, 1]))
+        return (int(self.ref8[ny >> 3, nx >> 3]),
+                (int(self.mv8[ny >> 3, nx >> 3, 0]),
+                 int(self.mv8[ny >> 3, nx >> 3, 1])))
 
     def _merge_cands(self, x0, y0, n):
+        """Merge list as (refIdx, mv): spatial, temporal (TMVP), zero
+        candidates with incrementing refIdx (8.5.3.2.3-5)."""
         get = self._mv_if_coded
         a1 = get(x0 - 1, y0 + n - 1)
         b1 = get(x0 + n - 1, y0 - 1)
@@ -1080,29 +1137,89 @@ class PSliceDecoder:
             b2 = get(x0 - 1, y0 - 1)
             if b2 is not None and b2 != a1 and b2 != b1:
                 cands.append(b2)
+        if len(cands) < self.max_merge:
+            t = self._tmvp_cand(x0, y0, n, n, 0)
+            if t is not None:
+                cands.append((0, t))
         cands = cands[:self.max_merge]
+        zero_idx = 0
         while len(cands) < self.max_merge:
-            cands.append((0, 0))
+            cands.append((zero_idx if zero_idx < self.num_ref else 0,
+                          (0, 0)))
+            zero_idx += 1
         return cands
 
-    def _amvp_cands(self, x0, y0, n):
+    def _amvp_cands(self, x0, y0, n, target_ref=0):
+        """AMVP for refIdx target_ref (8.5.3.2.6-7): same-ref
+        neighbours unscaled, then POC-scaled passes, then TMVP."""
+        from ..common.mv_derive import _scale_mv
         get = self._mv_if_coded
-        a = get(x0 - 1, y0 + n)
-        if a is None:
-            a = get(x0 - 1, y0 + n - 1)
-        b = get(x0 + n, y0 - 1)
-        if b is None:
-            b = get(x0 + n - 1, y0 - 1)
-        if b is None:
-            b = get(x0 - 1, y0 - 1)
+        tpoc = self.ref_pocs[target_ref]
+
+        def unscaled(c):
+            ref, mv = c
+            return mv if ref == target_ref else None
+
+        def scaled(c):
+            ref, mv = c
+            tb = self.poc - tpoc
+            td = self.poc - self.ref_pocs[ref]
+            if tb == td:
+                return mv
+            return _scale_mv(mv, tb, td)
+
+        a0 = get(x0 - 1, y0 + n)
+        a1 = get(x0 - 1, y0 + n - 1)
+        b0 = get(x0 + n, y0 - 1)
+        b1 = get(x0 + n - 1, y0 - 1)
+        b2 = get(x0 - 1, y0 - 1)
+
+        mvp_a = None
+        for c in (a0, a1):
+            if c is not None and mvp_a is None:
+                mvp_a = unscaled(c)
+        is_scaled_a = a0 is not None or a1 is not None
+        if mvp_a is None:
+            for c in (a0, a1):
+                if c is not None and mvp_a is None:
+                    mvp_a = scaled(c)
+        mvp_b = None
+        for c in (b0, b1, b2):
+            if c is not None and mvp_b is None:
+                mvp_b = unscaled(c)
+        if mvp_a is None:
+            mvp_a = mvp_b
+            mvp_b = None
+        if mvp_b is None and not is_scaled_a:
+            for c in (b0, b1, b2):
+                if c is not None and mvp_b is None:
+                    mvp_b = scaled(c)
         cands = []
-        if a is not None:
-            cands.append(a)
-        if b is not None and b != a:
-            cands.append(b)
+        if mvp_a is not None:
+            cands.append(mvp_a)
+        if mvp_b is not None and mvp_b != mvp_a:
+            cands.append(mvp_b)
+        if len(cands) < 2:
+            t = self._tmvp_cand(x0, y0, n, n, target_ref)
+            if t is not None and t not in cands:
+                cands.append(t)
         while len(cands) < 2:
             cands.append((0, 0))
         return cands[:2]
+
+    def _decode_ref_idx(self):
+        """ref_idx_l0 — TR cMax = num_ref-1; bins 0/1 context-coded."""
+        cmax = self.num_ref - 1
+        if cmax <= 0:
+            return 0
+        ref = 0
+        while ref < cmax:
+            bit = self.cab.decode_bin(OFF["ref_idx"] + ref) if ref < 2 \
+                else self.cab.decode_bypass()
+            if not bit:
+                break
+            ref += 1
+        return ref
 
     # -- CU parse + recon ------------------------------------------------------
 
@@ -1120,8 +1237,9 @@ class PSliceDecoder:
         d = self.sps.log2_ctu - log2_size
         if skip:
             idx = self._merge_idx()
-            mv = self._merge_cands(x0, y0, size)[idx]
-            self._finish_cu(x0, y0, size, mv, None, None, None, True, sl, d)
+            ref, mv = self._merge_cands(x0, y0, size)[idx]
+            self._finish_cu(x0, y0, size, mv, None, None, None, True,
+                            sl, d, ref=ref)
             return
         pred_mode = cab.decode_bin(OFF["pred_mode_flag"])
         if pred_mode:
@@ -1131,12 +1249,13 @@ class PSliceDecoder:
         assert part == 1, "only 2Nx2N emitted"
         if cab.decode_bin(OFF["merge_flag"]):
             idx = self._merge_idx()
-            mv = self._merge_cands(x0, y0, size)[idx]
+            ref, mv = self._merge_cands(x0, y0, size)[idx]
             root_cbf = 1          # inferred for 2Nx2N merge non-skip
         else:
+            ref = self._decode_ref_idx()
             mvd = self._decode_mvd()
             mvp_idx = cab.decode_bin(OFF["mvp_flag"])
-            mvp = self._amvp_cands(x0, y0, size)[mvp_idx]
+            mvp = self._amvp_cands(x0, y0, size, ref)[mvp_idx]
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             root_cbf = cab.decode_bin(OFF["rqt_root_cbf"])
         cy_ = ccb = ccr = None
@@ -1147,7 +1266,7 @@ class PSliceDecoder:
         if tusplit:
             self.tusplit8[sl] = 1
         self._finish_cu(x0, y0, size, mv, cy_, ccb, ccr, False, sl, d,
-                        tusplit=tusplit)
+                        tusplit=tusplit, ref=ref)
 
     def _transform_tree_inter(self, l2):
         """transform_tree for an inter 2Nx2N CU (clause 7.3.8.8),
@@ -1371,12 +1490,14 @@ class PSliceDecoder:
                 pred_c + resi_c, 0, maxv)
 
     def _finish_cu(self, x0, y0, size, mv, cy_, ccb, ccr, skip, sl, d,
-                   tusplit=False):
+                   tusplit=False, ref=0):
         self.depth8[sl] = d
         self.mv8[sl] = mv
+        self.ref8[sl] = ref
         self.skip8[sl] = skip
         self.coded8[sl] = True
         self.inter8[sl] = True
+        refpic = self.refs[ref]
         bd = self.bd
 
         def inv(coeff, qp, split_n):
@@ -1390,15 +1511,16 @@ class PSliceDecoder:
                 + (o << (bd - 8))
             return np.clip(v, 0, (1 << bd) - 1)
 
-        if self.weights is not None:
+        use_w = self.weights is not None and ref == 0
+        if use_w:
             from ..ops.interp import chroma_mc_acc_np, luma_mc_raw_np
             denom, wy, oy, wcb, ocb, wcr, ocr = self.weights
-            pred = weighted(luma_mc_raw_np(self.ref.y, x0, y0, size,
+            pred = weighted(luma_mc_raw_np(refpic.y, x0, y0, size,
                                            mv[0], mv[1], bd), wy, oy,
                             denom)
             cw = {id(self.cb): (wcb, ocb), id(self.cr): (wcr, ocr)}
         else:
-            pred = luma_mc_np(self.ref.y, x0, y0, size, mv[0], mv[1], bd)
+            pred = luma_mc_np(refpic.y, x0, y0, size, mv[0], mv[1], bd)
         qpy = self.qp_y
         qpc = chroma_qp(qpy) if self.dqp_on else self.qp_c
         resi = 0
@@ -1409,9 +1531,9 @@ class PSliceDecoder:
             pred + resi, 0, (1 << bd) - 1)
         cn = size >> 1
         cx0, cy0 = x0 >> 1, y0 >> 1
-        for plane, ref_p, coeff in ((self.cb, self.ref.cb, ccb),
-                                    (self.cr, self.ref.cr, ccr)):
-            if self.weights is not None:
+        for plane, ref_p, coeff in ((self.cb, refpic.cb, ccb),
+                                    (self.cr, refpic.cr, ccr)):
+            if use_w:
                 wc, oc = cw[id(plane)]
                 pred_c = weighted(chroma_mc_acc_np(ref_p, cx0, cy0, cn,
                                                    mv[0], mv[1], bd),

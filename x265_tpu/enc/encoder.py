@@ -157,6 +157,10 @@ class IntraEncoder:
         self.cfg = cfg
         self.frame_count = 0
         self.ref: ReconFrame | None = None   # last reference (post-filter)
+        self.ref_avail = 1     # distinct references in self.ref (multi-
+        #                        ref DPB depth grows 1/frame up to
+        #                        cfg.num_refs; dpb.cpp:126 analog)
+        self._last_p_syn = None  # previous P syn (TMVP collocated)
         self.last_src = None   # source planes of the last encoded frame
         #                        (weightp analysis compares SOURCES, the
         #                        lookahead-lowres discipline of
@@ -399,6 +403,8 @@ class IntraEncoder:
                                                int(cfg.hash_sei)))
         stream = annexb_stream(nals)
         self.frame_count += 1
+        self.ref_avail = 1           # IDR resets the reference DPB
+        self._last_p_syn = None
         self.stats.add("I", len(stream) * 8, qp, poc=0, syn=syn,
                        wall_time=time.perf_counter() - t_start)
         return FrameResult(bitstream=stream, recon=recon, syntax=syn,
@@ -801,6 +807,8 @@ class IntraEncoder:
         from ..native.entropy_native import encode_slice_native
         from .pgop_tpu import encode_pgop_tpu
         assert self.ref is not None, "no reference: encode an I frame first"
+        if getattr(getattr(self.ref, "y", None), "ndim", 2) != 3:
+            self.ref_avail = 1       # single plane = 1 distinct ref
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         w, h = cfg.width_padded, cfg.height_padded
@@ -843,10 +851,43 @@ class IntraEncoder:
         cfg = self.cfg
         w, h = cfg.width_padded, cfg.height_padded
         results = []
+        R = max(getattr(cfg, "num_refs", 1), 1)
+        tmvp_on = bool(getattr(cfg, "tmvp", False))
         for i, syn in enumerate(syns):
             recon = recons[i]
             sao_params = syn.sao_params
             self.poc += poc_step
+            # --- multi-ref bookkeeping (dpb.cpp:126 analog): the DPB
+            # holds min(R, frames since IDR) distinct references; the
+            # scan's duplicate slots are unreachable by the tie rule
+            # but clamp anyway (duplicates hold the same pixels, so a
+            # clamped index references identical content)
+            avail = max(1, min(R, self.ref_avail))
+            syn.num_ref = avail
+            syn.poc = self.poc
+            syn.ref_pocs = tuple(self.poc - poc_step * (k + 1)
+                                 for k in range(avail))
+            syn.max_merge = max(syn.max_merge,
+                                getattr(cfg, "max_merge", 2))
+            if syn.ref8 is not None:
+                syn.ref8 = np.minimum(
+                    syn.ref8, avail - 1).astype(np.uint8)
+                if not syn.ref8.any():
+                    syn.ref8 = None
+            col = None
+            if tmvp_on and self._last_p_syn is not None:
+                prev = self._last_p_syn
+                syn.col_mv = prev.mv8
+                syn.col_ref = prev.ref8 if prev.ref8 is not None \
+                    else np.zeros_like(prev.depth8, np.uint8)
+                syn.col_inter = np.ones_like(prev.depth8, bool) \
+                    if prev.intra8 is None else ~prev.intra8
+                syn.col_poc = prev.poc
+                syn.col_ref_pocs = prev.ref_pocs or (prev.poc - 1,)
+                col = (prev.mv8, syn.col_ref,
+                       syn.col_inter.astype(np.uint8), prev.poc,
+                       syn.col_ref_pocs)
+            self.ref_avail = min(R, avail + 1)
             pre_data = b""
             if cfg.wpp:
                 from ..bitstream.nal import emulation_prevention
@@ -860,7 +901,10 @@ class IntraEncoder:
                     sign_hiding=cfg.sign_hiding,
                     sao_params=sao_params, qp_map=syn.qp_map,
                     slice_qp=qp, mode8=syn.mode8, intra8=syn.intra8,
-                    tusplit8=syn.tusplit8, rqt_inter=cfg.rqt_inter)
+                    tusplit8=syn.tusplit8, rqt_inter=cfg.rqt_inter,
+                    ref8=syn.ref8, num_ref=syn.num_ref,
+                    ref_pocs_l0=syn.ref_pocs, poc=syn.poc,
+                    tmvp=tmvp_on, col=col)
                 escaped = [emulation_prevention(s) for s in subs]
                 sw = write_slice_header(
                     cfg, P_SLICE, idr=False, poc=self.poc,
@@ -868,7 +912,8 @@ class IntraEncoder:
                     slice_qp=qp, num_entry_points=len(subs) - 1,
                     entry_point_offsets=[len(e) for e in escaped[:-1]],
                     weights=None if weights_hdr is None
-                    else weights_hdr[i])
+                    else weights_hdr[i], num_ref=syn.num_ref,
+                    tmvp=tmvp_on)
                 pre_data = b"".join(escaped)
             else:
                 sw = write_slice_header(cfg, P_SLICE, idr=False,
@@ -877,7 +922,9 @@ class IntraEncoder:
                                         max_merge=syn.max_merge,
                                         slice_qp=qp,
                                         weights=None if weights_hdr is
-                                        None else weights_hdr[i])
+                                        None else weights_hdr[i],
+                                        num_ref=syn.num_ref,
+                                        tmvp=tmvp_on)
                 payload, tail_val, tail_bits = encode_slice_native(
                     1, syn.depth8, syn.coeff_y, syn.coeff_cb,
                     syn.coeff_cr, w, h, cfg.log2_ctu, cfg.log2_min_cu,
@@ -886,7 +933,10 @@ class IntraEncoder:
                     sign_hiding=cfg.sign_hiding,
                     sao_params=sao_params, qp_map=syn.qp_map,
                     slice_qp=qp, mode8=syn.mode8, intra8=syn.intra8,
-                    tusplit8=syn.tusplit8, rqt_inter=cfg.rqt_inter)
+                    tusplit8=syn.tusplit8, rqt_inter=cfg.rqt_inter,
+                    ref8=syn.ref8, num_ref=syn.num_ref,
+                    ref_pocs_l0=syn.ref_pocs, poc=syn.poc,
+                    tmvp=tmvp_on, col=col)
                 sw.write_bytes(payload)
                 if tail_bits:
                     sw.write(tail_val, tail_bits)
@@ -901,6 +951,7 @@ class IntraEncoder:
             self.frame_count += 1
             self.stats.add("P", len(stream) * 8, qp, poc=self.poc,
                            syn=syn)
+            self._last_p_syn = syn     # TMVP collocated for the next P
             results.append(FrameResult(bitstream=stream, recon=recon,
                                        syntax=syn, bits=len(stream) * 8,
                                        poc=self.poc, ftype="P"))
@@ -918,6 +969,8 @@ class IntraEncoder:
         stays device-side (DeviceRef), so submission never blocks."""
         from .pgop_tpu import collect_pgop_tpu, submit_pgop_tpu
         assert self.ref is not None, "no reference: encode an I frame first"
+        if getattr(getattr(self.ref, "y", None), "ndim", 2) != 3:
+            self.ref_avail = 1       # single plane = 1 distinct ref
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         w, h = cfg.width_padded, cfg.height_padded

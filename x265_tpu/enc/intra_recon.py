@@ -36,14 +36,19 @@ class DeviceRef:
     planes at the CODED size): chaining I -> P GOPs without D2H/H2D
     round-trips (the PicYuv-stays-in-frame-encoder analog of x265's
     frame pipeline)."""
-    y: object            # jnp (h, w)
+    y: object            # jnp (h, w) — or (R, h, w) multi-ref stacks
     cb: object           # jnp (h/2, w/2)
     cr: object           # jnp (h/2, w/2)
 
     def to_recon(self) -> "ReconFrame":
-        return ReconFrame(np.asarray(self.y).astype(np.int32),
-                          np.asarray(self.cb).astype(np.int32),
-                          np.asarray(self.cr).astype(np.int32))
+        """Most-recent reference as a host ReconFrame (stacked
+        multi-ref DeviceRefs download slot 0 — the previous frame)."""
+        y, cb, cr = (np.asarray(self.y), np.asarray(self.cb),
+                     np.asarray(self.cr))
+        if y.ndim == 3:
+            y, cb, cr = y[0], cb[0], cr[0]
+        return ReconFrame(y.astype(np.int32), cb.astype(np.int32),
+                          cr.astype(np.int32))
 
 
 def _avail_mask(mask: np.ndarray, x0: int, y0: int, n: int) -> np.ndarray:

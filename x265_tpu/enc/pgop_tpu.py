@@ -98,16 +98,24 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
 
 def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
                            h, w, bit_depth, raw: bool = False,
-                           wvec=None, weight_denom: int = 6):
-    """cpad2: (2, Hc+2pc, Wc+2pc) stacked padded chroma refs; mvs:
+                           wvec=None, weight_denom: int = 6,
+                           ref16=None, ref32=None, cstride: int = 0,
+                           zplanes=None):
+    """cpad2: (2, Hc+2pc, Wc+2pc) stacked padded chroma refs — or,
+    multi-ref, (2, R*(Hc+2pc), Wc+2pc) with cstride = Hc+2pc rows per
+    reference segment and ref16/ref32 the per-region selections; mvs:
     {n: (B,2) qpel}; seeds: {16: (sx,sy), 32: (sx,sy)} clamped per-
-    region full-pel seeds. Returns {n: (pred_cb, pred_cr) (B,cn,cn)}.
+    region full-pel seeds. zplanes: {16: (cb, cr), 32: (cb, cr)}
+    dense selected-ref planes for the zero-MV path (multi-ref).
+    Returns {n: (pred_cb, pred_cr) (B,cn,cn)}.
 
     MVs from the windowed search satisfy mv in seed +- radius (qpel
     +-3/4); zero-MV winners fall back to the dense co-located path.
     wvec (traced (6,) int32, weightp): chroma predictions are the
     normative weighted samples (8.5.4.2.3.3) using wvec[2:4] for cb
-    and wvec[4:6] for cr."""
+    and wvec[4:6] for cr — on reference 0 only when multi-ref (other
+    refs signal inferred-neutral weights, which round identically to
+    the default path)."""
     weighted = wvec is not None
     assert not (weighted and raw), \
         "raw accumulators are the unweighted contract (B path)"
@@ -120,8 +128,9 @@ def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
     s0y16 = seed_floor_off(sy16, r)
     wc16 = r + 12
     nshift16 = r + 6
+    roff16 = ref16 * cstride if ref16 is not None else 0
     win16 = gather_chroma_windows(cpad2, pc, yc16, xc16, s0y16, s0x16,
-                                  wc16)
+                                  wc16, row_off=roff16)
 
     def zero_blocks(plane, cn):
         cy, cx = plane.shape
@@ -144,8 +153,9 @@ def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
             s0y = seed_floor_off(sy32, r)
             wc = r + 20
             nshift = r + 2
+            roff32 = ref32 * cstride if ref32 is not None else 0
             win_b = gather_chroma_windows(cpad2, pc, yc32, xc32, s0y,
-                                          s0x, wc)
+                                          s0x, wc, row_off=roff32)
             rel_y = rel_x = jnp.zeros_like(s0y)
             s0ye, s0xe = s0y, s0x
         elif n == 16:
@@ -180,17 +190,46 @@ def _chroma_preds_windowed(cpad2, pc, refcb, refcr, mvs, seeds, radius,
         pcb, pcr = chroma_mc_from_windows(
             win_b, offy, offx, mv[:, 0] & 7, mv[:, 1] & 7, cn, nshift,
             bit_depth, raw=raw or weighted)
-        zcb = zero_blocks(refcb, cn)
-        zcr = zero_blocks(refcr, cn)
+        grp = 32 if n == 32 else 16
+        if zplanes is not None and grp in zplanes:
+            zcb = zero_blocks(zplanes[grp][0], cn)
+            zcr = zero_blocks(zplanes[grp][1], cn)
+        else:
+            zcb = zero_blocks(refcb, cn)
+            zcr = zero_blocks(refcr, cn)
         if weighted:
-            pcb = apply_weight_acc(pcb, wvec[2], wvec[3], weight_denom,
-                                   bit_depth)
-            pcr = apply_weight_acc(pcr, wvec[4], wvec[5], weight_denom,
-                                   bit_depth)
-            zcb = apply_weight_fullpel(zcb, wvec[2], wvec[3],
-                                       weight_denom, bit_depth)
-            zcr = apply_weight_fullpel(zcr, wvec[4], wvec[5],
-                                       weight_denom, bit_depth)
+            refsel = ref32 if n == 32 else ref16
+            if refsel is None:
+                wm = None
+            elif n == 8:
+                wm = jnp.repeat(jnp.repeat(
+                    (refsel == 0).reshape(h // 16, w // 16), 2, 0),
+                    2, 1).reshape(-1)[:, None, None]
+            else:
+                wm = (refsel == 0)[:, None, None]
+            neutral = jnp.int32(1 << weight_denom)
+            zero_o = jnp.int32(0)
+
+            def wsel(acc, wv_w, wv_o):
+                wv = apply_weight_acc(acc, wv_w, wv_o, weight_denom,
+                                      bit_depth)
+                if wm is None:
+                    return wv
+                pl = apply_weight_acc(acc, neutral, zero_o,
+                                      weight_denom, bit_depth)
+                return jnp.where(wm, wv, pl)
+
+            def wsel_fp(blk, wv_w, wv_o):
+                wv = apply_weight_fullpel(blk, wv_w, wv_o, weight_denom,
+                                          bit_depth)
+                if wm is None:
+                    return wv
+                return jnp.where(wm, wv, blk)
+
+            pcb = wsel(pcb, wvec[2], wvec[3])
+            pcr = wsel(pcr, wvec[4], wvec[5])
+            zcb = wsel_fp(zcb, wvec[2], wvec[3])
+            zcr = wsel_fp(zcr, wvec[4], wvec[5])
         if raw:
             # full-pel accumulator scale: sample << (12 - shift1)
             ts = 12 - (bit_depth - 8)
@@ -250,13 +289,16 @@ def _coeff_bits_est(cf: jnp.ndarray, by: int, bx: int, k: int,
 
 def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
                        real_h: int, real_w: int, h: int, w: int,
-                       hdr_bits: float = 5.0, split_bits: float = 3.0):
+                       hdr_bits: float = 5.0, split_bits: float = 3.0,
+                       refs: dict | None = None):
     """Bottom-up split-vs-keep argmin over true RD costs. Returns
-    depth8 (n8y, n8x) i32 and mv8 (n8y, n8x, 2) i32 on the padded
-    grid. Static over-the-edge masking forces splits at ragged
-    borders (partial CUs can't be chosen whole). hdr_bits (per leaf:
-    merge/pred/part/cbf flags for 2Nx2N inter) and split_bits (per
-    coded split flag) come from the CABAC-fit calibration."""
+    depth8 (n8y, n8x) i32, mv8 (n8y, n8x, 2) i32 and ref8 (n8y, n8x)
+    i32 on the padded grid. Static over-the-edge masking forces
+    splits at ragged borders (partial CUs can't be chosen whole).
+    hdr_bits (per leaf: merge/pred/part/cbf flags for 2Nx2N inter)
+    and split_bits (per coded split flag) come from the CABAC-fit
+    calibration. refs: per-size (by, bx) L0 refIdx grids (multi-ref);
+    None composes a zero field."""
     hdr_bits = float(hdr_bits)
     split_bits = float(split_bits)
     big = jnp.float32(1e18)
@@ -292,7 +334,16 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 
     mv8 = jnp.where(k32[..., None], up_mv(32, 4),
                     jnp.where(k16[..., None], up_mv(16, 2), up_mv(8, 1)))
-    return depth8, mv8.astype(jnp.int32)
+    if refs is None:
+        ref8 = jnp.zeros((n8y, n8x), jnp.int32)
+    else:
+        def up_ref(n, k):
+            by, bx = h // n, w // n
+            return rep(refs[n].reshape(by, bx), k)[:n8y, :n8x]
+
+        ref8 = jnp.where(k32, up_ref(32, 4),
+                         jnp.where(k16, up_ref(16, 2), up_ref(8, 1)))
+    return depth8, mv8.astype(jnp.int32), ref8.astype(jnp.int32)
 
 
 # =============================================================================
@@ -334,7 +385,8 @@ def _nr_denoise(tcoef, off_flat):
 def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                   sign_hiding, real_h, real_w, preds, cpreds,
                   qp_ctu=None, ctu=32, rdoq=False, psy_rd=0.0,
-                  rqt=False, lowpass=False, nr_offsets=None):
+                  rqt=False, lowpass=False, nr_offsets=None,
+                  refs_grid=None, nrefs: int = 1):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds carries the luma
@@ -492,6 +544,11 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
             planes[n] = tuple(
                 jnp.where(my if i < 2 else mc, pl_s[i], planes[n][i])
                 for i in range(6))
+        if refs_grid is not None and nrefs > 1:
+            # ref_idx_l0 TR bits: r+1 bins, capped at num_ref-1
+            rg = refs_grid[n].reshape(by, bx)
+            bits[n] = bits[n] + jnp.minimum(rg + 1, nrefs - 1) \
+                .astype(jnp.float32)
 
     if psy_rd > 0:
         # psy-rd (x265 rdcost.h:30 calcPsyRdCost): penalize recon that
@@ -510,10 +567,10 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
             psy_n = de.reshape(by, k, bx, k).sum(axis=(1, 3))
             sse[n] = sse[n] + jnp.float32(psy_rd) * lam * psy_n
 
-    depth8, mv8 = _rd_depth_decision(sse, bits, mvs, lam2, real_h,
-                                     real_w, h, w,
-                                     hdr_bits=float(calib[3]),
-                                     split_bits=float(calib[4]))
+    depth8, mv8, ref8 = _rd_depth_decision(
+        sse, bits, mvs, lam2, real_h, real_w, h, w,
+        hdr_bits=float(calib[3]), split_bits=float(calib[4]),
+        refs=refs_grid)
 
     n8y_, n8x_ = h // 8, w // 8
 
@@ -537,7 +594,7 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                 [(mpx, ps[0]), (mpx, ps[1]), (mpx_c, ps[2]),
                  (mpx_c, ps[3]), (mpx_c, ps[4]), (mpx_c, ps[5])]):
             out[i] = jnp.where(mask, p, out[i])
-    return out + [depth8, mv8, tusplit8], nr_accum
+    return out + [depth8, mv8, tusplit8, ref8], nr_accum
 
 
 # =============================================================================
@@ -936,9 +993,13 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                     use_seeds: bool = False, rdoq: bool = False,
                     psy_rd: float = 0.0, weightp: bool = False,
                     weight_denom: int = 6, rqt: bool = False,
-                    lowpass: bool = False, nr: int = 0):
+                    lowpass: bool = False, nr: int = 0,
+                    nrefs: int = 1):
     """orig_*: (F, Hp, Wp) uint planes, padded to 32-multiples.
-    ref_*: initial reference planes (the I frame recon, post-filter).
+    ref_*: initial reference planes (the I frame recon, post-filter)
+    — (R, Hp, Wp) stacks for multi-reference prediction (R = nrefs;
+    slot r is the frame r+1 steps back, duplicated where fewer real
+    frames exist), or legacy 2D single planes.
     Returns per-frame stacked decision fields + coefficients + SAO
     params (+ recon) in transfer-friendly dtypes, and the final
     reference planes.
@@ -956,7 +1017,7 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
 
     def body(carry, xs):
         if nr:
-            (ry, rcb, rcr), nr_sums, nr_counts = carry
+            (ry_s, rcb_s, rcr_s), nr_sums, nr_counts = carry
             # offsets from the accumulated state (frameencoder.cpp:2098
             # noiseReductionUpdate: value/denom per position, DC = 0)
             nr_off = {}
@@ -965,7 +1026,8 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                 off = (jnp.float32(nr) * ct + sm * 0.5) / (sm + 1.0)
                 nr_off[(nn, kind)] = off.at[0].set(0.0)
         else:
-            ry, rcb, rcr = carry
+            ry_s, rcb_s, rcr_s = carry
+        ry, rcb, rcr = ry_s[0], rcb_s[0], rcr_s[0]
         oy8, ocb8, ocr8, qp_ctu, seed16_f, wvec_f = xs
         wvec = wvec_f if weightp else None
         oy = oy8.astype(jnp.int32)
@@ -982,53 +1044,135 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         # pixels fit uint8/uint16, and the search reads windows many
         # times over — 4x/2x less HBM traffic than int32 windows
         win_dt = jnp.uint8 if bit_depth == 8 else jnp.uint16
-        ry_pad = pad_ref(ry.astype(win_dt), pad_y)
         # weightp: the search compares a weight-COMPENSATED current
         # against the unweighted reference (one pass over the frame
         # instead of weighting every candidate); predictions are then
         # the normative weighted samples from the raw accumulators
         oy_s = inverse_weight_plane(oy, wvec[0], wvec[1], weight_denom,
                                     bit_depth) if weightp else oy
+        multiref = nrefs > 1 and not use_seeds
+        ref16_v = ref32_v = cmv32 = None
+        zplanes_y = zplanes_c = None
+        refs_grid = None
         if use_seeds:
             # analysis reuse (readAnalysisFile analog, encoder.cpp:4324):
             # prior-pass MVs (full-pel) replace the coarse search
             cmv16 = seed16_f
-        else:
+        elif not multiref:
             cmv, _ = _coarse_search_rolled(_downsample4(oy_s),
                                            _downsample4(ry))
             # the coarse grid (4x4 blocks at quarter res) IS the
             # 16-region grid at full res; scale quarter-res pels to
             # full-res full-pel
             cmv16 = cmv * 4
+        else:
+            # --- multi-reference selection (x265 --ref N recast,
+            # search.cpp:2354): run the 1/4-res coarse search against
+            # every reference and pick each 16-region's (32-block's)
+            # reference by coarse cost + ref_idx bits; the windowed
+            # search then runs ONCE per block from the selected
+            # reference's windows. Evaluation order r=0.. with strict
+            # argmin keeps duplicated slots (fewer real frames than R)
+            # unreachable: identical planes tie, lowest index wins.
+            ds_cur = _downsample4(oy_s)
+            mv_list, cost_list = [], []
+            for rr in range(nrefs):
+                mv_r, cost_r = _coarse_search_rolled(
+                    ds_cur, _downsample4(ry_s[rr]))
+                bits_r = min(rr + 1, nrefs - 1)
+                cost_list.append(cost_r + lam_i * bits_r)
+                mv_list.append(mv_r)
+            costs = jnp.stack(cost_list)       # (R, by16, bx16)
+            mvsr = jnp.stack(mv_list)
+            ref16_g = jnp.argmin(costs, axis=0).astype(jnp.int32)
+            ohr = (jnp.arange(nrefs, dtype=jnp.int32)[:, None, None]
+                   == ref16_g[None]).astype(jnp.int32)
+            cmv16 = (mvsr * ohr[..., None]).sum(0) * 4
+            by16g, bx16g = costs.shape[1], costs.shape[2]
+            c32 = costs.reshape(nrefs, by16g // 2, 2, bx16g // 2,
+                                2).sum(axis=(2, 4))
+            ref32_g = jnp.argmin(c32, axis=0).astype(jnp.int32)
+            oh32 = (jnp.arange(nrefs, dtype=jnp.int32)[:, None, None]
+                    == ref32_g[None]).astype(jnp.int32)
+            cmv32 = (mvsr[:, 1::2, 1::2] * oh32[..., None]).sum(0) \
+                .reshape(-1, 2) * 4
+            ref16_v = ref16_g.reshape(-1)
+            ref32_v = ref32_g.reshape(-1)
+
+            def compose(planes_s, sel, blk):
+                selpix = jnp.repeat(jnp.repeat(sel, blk, 0), blk, 1)
+                outp = planes_s[0]
+                for rr in range(1, nrefs):
+                    outp = jnp.where(selpix == rr, planes_s[rr], outp)
+                return outp
+
+            zplanes_y = {16: compose(ry_s, ref16_g, 16),
+                         32: compose(ry_s, ref32_g, 32)}
+            zplanes_c = {16: (compose(rcb_s, ref16_g, 8),
+                              compose(rcr_s, ref16_g, 8)),
+                         32: (compose(rcb_s, ref32_g, 16),
+                              compose(rcr_s, ref32_g, 16))}
+            by8g, bx8g = h // 8, w // 8
+            refs_grid = {
+                8: jnp.repeat(jnp.repeat(ref16_g, 2, 0), 2, 1)
+                [:by8g, :bx8g],
+                16: ref16_g, 32: ref32_g}
+        if multiref:
+            ry_pad = jnp.concatenate(
+                [pad_ref(ry_s[rr].astype(win_dt), pad_y)
+                 for rr in range(nrefs)], axis=0)
+            ref_stride = hp + 2 * pad_y
+        else:
+            ry_pad = pad_ref(ry.astype(win_dt), pad_y)
+            ref_stride = 0
         meres, seeds = me_all_sizes(oy, ry_pad, cmv16, lam_i,
                                     radius=me_range, pad=pad_y,
                                     bit_depth=bit_depth, sizes=SIZES,
                                     cur_search=oy_s if weightp else None,
                                     wvec=wvec,
-                                    weight_denom=weight_denom)
+                                    weight_denom=weight_denom,
+                                    ref_stride=ref_stride,
+                                    ref16=ref16_v, ref32=ref32_v,
+                                    cmv32=cmv32,
+                                    zero_planes=zplanes_y)
         mvs = {n: meres[n][0] for n in SIZES}
         preds = {n: meres[n][2] for n in SIZES}
 
         # --- windowed chroma predictions for every size (no per-block
         # plane gathers)
-        cpad2 = jnp.stack([pad_ref(rcb.astype(win_dt), pad_c),
-                           pad_ref(rcr.astype(win_dt), pad_c)])
+        if multiref:
+            cpad2 = jnp.stack([
+                jnp.concatenate([pad_ref(rcb_s[rr].astype(win_dt),
+                                         pad_c)
+                                 for rr in range(nrefs)], axis=0),
+                jnp.concatenate([pad_ref(rcr_s[rr].astype(win_dt),
+                                         pad_c)
+                                 for rr in range(nrefs)], axis=0)])
+            cstride = hp // 2 + 2 * pad_c
+        else:
+            cpad2 = jnp.stack([pad_ref(rcb.astype(win_dt), pad_c),
+                               pad_ref(rcr.astype(win_dt), pad_c)])
+            cstride = 0
         cpreds = _chroma_preds_windowed(cpad2, pad_c, rcb, rcr, mvs,
                                         seeds, me_range, h, w, bit_depth,
                                         wvec=wvec,
-                                        weight_denom=weight_denom)
+                                        weight_denom=weight_denom,
+                                        ref16=ref16_v, ref32=ref32_v,
+                                        cstride=cstride,
+                                        zplanes=zplanes_c)
 
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
         ((rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8,
-          tusplit8), nr_accum) = \
+          tusplit8, ref8), nr_accum) = \
             _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                           sign_hiding, real_h, real_w, preds=preds,
                           cpreds=cpreds,
                           qp_ctu=qp_ctu if dqp else None, ctu=ctu,
                           rdoq=rdoq, psy_rd=psy_rd, rqt=rqt,
                           lowpass=lowpass,
-                          nr_offsets=nr_off if nr else None)
+                          nr_offsets=nr_off if nr else None,
+                          refs_grid=refs_grid, nrefs=nrefs)
 
         # --- intra-in-inter: 8x8 intra CUs where intra beats inter
         if intra_ii:
@@ -1121,10 +1265,13 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                 cf_cr.astype(jnp.int16),
                 jnp.stack([p_y, p_cb, p_cr]).astype(jnp.int8),
                 intra8.astype(jnp.uint8), imode8.astype(jnp.uint8),
-                tusplit8.astype(jnp.uint8))
+                tusplit8.astype(jnp.uint8), ref8.astype(jnp.uint8))
         if need_recon:
             outs = outs + (rec_y.astype(rdt), rec_cb.astype(rdt),
                            rec_cr.astype(rdt))
+        new_ry_s = jnp.concatenate([rec_y[None], ry_s[:-1]], axis=0)
+        new_rcb_s = jnp.concatenate([rec_cb[None], rcb_s[:-1]], axis=0)
+        new_rcr_s = jnp.concatenate([rec_cr[None], rcr_s[:-1]], axis=0)
         if nr:
             new_sums, new_counts = [], []
             for ci, (nn, kind) in enumerate(NR_CATS):
@@ -1137,14 +1284,25 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                 halve = ct > cap
                 new_sums.append(jnp.where(halve, sm * 0.5, sm))
                 new_counts.append(jnp.where(halve, ct * 0.5, ct))
-            return ((rec_y, rec_cb, rec_cr), tuple(new_sums),
+            return ((new_ry_s, new_rcb_s, new_rcr_s), tuple(new_sums),
                     tuple(new_counts)), outs
-        return (rec_y, rec_cb, rec_cr), outs
+        return (new_ry_s, new_rcb_s, new_rcr_s), outs
 
     if wvecs is None:
         wvecs = jnp.zeros((orig_y.shape[0], 6), jnp.int32)
-    init = (ref_y.astype(jnp.int32), ref_cb.astype(jnp.int32),
-            ref_cr.astype(jnp.int32))
+
+    def stack_init(pl):
+        a = pl.astype(jnp.int32)
+        if a.ndim == 2:
+            a = a[None]
+        if a.shape[0] != nrefs:
+            # fewer real references than R slots: duplicate the most
+            # recent — ties resolve to the lowest refIdx, so duplicate
+            # slots are never selected (see the multiref coarse pass)
+            a = jnp.broadcast_to(a[:1], (nrefs,) + a.shape[1:])
+        return a
+
+    init = (stack_init(ref_y), stack_init(ref_cb), stack_init(ref_cr))
     if nr:
         init = (init,
                 tuple(jnp.zeros((n * n,), jnp.float32)
@@ -1160,13 +1318,13 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
     cf_c2 = jnp.concatenate([outs[3], outs[4]]).reshape(
         2 * f * (hp // 2), wp // 2)
     res = (outs[0], outs[1], cf_y2, cf_c2, outs[5], outs[6], outs[7],
-           outs[8])
+           outs[8], outs[9])
     if need_recon:
-        rec_y2 = outs[9].reshape(f * hp, wp)
-        rec_c2 = jnp.concatenate([outs[10], outs[11]]).reshape(
+        rec_y2 = outs[10].reshape(f * hp, wp)
+        rec_c2 = jnp.concatenate([outs[11], outs[12]]).reshape(
             2 * f * (hp // 2), wp // 2)
         res = res + (rec_y2, rec_c2)
-    return res, carry              # final ref stays int32 device-side
+    return res, carry              # final ref stacks stay device-side
 
 
 # jitted variant with the round-3 calling convention: padded uint refs
@@ -1176,7 +1334,7 @@ _pgop_scan = partial(jax.jit, static_argnames=(
     "qp", "qpc", "bit_depth", "real_h", "real_w", "ctu", "deblock",
     "sao", "sign_hiding", "me_range", "need_recon", "dqp", "intra_ii",
     "use_seeds", "rdoq", "psy_rd", "weightp",
-    "weight_denom", "rqt", "lowpass", "nr"))(_pgop_scan_body)
+    "weight_denom", "rqt", "lowpass", "nr", "nrefs"))(_pgop_scan_body)
 
 
 @partial(jax.jit, static_argnames=("qp", "qpc", "bit_depth", "real_h",
@@ -1185,7 +1343,7 @@ _pgop_scan = partial(jax.jit, static_argnames=(
                                    "need_recon", "dqp", "intra_ii",
                                    "use_seeds", "rdoq", "psy_rd",
                                    "weightp", "weight_denom", "rqt",
-                                   "lowpass", "nr"))
+                                   "lowpass", "nr", "nrefs"))
 def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                       qp_maps, seeds16, wvecs=None, *,
                       qp: int, qpc: int, bit_depth: int, real_h: int,
@@ -1196,7 +1354,7 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                       rdoq: bool = False, psy_rd: float = 0.0,
                       weightp: bool = False, weight_denom: int = 6,
                       rqt: bool = False, lowpass: bool = False,
-                      nr: int = 0):
+                      nr: int = 0, nrefs: int = 1):
     """ONE compiled program for the whole submit path (cold-compile
     budget: every separately-jitted helper costs 10-60 s of XLA compile
     on this backend, so the scan, the decision-field packing, the CG
@@ -1215,8 +1373,10 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
     rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
 
     def padr(p, ph, pw2):
-        return jnp.pad(p, ((0, ph - p.shape[0]), (0, pw2 - p.shape[1])),
-                       mode="edge")
+        if p.ndim == 2:
+            p = p[None]
+        return jnp.pad(p, ((0, 0), (0, ph - p.shape[1]),
+                           (0, pw2 - p.shape[2])), mode="edge")
 
     res, carry = _pgop_scan_body(
         padr(ref_y, hp, wp), padr(ref_cb, hp // 2, wp // 2),
@@ -1226,7 +1386,8 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         sao=sao, sign_hiding=sign_hiding, me_range=me_range,
         need_recon=need_recon, dqp=dqp, intra_ii=intra_ii,
         use_seeds=use_seeds, rdoq=rdoq, psy_rd=psy_rd, weightp=weightp,
-        weight_denom=weight_denom, rqt=rqt, lowpass=lowpass, nr=nr)
+        weight_denom=weight_denom, rqt=rqt, lowpass=lowpass, nr=nr,
+        nrefs=nrefs)
 
     def cg_pack(plane2d):
         h2, w2 = plane2d.shape
@@ -1236,7 +1397,7 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         return cg, jnp.packbits(nz)
 
     small = _pack_fields_t(res[0], res[1], res[4], res[5], res[6],
-                           res[7])
+                           res[7], res[8])
     cg_y, nzp_y = cg_pack(res[2])
     cg_c, nzp_c = cg_pack(res[3])
     # ONE bundle for the first download (fields + both nonzero masks)
@@ -1245,12 +1406,12 @@ def _pgop_scan_packed(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
     # exactly two transfers
     small = jnp.concatenate([small, nzp_y, nzp_c])
     cg = jnp.concatenate([cg_y, cg_c])
-    fin = (carry[0][:rh, :rw].astype(rdt),
-           carry[1][:rh // 2, :rw // 2].astype(rdt),
-           carry[2][:rh // 2, :rw // 2].astype(rdt))
+    fin = (carry[0][:, :rh, :rw].astype(rdt),
+           carry[1][:, :rh // 2, :rw // 2].astype(rdt),
+           carry[2][:, :rh // 2, :rw // 2].astype(rdt))
     out = (small, cg) + fin
     if need_recon:
-        out = out + (res[8], res[9])
+        out = out + (res[9], res[10])
     return out
 
 
@@ -1263,7 +1424,7 @@ def _pad_gop_j(p2d, *, f: int, h: int, w: int, hp: int, wp: int):
     return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
 
-def _pack_fields_t(depth8, mv8, sao, intra8, imode8, tusplit8):
+def _pack_fields_t(depth8, mv8, sao, intra8, imode8, tusplit8, ref8):
     """Bundle the small per-frame decision fields into ONE uint8
     buffer so collect pays a single D2H round trip. Traced inline in
     _pgop_scan_packed (a standalone jit of this costs ~60 s of XLA
@@ -1272,7 +1433,7 @@ def _pack_fields_t(depth8, mv8, sao, intra8, imode8, tusplit8):
              jax.lax.bitcast_convert_type(mv8, jnp.uint8).reshape(-1),
              jax.lax.bitcast_convert_type(sao, jnp.uint8).reshape(-1),
              intra8.reshape(-1), imode8.reshape(-1),
-             tusplit8.reshape(-1)]
+             tusplit8.reshape(-1), ref8.reshape(-1)]
     return jnp.concatenate(parts)
 
 
@@ -1281,7 +1442,7 @@ def _unpack_fields(buf: np.ndarray, f: int, n8y: int, n8x: int,
     """Host-side inverse of _pack_fields."""
     sizes = [f * n8y * n8x, f * n8y * n8x * 2 * 2,
              f * 3 * ncty * nctx * 6, f * n8y * n8x, f * n8y * n8x,
-             f * n8y * n8x]
+             f * n8y * n8x, f * n8y * n8x]
     offs = np.cumsum([0] + sizes)
     depth8 = buf[offs[0]:offs[1]].reshape(f, n8y, n8x)
     mv8 = buf[offs[1]:offs[2]].view(np.int16) \
@@ -1291,7 +1452,8 @@ def _unpack_fields(buf: np.ndarray, f: int, n8y: int, n8x: int,
     intra8 = buf[offs[3]:offs[4]].reshape(f, n8y, n8x)
     imode8 = buf[offs[4]:offs[5]].reshape(f, n8y, n8x)
     tusplit8 = buf[offs[5]:offs[6]].reshape(f, n8y, n8x)
-    return depth8, mv8, sao, intra8, imode8, tusplit8
+    ref8 = buf[offs[6]:offs[7]].reshape(f, n8y, n8x)
+    return depth8, mv8, sao, intra8, imode8, tusplit8, ref8
 
 
 class PgopPending:
@@ -1328,6 +1490,7 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     # (~90 s on this backend). Coerce every static here.
     need_recon = bool(need_recon)
     me_range = int(me_range)
+    nrefs = max(int(getattr(cfg, "num_refs", 1)), 1)
     qpc = chroma_qp(qp)
     if qp_maps is None and cfg.dqp_enabled:
         # PPS signals cu_qp_delta: every slice must code deltas
@@ -1348,7 +1511,8 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     ocr = up(orig_cr, hp // 2, wp // 2)
     if isinstance(ref, DeviceRef):
         # device-resident reference planes at the coded size in the
-        # narrow dtype: consumed as-is (padding happens in-program)
+        # narrow dtype: consumed as-is (padding + any broadcast to the
+        # R-slot stack happens in-program)
         ry, rcb, rcr = ref.y, ref.cb, ref.cr
     else:
         ry = jnp.asarray(np.ascontiguousarray(
@@ -1406,7 +1570,7 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
         psy_rd=float(cfg.psy_rd), weightp=cfg.weightp,
         rqt=bool(getattr(cfg, "rqt_inter", False)),
         lowpass=bool(getattr(cfg, "lowpass_dct", False)),
-        nr=int(getattr(cfg, "nr_inter", 0)))
+        nr=int(getattr(cfg, "nr_inter", 0)), nrefs=nrefs)
     small, cg = out[:2]
     last_ref = DeviceRef(out[2], out[3], out[4])
     return PgopPending(
@@ -1441,14 +1605,15 @@ def collect_pgop_tpu(p: PgopPending
     nzp_c = buf[len(buf) - (ncg_c + 7) // 8:]
     nzp_y = buf[len(buf) - (ncg_c + 7) // 8 - mask_bytes_y:
                 len(buf) - (ncg_c + 7) // 8]
-    depth8, mv8, sao_all, intra8, imode8, tusplit8 = _unpack_fields(
-        buf, f, n8y_p, n8x_p, scty, sctx)
+    depth8, mv8, sao_all, intra8, imode8, tusplit8, ref8 = \
+        _unpack_fields(buf, f, n8y_p, n8x_p, scty, sctx)
     depth8 = depth8[:, :h // 8, :w // 8]
     mv8 = mv8.astype(np.int32)[:, :h // 8, :w // 8]
     sao_all = sao_all.astype(np.int32)
     intra8 = intra8[:, :h // 8, :w // 8] != 0
     imode8 = imode8[:, :h // 8, :w // 8]
     tusplit8 = tusplit8[:, :h // 8, :w // 8]
+    ref8 = ref8[:, :h // 8, :w // 8]
 
     idx_y = np.nonzero(np.unpackbits(nzp_y, count=ncg_y))[0] \
         .astype(np.int32)
@@ -1486,7 +1651,9 @@ def collect_pgop_tpu(p: PgopPending
             coeff_cb=cf_c[i],
             coeff_cr=cf_c[f + i],
             tusplit8=np.ascontiguousarray(tusplit8[i])
-            if tusplit8[i].any() else None))
+            if tusplit8[i].any() else None,
+            ref8=np.ascontiguousarray(ref8[i])
+            if ref8[i].any() else None))
         syns[-1].sao_params = (
             (sao_all[i, 0], sao_all[i, 1], sao_all[i, 2])
             if p.sao else None)

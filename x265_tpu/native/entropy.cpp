@@ -264,6 +264,18 @@ struct SliceEnc {
     int slice_type = 2;
     const int32_t* mv8 = nullptr;
     int max_merge = 2;
+    // multi-reference P (x265 --ref): per-cell L0 refIdx + ref POCs
+    const uint8_t* ref8 = nullptr;     // null = all refIdx 0
+    int num_ref = 1;
+    const int32_t* ref_pocs = nullptr; // (num_ref,)
+    // temporal MVP (clause 8.5.3.2.8): collocated picture fields
+    int tmvp = 0;
+    const int32_t* col_mv = nullptr;   // (n8, 2)
+    const uint8_t* col_ref8 = nullptr;
+    const uint8_t* col_inter8 = nullptr;
+    int col_poc = 0;
+    const int32_t* col_ref_pocs = nullptr;
+    int n_col_refs = 1;
     // B-slice state: per-cell pred flags + MVs per list, POCs for the
     // AMVP scaling pass (mv_derive.py MvFieldB twin)
     const int32_t* mvb = nullptr;      // (n8, 2 lists, 2)
@@ -471,57 +483,152 @@ struct SliceEnc {
         if (tnx != tcx) return tnx < tcx;
         return z8(nx, ny) < z8(cux, cuy);
     }
-    bool mv_at(int nx, int ny, int cux, int cuy, int out[2]) const {
+    int ref_poc_of(int i) const {
+        return ref_pocs ? ref_pocs[i] : poc - 1 - i;
+    }
+    // out[3] = {mvx, mvy, refIdx}
+    bool mv_at(int nx, int ny, int cux, int cuy, int out[3]) const {
         if (!z_avail(nx, ny, cux, cuy)) return false;
         if (intra8 && intra8[(ny >> 3) * n8x + (nx >> 3)])
             return false;              // intra neighbour: no MV
         const int32_t* m = mv8 + ((ny >> 3) * n8x + (nx >> 3)) * 2;
         out[0] = m[0]; out[1] = m[1];
+        out[2] = ref8 ? ref8[(ny >> 3) * n8x + (nx >> 3)] : 0;
         return true;
     }
-    int merge_cands(int x0, int y0, int n, int cands[5][2]) const {
-        int a1[2], b1[2], b0[2], a0[2], b2[2];
+    // temporal candidate (8.5.3.2.8), 16x16-compressed col field
+    bool probe_col(int px, int py, int target_ref, int out[2]) const {
+        if (px < 0 || py < 0 || px >= w || py >= h) return false;
+        int ccx = (px >> 4) << 4, ccy = (py >> 4) << 4;
+        int c8 = (ccy >> 3) * n8x + (ccx >> 3);
+        if (!col_inter8[c8]) return false;
+        const int32_t* m = col_mv + c8 * 2;
+        int cref = col_ref8 ? col_ref8[c8] : 0;
+        if (cref >= n_col_refs) cref = n_col_refs - 1;
+        int tb = poc - ref_poc_of(target_ref);
+        int td = col_poc - (col_ref_pocs ? col_ref_pocs[cref]
+                                         : col_poc - 1 - cref);
+        if (tb == td) { out[0] = m[0]; out[1] = m[1]; return true; }
+        int mv_in[2] = {m[0], m[1]};
+        scale_mv(mv_in, tb, td, out);
+        return true;
+    }
+    bool tmvp_cand(int x0, int y0, int nw, int nh, int target_ref,
+                   int out[2]) const {
+        if (!tmvp || !col_inter8 || !col_mv) return false;
+        // bottom-right only inside the current CTU row
+        if (((y0 + nh) >> log2_ctu) == (y0 >> log2_ctu) &&
+            probe_col(x0 + nw, y0 + nh, target_ref, out))
+            return true;
+        return probe_col(x0 + (nw >> 1), y0 + (nh >> 1), target_ref,
+                         out);
+    }
+    int merge_cands(int x0, int y0, int n, int cands[5][3]) const {
+        int a1[3], b1[3], b0[3], a0[3], b2[3];
         bool ha1 = mv_at(x0 - 1, y0 + n - 1, x0, y0, a1);
         bool hb1 = mv_at(x0 + n - 1, y0 - 1, x0, y0, b1);
         bool hb0 = mv_at(x0 + n, y0 - 1, x0, y0, b0);
         bool ha0 = mv_at(x0 - 1, y0 + n, x0, y0, a0);
         int cnt = 0;
         auto neq = [](const int* a, const int* b) {
-            return a[0] != b[0] || a[1] != b[1];
+            return a[0] != b[0] || a[1] != b[1] || a[2] != b[2];
         };
-        if (ha1) { cands[cnt][0] = a1[0]; cands[cnt][1] = a1[1]; cnt++; }
-        if (hb1 && (!ha1 || neq(b1, a1))) {
-            cands[cnt][0] = b1[0]; cands[cnt][1] = b1[1]; cnt++;
-        }
-        if (hb0 && (!hb1 || neq(b0, b1))) {
-            cands[cnt][0] = b0[0]; cands[cnt][1] = b0[1]; cnt++;
-        }
-        if (ha0 && (!ha1 || neq(a0, a1))) {
-            cands[cnt][0] = a0[0]; cands[cnt][1] = a0[1]; cnt++;
-        }
+        auto put = [&](const int* c) {
+            cands[cnt][0] = c[0]; cands[cnt][1] = c[1];
+            cands[cnt][2] = c[2]; cnt++;
+        };
+        if (ha1) put(a1);
+        if (hb1 && (!ha1 || neq(b1, a1))) put(b1);
+        if (hb0 && (!hb1 || neq(b0, b1))) put(b0);
+        if (ha0 && (!ha1 || neq(a0, a1))) put(a0);
         if (cnt < 4) {
             bool hb2 = mv_at(x0 - 1, y0 - 1, x0, y0, b2);
-            if (hb2 && (!ha1 || neq(b2, a1)) && (!hb1 || neq(b2, b1))) {
-                cands[cnt][0] = b2[0]; cands[cnt][1] = b2[1]; cnt++;
-            }
+            if (hb2 && (!ha1 || neq(b2, a1)) && (!hb1 || neq(b2, b1)))
+                put(b2);
+        }
+        if (cnt < max_merge) {
+            int t[3];
+            if (tmvp_cand(x0, y0, n, n, 0, t)) { t[2] = 0; put(t); }
         }
         if (cnt > max_merge) cnt = max_merge;
-        while (cnt < max_merge) { cands[cnt][0] = 0; cands[cnt][1] = 0; cnt++; }
+        int zero_idx = 0;
+        while (cnt < max_merge) {
+            cands[cnt][0] = 0; cands[cnt][1] = 0;
+            cands[cnt][2] = zero_idx < num_ref ? zero_idx : 0;
+            cnt++; zero_idx++;
+        }
         return max_merge;
     }
-    void amvp_cands(int x0, int y0, int n, int cands[2][2]) const {
-        int a[2], b[2];
-        bool ha = mv_at(x0 - 1, y0 + n, x0, y0, a);
-        if (!ha) ha = mv_at(x0 - 1, y0 + n - 1, x0, y0, a);
-        bool hb = mv_at(x0 + n, y0 - 1, x0, y0, b);
-        if (!hb) hb = mv_at(x0 + n - 1, y0 - 1, x0, y0, b);
-        if (!hb) hb = mv_at(x0 - 1, y0 - 1, x0, y0, b);
+    // AMVP for refIdx target_ref (8.5.3.2.6-7): same-ref unscaled
+    // pass, then POC-scaled passes, then the temporal candidate
+    void amvp_cands(int x0, int y0, int n, int target_ref,
+                    int cands[2][2]) const {
+        int nb[5][3];
+        bool have[5];
+        have[0] = mv_at(x0 - 1, y0 + n, x0, y0, nb[0]);      // A0
+        have[1] = mv_at(x0 - 1, y0 + n - 1, x0, y0, nb[1]);  // A1
+        have[2] = mv_at(x0 + n, y0 - 1, x0, y0, nb[2]);      // B0
+        have[3] = mv_at(x0 + n - 1, y0 - 1, x0, y0, nb[3]);  // B1
+        have[4] = mv_at(x0 - 1, y0 - 1, x0, y0, nb[4]);      // B2
+        int tpoc = ref_poc_of(target_ref);
+        auto unscaled = [&](const int* c, int out[2]) -> bool {
+            if (c[2] != target_ref) return false;
+            out[0] = c[0]; out[1] = c[1];
+            return true;
+        };
+        auto scaled_of = [&](const int* c, int out[2]) -> bool {
+            int tb = poc - tpoc;
+            int td = poc - ref_poc_of(c[2]);
+            if (tb == td) { out[0] = c[0]; out[1] = c[1]; return true; }
+            int mv_in[2] = {c[0], c[1]};
+            scale_mv(mv_in, tb, td, out);
+            return true;
+        };
+        int mvp_a[2]; bool has_a = false;
+        for (int i = 0; i < 2 && !has_a; i++)
+            if (have[i]) has_a = unscaled(nb[i], mvp_a);
+        bool is_scaled_a = have[0] || have[1];
+        if (!has_a)
+            for (int i = 0; i < 2 && !has_a; i++)
+                if (have[i]) has_a = scaled_of(nb[i], mvp_a);
+        int mvp_b[2]; bool has_b = false;
+        for (int i = 2; i < 5 && !has_b; i++)
+            if (have[i]) has_b = unscaled(nb[i], mvp_b);
+        if (!has_a) {
+            if (has_b) { mvp_a[0] = mvp_b[0]; mvp_a[1] = mvp_b[1];
+                         has_a = true; }
+            has_b = false;
+        }
+        if (!has_b && !is_scaled_a)
+            for (int i = 2; i < 5 && !has_b; i++)
+                if (have[i]) has_b = scaled_of(nb[i], mvp_b);
         int cnt = 0;
-        if (ha) { cands[cnt][0] = a[0]; cands[cnt][1] = a[1]; cnt++; }
-        if (hb && (!ha || a[0] != b[0] || a[1] != b[1])) {
-            cands[cnt][0] = b[0]; cands[cnt][1] = b[1]; cnt++;
+        if (has_a) { cands[cnt][0] = mvp_a[0]; cands[cnt][1] = mvp_a[1];
+                     cnt++; }
+        if (has_b && (!has_a || mvp_b[0] != mvp_a[0] ||
+                      mvp_b[1] != mvp_a[1])) {
+            cands[cnt][0] = mvp_b[0]; cands[cnt][1] = mvp_b[1]; cnt++;
+        }
+        if (cnt < 2) {
+            int t[2];
+            if (tmvp_cand(x0, y0, n, n, target_ref, t) &&
+                (cnt == 0 || t[0] != cands[0][0] || t[1] != cands[0][1])) {
+                cands[cnt][0] = t[0]; cands[cnt][1] = t[1]; cnt++;
+            }
         }
         while (cnt < 2) { cands[cnt][0] = 0; cands[cnt][1] = 0; cnt++; }
+    }
+    // ref_idx_l0 — TR binarization cMax = num_ref-1; bins 0/1 ctx-coded
+    void code_ref_idx(int ref) {
+        int cmax = num_ref - 1;
+        if (cmax <= 0) return;
+        int lim = ref + 1 < cmax ? ref + 1 : cmax;
+        for (int i = 0; i < lim; i++) {
+            int bit = i < ref ? 1 : 0;
+            if (i < 2) cab.encode_bin(OFF_REF_IDX + i, bit);
+            else cab.encode_bypass(bit);
+            if (!bit) break;
+        }
     }
 
     // -- P-slice CU (clauses 7.3.8.5-7.3.8.9) --------------------------------
@@ -919,16 +1026,18 @@ struct SliceEnc {
         int size = 1 << l2;
         const int32_t* m = mv8 + ((y0 >> 3) * n8x + (x0 >> 3)) * 2;
         int mv[2] = {m[0], m[1]};
+        int ref = ref8 ? ref8[(y0 >> 3) * n8x + (x0 >> 3)] : 0;
         int cstride = w >> 1;
         bool fy = cbf(cy, w, x0, y0, size);
         bool fcb = cbf(ccb, cstride, x0 >> 1, y0 >> 1, size >> 1);
         bool fcr = cbf(ccr, cstride, x0 >> 1, y0 >> 1, size >> 1);
         bool any = fy || fcb || fcr;
-        int cands[5][2];
+        int cands[5][3];
         merge_cands(x0, y0, size, cands);
         int midx = -1;
         for (int i = 0; i < max_merge; i++)
-            if (cands[i][0] == mv[0] && cands[i][1] == mv[1]) { midx = i; break; }
+            if (cands[i][0] == mv[0] && cands[i][1] == mv[1] &&
+                cands[i][2] == ref) { midx = i; break; }
         bool skip = midx >= 0 && !any;
         int ctx = 0;
         if (x0 > 0 && skip8[(y0 >> 3) * n8x + ((x0 - 1) >> 3)]) ctx++;
@@ -948,8 +1057,9 @@ struct SliceEnc {
             code_merge_idx(midx);
         } else {
             cab.encode_bin(OFF_MERGE_FLAG, 0);
+            code_ref_idx(ref);
             int ac[2][2];
-            amvp_cands(x0, y0, size, ac);
+            amvp_cands(x0, y0, size, ref, ac);
             int c0 = (mv[0] > ac[0][0] ? mv[0] - ac[0][0] : ac[0][0] - mv[0]) +
                      (mv[1] > ac[0][1] ? mv[1] - ac[0][1] : ac[0][1] - mv[1]);
             int c1 = (mv[0] > ac[1][0] ? mv[0] - ac[1][0] : ac[1][0] - mv[0]) +
@@ -1286,6 +1396,35 @@ struct SliceEnc {
 
 extern "C" {
 
+// Optional P-slice extension block (multi-ref + TMVP); null = legacy
+// single-ref behavior. Mirrors the FramePSyntax fields.
+struct PExtC {
+    const uint8_t* ref8;          // per-cell L0 refIdx (null = 0)
+    int32_t num_ref;
+    int32_t tmvp;                 // slice_temporal_mvp enabled
+    const int32_t* ref_pocs;      // (num_ref,)
+    const int32_t* col_mv;        // collocated picture (n8, 2) MVs
+    const uint8_t* col_ref8;
+    const uint8_t* col_inter8;
+    int32_t col_poc;
+    const int32_t* col_ref_pocs;
+    int32_t n_col_refs;
+};
+
+static void apply_pext(SliceEnc& enc, const PExtC* px) {
+    if (!px) return;
+    enc.ref8 = px->ref8;
+    enc.num_ref = px->num_ref > 0 ? px->num_ref : 1;
+    enc.ref_pocs = px->ref_pocs;
+    enc.tmvp = px->tmvp;
+    enc.col_mv = px->col_mv;
+    enc.col_ref8 = px->col_ref8;
+    enc.col_inter8 = px->col_inter8;
+    enc.col_poc = px->col_poc;
+    enc.col_ref_pocs = px->col_ref_pocs;
+    enc.n_col_refs = px->n_col_refs > 0 ? px->n_col_refs : 1;
+}
+
 // Generic slice-data encoder: slice_type 2 = I (mode8 used), 1 = P
 // (mv8/max_merge used). sao_*, nxn8, mode4 may be null. Returns bytes
 // written or -1.
@@ -1304,12 +1443,14 @@ int encode_slice(int slice_type, const uint8_t* depth8,
                  const int32_t* qp_map, int slice_qp,
                  int w, int h, int log2_ctu, int log2_min_cu,
                  uint8_t* init_states, int num_ctx,
+                 const void* pext,
                  uint8_t* out, int out_cap,
                  uint32_t* tail_val, int* tail_bits) {
     (void)num_ctx;
     SliceEnc enc(init_states, depth8, mode8, coeff_y, coeff_cb, coeff_cr,
                  w, h, log2_ctu, log2_min_cu);
     enc.slice_type = slice_type;
+    apply_pext(enc, (const PExtC*)pext);
     enc.mv8 = mv8;
     enc.mvb = mvb;
     enc.pf8 = pf8;
@@ -1374,11 +1515,13 @@ int encode_slice_wpp(int slice_type, const uint8_t* depth8,
                      const int32_t* qp_map, int slice_qp,
                      int w, int h, int log2_ctu, int log2_min_cu,
                      uint8_t* init_states, int num_ctx,
+                     const void* pext,
                      uint8_t* out, int out_cap,
                      int* sub_lens, int max_subs) {
     SliceEnc enc(init_states, depth8, mode8, coeff_y, coeff_cb, coeff_cr,
                  w, h, log2_ctu, log2_min_cu);
     enc.slice_type = slice_type;
+    apply_pext(enc, (const PExtC*)pext);
     enc.mv8 = mv8;
     enc.mvb = mvb;
     enc.pf8 = pf8;

@@ -479,7 +479,12 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                  sizes=(8, 16, 32), want_raw: bool = False,
                  cur_search: jnp.ndarray | None = None,
                  wvec: jnp.ndarray | None = None,
-                 weight_denom: int = 6):
+                 weight_denom: int = 6,
+                 ref_stride: int = 0,
+                 ref16: jnp.ndarray | None = None,
+                 ref32: jnp.ndarray | None = None,
+                 cmv32: jnp.ndarray | None = None,
+                 zero_planes: dict | None = None):
     """Dense ME for every block of every size with TWO plane gathers
     per frame (the gathers, not the math, dominate windowed ME on TPU):
 
@@ -492,6 +497,15 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     window is a one-hot masked-shift selection (select_window_lanes);
     quarter-pel refinement runs on the extended filter bank. A dense
     zero-MV candidate (no gather) is compared at SATD level last.
+
+    Multi-reference (x265 --ref N): ref_pad is the R references
+    stacked vertically (R*(H+2pad), W+2pad) with ref_stride = H+2pad
+    rows per segment; ref16/ref32 give each 16-region / 32-block its
+    selected reference (from the coarse pass), cmv32 the ref-selected
+    32-block seeds, and zero_planes[{16,32}] the dense selected-ref
+    planes for the zero-MV candidates. Explicit weights (wvec) apply
+    to reference 0 only — other references use the inferred-neutral
+    weighted formula, which equals default rounding exactly.
 
     cur: (H, W) int32 (H, W multiples of 32); ref_pad edge-padded by
     `pad` >= 2*radius + 8; cmv16: (H//16, W//16, 2) full-pel coarse
@@ -527,17 +541,25 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     sy16 = jnp.clip(cmv16[..., 1].reshape(-1), -(y16 + r + 4),
                     (h - 16) - y16 + r + 4)
     wlen16 = 16 + 2 * r + 8
-    w16 = gather_windows_ds(ref_pad, pad, y16 + sy16 - (r + 4),
+    roff16 = ref16 * ref_stride if ref16 is not None else 0
+    w16 = gather_windows_ds(ref_pad, pad, y16 + sy16 - (r + 4) + roff16,
                             x16 + sx16 - (r + 4), wlen16)
 
     out = {}
 
-    def run_size(win_t, cur_t, cur_st, seedx, seedy, x0s, y0s, n):
+    def run_size(win_t, cur_t, cur_st, seedx, seedy, x0s, y0s, n,
+                 zero_plane=None, wmask=None):
         """win_t: (n+2r+8, n+2r+8, B) windows at seed-(r+4); cur_st is
         the (possibly weight-compensated) search current, cur_t the
-        true current for the SATD/pred stages. Returns (mv_qpel, cost,
-        pred (n,n,B))."""
+        true current for the SATD/pred stages. zero_plane: dense
+        selected-ref plane for the zero-MV candidate (None = slice of
+        ref_pad, single-ref only); wmask: (B,) bool — weighted blocks
+        (reference 0) when multi-ref narrows weightp's reach. Returns
+        (mv_qpel, cost, pred (n,n,B))."""
         b = cur_t.shape[-1]
+        if weighted and wmask is not None:
+            # weight-compensated search current only where weighted
+            cur_st = jnp.where(wmask[None, None, :], cur_st, cur_t)
         offs = jnp.arange(side, dtype=jnp.int32) - r
 
         def comp_bits(v):
@@ -567,8 +589,11 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
 
         if weighted:
             def wround(acc):
-                return apply_weight_acc(acc, wvec[0], wvec[1],
-                                        weight_denom, bit_depth)
+                wv = apply_weight_acc(acc, wvec[0], wvec[1],
+                                      weight_denom, bit_depth)
+                if wmask is None:
+                    return wv
+                return jnp.where(wmask[None, None, :], wv, rounded(acc))
         else:
             wround = rounded
 
@@ -657,12 +682,15 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                                      best_raw)
 
         # dense zero-MV candidate (SATD level, no gather)
-        ref = ref_pad[pad:pad + h, pad:pad + w]
+        ref = zero_plane if zero_plane is not None \
+            else ref_pad[pad:pad + h, pad:pad + w]
         zero_t = ref.reshape(by, n, bx, n).transpose(1, 3, 0, 2) \
             .reshape(n, n, b).astype(jnp.int32)
         if weighted:
-            zero_t = apply_weight_fullpel(zero_t, wvec[0], wvec[1],
-                                          weight_denom, bit_depth)
+            zw = apply_weight_fullpel(zero_t, wvec[0], wvec[1],
+                                      weight_denom, bit_depth)
+            zero_t = zw if wmask is None else \
+                jnp.where(wmask[None, None, :], zw, zero_t)
         zcost = sa8d_nxn_lanes(cur_t - zero_t, n) + lam * 2
         zwin = zcost < scost
         scost = jnp.where(zwin, zcost, scost)
@@ -686,12 +714,15 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         mv, cost, pred = res
         return (mv, cost, jnp.transpose(pred, (2, 0, 1)))
 
+    zp = zero_planes or {}
+    wm16 = (ref16 == 0) if (weighted and ref16 is not None) else None
     if 16 in sizes:
         cur16 = lanes_of(cur, 16)
         cur16s = cur16 if cur_search is cur else lanes_of(cur_search, 16)
         w16_t = jnp.transpose(w16, (1, 2, 0))
         out[16] = pack(run_size(w16_t, cur16, cur16s, sx16, sy16, x16,
-                                y16, 16))
+                                y16, 16, zero_plane=zp.get(16),
+                                wmask=wm16))
 
     if 8 in sizes:
         by8, bx8 = h // 8, w // 8
@@ -719,28 +750,41 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                          2, 1).reshape(-1)
         y8 = jnp.repeat(jnp.arange(by8, dtype=jnp.int32) * 8, bx8)
         x8 = jnp.tile(jnp.arange(bx8, dtype=jnp.int32) * 8, by8)
-        out[8] = pack(run_size(w8_t, cur8, cur8s, sx8, sy8, x8, y8, 8))
+        wm8 = None
+        if wm16 is not None:
+            wm8 = jnp.repeat(jnp.repeat(wm16.reshape(by16, bx16), 2, 0),
+                             2, 1).reshape(-1)
+        out[8] = pack(run_size(w8_t, cur8, cur8s, sx8, sy8, x8, y8, 8,
+                               zero_plane=zp.get(16), wmask=wm8))
 
     if 32 in sizes:
         by32, bx32 = h // 32, w // 32
         b32 = by32 * bx32
         y32 = jnp.repeat(jnp.arange(by32, dtype=jnp.int32) * 32, bx32)
         x32 = jnp.tile(jnp.arange(bx32, dtype=jnp.int32) * 32, by32)
-        # seed: the coarse MV at the 32-block centre
-        c16 = cmv16.reshape(by16, bx16, 2)
-        s32 = c16[1::2, 1::2].reshape(-1, 2)
+        # seed: the ref-selected coarse MV (multi-ref) or the coarse
+        # MV at the 32-block centre
+        if cmv32 is not None:
+            s32 = cmv32.reshape(-1, 2)
+        else:
+            c16 = cmv16.reshape(by16, bx16, 2)
+            s32 = c16[1::2, 1::2].reshape(-1, 2)
         sx32 = jnp.clip(s32[:, 0], -(x32 + r + 4),
                         (w - 32) - x32 + r + 4)
         sy32 = jnp.clip(s32[:, 1], -(y32 + r + 4),
                         (h - 32) - y32 + r + 4)
         wlen32 = 32 + 2 * r + 8
-        w32 = gather_windows_ds(ref_pad, pad, y32 + sy32 - (r + 4),
+        roff32 = ref32 * ref_stride if ref32 is not None else 0
+        w32 = gather_windows_ds(ref_pad, pad,
+                                y32 + sy32 - (r + 4) + roff32,
                                 x32 + sx32 - (r + 4), wlen32)
         w32_t = jnp.transpose(w32, (1, 2, 0))
         cur32 = lanes_of(cur, 32)
         cur32s = cur32 if cur_search is cur else lanes_of(cur_search, 32)
+        wm32 = (ref32 == 0) if (weighted and ref32 is not None) else None
         out[32] = pack(run_size(w32_t, cur32, cur32s, sx32, sy32, x32,
-                                y32, 32))
+                                y32, 32, zero_plane=zp.get(32),
+                                wmask=wm32))
         seeds32 = (sx32, sy32)
     else:
         seeds32 = None
@@ -801,23 +845,26 @@ def seed_floor_off(seed: jnp.ndarray, radius: int) -> jnp.ndarray:
 def gather_chroma_windows(cpad2: jnp.ndarray, pc: int,
                           reg_cy: jnp.ndarray, reg_cx: jnp.ndarray,
                           s0y: jnp.ndarray, s0x: jnp.ndarray,
-                          wc: int) -> jnp.ndarray:
+                          wc: int, row_off=0) -> jnp.ndarray:
     """Gather (Breg, 2, wc, wc) stacked cb/cr windows with origin
     (reg + s0) in unpadded chroma coords — ONE slice covers both
-    planes, halving the tile count."""
+    planes, halving the tile count. row_off: per-region extra row
+    offset inside each component (multi-ref: ref * segment rows, when
+    cpad2's middle axis stacks R reference segments)."""
     if _on_tpu():
-        # flatten planes into rows: (2, Hc, Wc) -> (2*Hc, Wc); the
+        # flatten planes into rows: (2, X, Wc) -> (2*X, Wc); the
         # second half of the batch reads the cr plane
         b = reg_cy.shape[0]
         hc = cpad2.shape[1]
-        ys = reg_cy + s0y + pc
+        ys = reg_cy + s0y + pc + row_off
         xs = reg_cx + s0x + pc
         flat = cpad2.reshape(2 * hc, cpad2.shape[2])
         win = gather_windows_pallas(flat,
                                     jnp.concatenate([ys, ys + hc]),
                                     jnp.concatenate([xs, xs]), wc)
         return jnp.stack([win[:b], win[b:]], axis=1)
-    starts = jnp.stack([jnp.zeros_like(reg_cy), reg_cy + s0y + pc,
+    starts = jnp.stack([jnp.zeros_like(reg_cy),
+                        reg_cy + s0y + pc + row_off,
                         reg_cx + s0x + pc], axis=1)
 
     def one(st):

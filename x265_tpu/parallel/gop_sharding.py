@@ -91,13 +91,15 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
 
         rate = est_bits(res[2]) + est_bits(res[3])
         total_rate = jax.lax.psum(rate, axis_name="gop")
+        # final_ref planes carry the R reference slots; slot 0 is the
+        # most recent recon (the chaining contract)
         out = tuple(r[None] for r in res) + \
-            tuple(p[None] for p in final_ref) + \
+            tuple(p[0][None] for p in final_ref) + \
             (rate[None] if rate.ndim else rate.reshape(1),
              total_rate)
         return out
 
-    n_out = 10 + 3 + 1  # res + final_ref triple + per-chain rate
+    n_out = 11 + 3 + 1  # res + final_ref triple + per-chain rate
     # check_rep off: the body is fully per-device (no cross-chain data
     # flow except the final psum), but its internal fori_loop carries
     # are built from constants the replication analysis rejects
@@ -113,10 +115,10 @@ def encode_chains_sharded(oy: np.ndarray, ocb: np.ndarray,
             jnp.asarray(ref_y), jnp.asarray(ref_cb), jnp.asarray(ref_cr),
             jnp.asarray(oy), jnp.asarray(ocb), jnp.asarray(ocr))
         jax.block_until_ready(outs)
-    res = outs[:10]
-    final_ref = outs[10:13]
-    chain_rates = np.asarray(outs[13]).reshape(-1)
-    total_rate = float(outs[14])
+    res = outs[:11]
+    final_ref = outs[11:14]
+    chain_rates = np.asarray(outs[14]).reshape(-1)
+    total_rate = float(outs[15])
     return res, final_ref, total_rate, chain_rates
 
 
@@ -166,8 +168,8 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
     intra8 = np.asarray(res[5])[:, :, :h // 8, :w // 8] != 0
     imode8 = np.asarray(res[6])[:, :, :h // 8, :w // 8]
     tusplit8 = np.asarray(res[7])[:, :, :h // 8, :w // 8]
-    rec_y = np.asarray(res[8]).reshape(c, f, hp, wp)[:, :, :h, :w]
-    rec_c = np.asarray(res[9]).reshape(c, 2 * f, hp // 2, wp // 2) \
+    rec_y = np.asarray(res[9]).reshape(c, f, hp, wp)[:, :, :h, :w]
+    rec_c = np.asarray(res[10]).reshape(c, 2 * f, hp // 2, wp // 2) \
         [:, :, :h // 2, :w // 2]
 
     out = []
