@@ -5,6 +5,11 @@ so a 1080p-path regression can't ship unnoticed. Kept to 2 frames
 (one I, one P) so the cost is compile-bounded."""
 
 import numpy as np
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.decoder import decode_annexb

@@ -4,6 +4,11 @@ runs on clean motion but collapse to P runs on fades, where
 bi-prediction from mismatched-brightness anchors is poor."""
 
 import numpy as np
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.enc import IntraEncoder

@@ -3,6 +3,11 @@ ssim reporting (x265cli surface analogs)."""
 
 import os
 import tempfile
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 import numpy as np
 

@@ -3,6 +3,11 @@ reference picture chained into the P GOP without host round-trips
 (the frame-pipeline PicYuv-residency analog of frameencoder.cpp)."""
 
 import numpy as np
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.decoder import decode_annexb

@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
+
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.enc.intra_analysis import analyze_intra_frame
 from x265_tpu.enc.intra_recon import reconstruct_intra_frame

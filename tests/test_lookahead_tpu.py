@@ -12,6 +12,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
+
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.enc.lookahead_tpu import (aq_offsets, cutree_finish,
                                         cutree_propagate_ippp,

@@ -7,6 +7,10 @@ SOURCE bit-exactly."""
 import numpy as np
 import pytest
 
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
+
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.decoder import decode_annexb
 from x265_tpu.enc import IntraEncoder

@@ -7,6 +7,10 @@ import numpy as np
 import pytest
 import jax
 
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
+
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.enc import IntraEncoder
 

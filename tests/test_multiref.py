@@ -5,6 +5,10 @@ selection, syntax round trips, decoder DPB list, AMVP scaling."""
 import numpy as np
 import pytest
 
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
+
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.decoder.decoder import decode_annexb
 from x265_tpu.enc import IntraEncoder

@@ -2,6 +2,11 @@
 (merge/AMVP derivation with POC scaling included)."""
 
 import numpy as np
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 from x265_tpu.common.params import B_SLICE, EncoderConfig
 from x265_tpu.enc import IntraEncoder

@@ -3,6 +3,11 @@ IDENTICAL to the synchronous path — the determinism contract of x265's
 frame threads (threading.rst:178: output invariant to pipeline depth)."""
 
 import numpy as np
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.decoder import decode_annexb

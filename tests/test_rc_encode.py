@@ -11,6 +11,11 @@ ACTUAL per-frame stream bits:
 """
 
 import numpy as np
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.enc import IntraEncoder

@@ -5,6 +5,11 @@ per-TU cbf syntax (clause 7.3.8.8) must round-trip the independent
 decoder bit-exactly, including the TU-edge deblocking it implies."""
 
 import numpy as np
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.decoder import decode_annexb

@@ -2,6 +2,11 @@
 (abrEncApp analog)."""
 
 import io
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 import numpy as np
 

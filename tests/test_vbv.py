@@ -3,6 +3,11 @@ within x265's own VBV test tolerance — rate-control-tests.txt:7), HRD
 signalling in the VUI, buffering period / pic timing SEIs, AUD."""
 
 import numpy as np
+import pytest
+
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
 
 from x265_tpu.common.params import EncoderConfig
 from x265_tpu.enc.ratecontrol import RateControl, qp_to_qscale

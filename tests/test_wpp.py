@@ -6,6 +6,10 @@ clauses 7.3.6.1 / 7.4.7.1 / 9.3.1)."""
 import numpy as np
 import pytest
 
+# full e2e tier: runs in the nightly regression pass (pytest -m
+# regression) — the default tier keeps the smoke e2e in test_smoke.py
+pytestmark = pytest.mark.regression
+
 from x265_tpu.common.params import EncoderConfig, I_SLICE, P_SLICE
 from x265_tpu.decoder import decode_annexb
 from x265_tpu.enc import IntraEncoder

@@ -135,9 +135,72 @@ def mvd_proxy(mv8, depth8):
     return total
 
 
+def cu_records(syn, cfg, qp):
+    """Per-CU (features, actual_bits) via the native CABAC bit-counting
+    harvest (entropy.cpp Cabac::pos256 deltas — the x265
+    entropy.cpp:2217 bit-counting-mode analog). Features mirror the
+    device estimator exactly: [nnz, slog, coded, 1 (leaf), mvd_proxy].
+    Intra-in-inter CUs are excluded (their bits are priced by the
+    intra mode model, not this one)."""
+    from x265_tpu.bitstream.ctx_tables import init_states
+    from x265_tpu.common.params import P_SLICE
+    from x265_tpu.native.entropy_native import encode_slice_native
+    w, h = cfg.width_padded, cfg.height_padded
+    n8y, n8x = h // 8, w // 8
+    harvest = np.zeros(n8y * n8x, np.int32)
+    encode_slice_native(
+        1, syn.depth8, syn.coeff_y, syn.coeff_cb, syn.coeff_cr, w, h,
+        cfg.log2_ctu, cfg.log2_min_cu, init_states(P_SLICE, qp),
+        mv8=syn.mv8, max_merge=syn.max_merge,
+        sign_hiding=cfg.sign_hiding, slice_qp=qp, mode8=syn.mode8,
+        intra8=syn.intra8, tusplit8=syn.tusplit8,
+        rqt_inter=cfg.rqt_inter, ref8=syn.ref8, num_ref=syn.num_ref,
+        ref_pocs_l0=syn.ref_pocs, poc=syn.poc,
+        cu_bits_out=harvest)
+    bits8 = harvest.reshape(n8y, n8x) / 16.0
+    depth8 = np.asarray(syn.depth8)
+    cf = [np.asarray(syn.coeff_y), np.asarray(syn.coeff_cb),
+          np.asarray(syn.coeff_cr)]
+    mv8 = np.asarray(syn.mv8)
+    rows, ys = [], []
+    log2_ctu = cfg.log2_ctu
+    for d in range(log2_ctu - 2):
+        n = cfg.ctu_size >> d
+        k = n // 8
+        grid = mv8[::k, ::k].astype(np.float64)
+        pred = np.roll(grid, 1, axis=1)
+        pred[:, 0] = 0
+        dd = np.abs(grid - pred)
+        c = 1.0 + np.where(dd > 0, 2.0 + np.where(
+            dd > 1, 2.0 * np.ceil(np.log2((dd - 1.0) / 2.0 + 1.0))
+            + 2.0, 0.0), 0.0)
+        mvd_per = c.sum(-1)
+        dm = depth8[::k, ::k]
+        for (gy, gx) in np.argwhere(dm == d):
+            cy8, cx8 = gy * k, gx * k
+            if cy8 + k > n8y or cx8 + k > n8x:
+                continue
+            if syn.intra8 is not None and syn.intra8[cy8, cx8]:
+                continue
+            nnz = slog = coded = 0.0
+            for pi, plane in enumerate(cf):
+                kk = n if pi == 0 else n // 2
+                py0 = (cy8 * 8) >> (pi > 0)
+                px0 = (cx8 * 8) >> (pi > 0)
+                a = np.abs(plane[py0:py0 + kk, px0:px0 + kk])
+                bn = (a > 0).sum()
+                nnz += bn
+                slog += bitlen(a).sum()
+                coded += bn > 0
+            rows.append([nnz, slog, coded, 1.0, mvd_per[gy, gx]])
+            ys.append(bits8[cy8, cx8])
+    return rows, ys
+
+
 def main():
     qps = [20, 24, 28, 32, 36, 40, 44]
     data = {q: ([], []) for q in qps}
+    split_pts = {q: ([], []) for q in qps}
     for ci, frames in enumerate(clips()):
         h, w = frames[0][0].shape
         for qp in qps:
@@ -149,11 +212,16 @@ def main():
             enc.poc = 0
             rs = enc.encode_pgop(frames[1:])
             for r in rs:
-                f = features_of(r.syntax,
-                                mvd_proxy(r.syntax.mv8,
-                                          r.syntax.depth8), h, w)
-                data[qp][0].append(f)
-                data[qp][1].append(r.bits)
+                rows, ys = cu_records(r.syntax, cfg, qp)
+                data[qp][0].extend(rows)
+                data[qp][1].extend(ys)
+                # split-flag cost: frame slice bits minus CU bits,
+                # against the coded split-flag count
+                fb = features_of(r.syntax,
+                                 mvd_proxy(r.syntax.mv8,
+                                           r.syntax.depth8), h, w)
+                split_pts[qp][0].append(fb[4])
+                split_pts[qp][1].append(r.bits - sum(ys))
             print(f"clip {ci} qp {qp}: "
                   f"{[r.bits for r in rs]}", flush=True)
 
@@ -163,22 +231,28 @@ def main():
         # pool each QP with its neighbours for conditioning, and
         # decorrelate nnz/slog (corr ~0.95) by fitting
         # [nnz, slog - nnz] then mapping back
-        rows, ys = [], []
+        rows, ys, sn, sy = [], [], [], []
         for q2 in qps[max(i - 1, 0):i + 2]:
             rows += data[q2][0]
             ys += data[q2][1]
+            sn += split_pts[q2][0]
+            sy += split_pts[q2][1]
         X = np.stack(rows).astype(np.float64)
         y = np.array(ys, np.float64)
         Xd = X.copy()
         Xd[:, 1] = X[:, 1] - X[:, 0]          # excess bitlen
         coef = _nnls(Xd, y)
-        # back to [A, B, ...]: bits = a*nnz + b*(slog-nnz) + ...
         a, bcoef = coef[0] - coef[1], coef[1]
-        out = np.array([a, bcoef, *coef[2:]])
-        pred = X @ out
+        A, B, C, H, M = a, bcoef, coef[2], coef[3], coef[4]
+        sn_a = np.array(sn, np.float64)
+        sy_a = np.array(sy, np.float64)
+        S = max(float((sn_a * sy_a).sum() /
+                      np.maximum((sn_a * sn_a).sum(), 1e-9)), 0.0)
+        out = np.array([A, B, C, H, S, M, 0.0])
+        pred = X @ np.array([A, B, C, H, M])
         err = np.abs(pred - y) / np.maximum(y, 1)
         print(f"    {qp}: ({', '.join(f'{c:.4f}' for c in out)}),"
-              f"  # mean|err| {err.mean()*100:.1f}%")
+              f"  # per-CU mean|err| {err.mean()*100:.1f}%")
     print("}")
 
 

@@ -595,7 +595,9 @@ class SliceSyntaxEncoder:
         size = 1 << log2_size
         cx, cy, csize = x0 >> 1, y0 >> 1, size >> 1
         split = 0
-        if getattr(self.cfg, "rqt_inter", False) and 2 < log2_size <= 5:
+        if log2_size == 6:
+            split = 1   # 64 > max TB 32: split inferred (7.4.9.8)
+        elif getattr(self.cfg, "rqt_inter", False) and 2 < log2_size <= 5:
             split = self._tusplit_at(x0, y0)
             cab.encode_bin(OFF["split_transform_flag"] + 5 - log2_size,
                            split)

@@ -266,26 +266,36 @@ class EncoderConfig:
 PRESETS = {
     "ultrafast": dict(me_iters=2, me_range=2, bframes=3, sao=False,
                       sign_hiding=False, deblock=True, intra_nxn=False,
-                      weightp=False),
+                      weightp=False, num_refs=1, tmvp=False,
+                      max_merge=2, ctu_size=32),
     "superfast": dict(me_iters=3, me_range=3, bframes=3, sao=False,
                       sign_hiding=True, deblock=True, intra_nxn=False,
-                      weightp=False),
+                      weightp=False, num_refs=1, tmvp=True,
+                      max_merge=2, ctu_size=32),
     "veryfast": dict(me_iters=4, me_range=4, bframes=3, sao=True,
-                     sign_hiding=True, deblock=True),
+                     sign_hiding=True, deblock=True, num_refs=2,
+                     tmvp=True, max_merge=2, ctu_size=32),
     "faster": dict(me_iters=5, me_range=5, bframes=3, sao=True,
-                   sign_hiding=True, deblock=True),
+                   sign_hiding=True, deblock=True, num_refs=2,
+                   tmvp=True, max_merge=2, ctu_size=32),
     "fast": dict(me_iters=6, me_range=5, bframes=3, sao=True,
-                 sign_hiding=True, deblock=True),
+                 sign_hiding=True, deblock=True, num_refs=3,
+                 tmvp=True, max_merge=2, ctu_size=32),
     "medium": dict(me_iters=8, me_range=10, bframes=4, sao=True,
-                   sign_hiding=True, deblock=True),
+                   sign_hiding=True, deblock=True, num_refs=3,
+                   tmvp=True, max_merge=3, ctu_size=64),
     "slow": dict(rdoq=True, me_iters=10, me_range=10, bframes=4, sao=True,
-                 sign_hiding=True, deblock=True),
+                 sign_hiding=True, deblock=True, num_refs=4, tmvp=True,
+                 max_merge=3, ctu_size=64),
     "slower": dict(rdoq=True, me_iters=12, me_range=12, bframes=8, sao=True,
-                   sign_hiding=True, deblock=True),
-    "veryslow": dict(rdoq=True, me_iters=16, me_range=12, bframes=8, sao=True,
-                     sign_hiding=True, deblock=True),
-    "placebo": dict(rdoq=True, me_iters=16, me_range=12, bframes=8, sao=True,
-                    sign_hiding=True, deblock=True),
+                   sign_hiding=True, deblock=True, num_refs=4,
+                   tmvp=True, max_merge=4, ctu_size=64),
+    "veryslow": dict(rdoq=True, me_iters=16, me_range=12, bframes=8,
+                     sao=True, sign_hiding=True, deblock=True,
+                     num_refs=5, tmvp=True, max_merge=4, ctu_size=64),
+    "placebo": dict(rdoq=True, me_iters=16, me_range=12, bframes=8,
+                    sao=True, sign_hiding=True, deblock=True,
+                    num_refs=5, tmvp=True, max_merge=5, ctu_size=64),
 }
 
 

@@ -1277,7 +1277,9 @@ class PSliceDecoder:
         size = 1 << l2
         cn = size >> 1
         split = 0
-        if self.sps.max_trafo_depth_inter > 0 and 2 < l2 <= 5:
+        if l2 == 6:
+            split = 1   # 64 > max TB 32: split inferred (7.4.9.8)
+        elif self.sps.max_trafo_depth_inter > 0 and 2 < l2 <= 5:
             split = cab.decode_bin(OFF["split_transform_flag"] + 5 - l2)
         cbf_cb = cab.decode_bin(OFF["cbf_chroma"])
         cbf_cr = cab.decode_bin(OFF["cbf_chroma"])
@@ -1596,7 +1598,11 @@ class BSliceDecoder:
         self.qp_c = chroma_qp(qp)
         self._init_dqp()
 
-    decode = PSliceDecoder.decode
+    def decode(self, substreams=None) -> DecodedFrame:
+        self._decode_ctus(substreams)
+        return DecodedFrame(self.y, self.cb, self.cr, self.qp,
+                            depth8=self.depth8, mv8=self.mv8,
+                            coeff_y=self.coeff_y)
     _decode_ctus = SliceDecoder._decode_ctus
     _depth_at = PSliceDecoder._depth_at
     _cu_tree = PSliceDecoder._cu_tree

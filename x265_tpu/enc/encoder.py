@@ -231,22 +231,29 @@ class IntraEncoder:
                 qp_map = full
             use_device_recon = False
 
+        # CTU 64: intra CUs cap at 32 (x265 likewise analyses intra at
+        # <=32; the 64 level exists for inter skip CUs) — analyse on
+        # the 32 grid, then shift depth one level down the 64-tree
+        actu = min(cfg.ctu_size, 32)
+        dshift = 1 if cfg.ctu_size == 64 else 0
         if use_device_recon:
             # fused device analysis (2 dispatches total: luma + chroma)
             depth8, mode8, nxn8, mode4 = analyze_intra_gop(
-                yp[None], qp, cfg.ctu_size, cfg.bit_depth,
+                yp[None], qp, actu, cfg.bit_depth,
                 intra_nxn=cfg.intra_nxn)
-            depth8, mode8 = depth8[0], mode8[0]
+            depth8, mode8 = depth8[0] + dshift, mode8[0]
             nxn8, mode4 = nxn8[0], mode4[0]
             cmode8 = analyze_chroma_gop(cbp[None], crp[None],
-                                        depth8[None], mode8[None], qp,
+                                        depth8[None] - dshift,
+                                        mode8[None], qp,
                                         cfg.bit_depth)[0]
         else:
             depth8, mode8, nxn8, mode4 = analyze_intra_frame(
-                yp, qp, cfg.ctu_size, cfg.bit_depth,
+                yp, qp, actu, cfg.bit_depth,
                 intra_nxn=cfg.intra_nxn)
-            cmode8 = analyze_chroma_modes(cbp, crp, depth8, mode8, qp,
-                                          cfg.bit_depth)
+            depth8 = depth8 + dshift
+            cmode8 = analyze_chroma_modes(cbp, crp, depth8 - dshift,
+                                          mode8, qp, cfg.bit_depth)
         sao_params = None
         if use_device_recon:
             # device pipeline: wavefront recon, in-loop filters and the

@@ -59,7 +59,7 @@ def _zindex(bx: int, by: int) -> int:
 
 
 def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32,
-                  sub: int | None = None):
+                  sub: int | None = None, bl: bool = False):
     """Static canonical-ref geometry for a CU of size n at (ox, oy).
 
     Returns (rx, ry, z_ok): (4n+1,) tile-relative coords and static
@@ -67,6 +67,10 @@ def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32,
     `p` is the z index of the current min-block (ctu/4 px granularity).
     `sub` (0..3), when given, refines availability to the 4x4 sub-TU
     z position inside min-block p (the PART_NxN luma path, ctu=32).
+    `bl`: expose the below-left column (y in [ctu, 2ctu)) as statically
+    available — the CTU-64 top-left-quadrant case, where those samples
+    belong to the already-decoded left CTU's bottom-right quadrant
+    (masked per tile at runtime by bl_ok).
     """
     k = 4 * n + 1
     bshift = (ctu // 4).bit_length() - 1    # 3 luma / 2 chroma
@@ -85,7 +89,7 @@ def _ref_geometry(n: int, ox: int, oy: int, p: int, ctu: int = 32,
         if y < 0:
             z_ok[i] = True          # top CTU row (or top-right CTU)
         elif x < 0:
-            z_ok[i] = y < ctu       # left CTU column; below it: undecoded
+            z_ok[i] = y < ctu or bl  # left column; below-left: CTU-64 TL
         elif x >= ctu or y >= ctu:
             z_ok[i] = False         # right CTU (same row) / below: undecoded
         elif sub is None:
@@ -128,21 +132,45 @@ def _substitute(refs: jnp.ndarray, avail: jnp.ndarray,
 
 def _process_cu(ext, cf_tile, orig_tile, x0s, y0s, modes, active,
                 n, ox, oy, p, qp, bit_depth, w, h, is_luma, ctu,
-                sign_hiding=False, sub=None):
+                sign_hiding=False, sub=None, tr_ok=None,
+                bl_ok=None, extbl=None):
     """Reconstruct one masked CU (size n at static (ox,oy)) per batch
     element. ext: (B, ctu+1, 2*ctu+1) halo tile; orig_tile: (B, ctu,
-    ctu); modes/active: (B,). Returns updated (ext, cf_tile)."""
-    rx, ry, z_ok = _ref_geometry(n, ox, oy, p, ctu, sub=sub)
+    ctu); modes/active: (B,). tr_ok ((B,) bool): whether the tile's
+    above-right neighbour is decoded — False for the bottom-right
+    quadrant of a 64-CTU, whose z-scan successor owns those samples.
+    bl_ok/extbl: CTU-64 top-left quadrants additionally see the left
+    CTU's bottom-right quadrant as their below-left column; extbl
+    (B, ctu) carries that tile's right column, appended to the flat
+    halo for indexing. Returns updated (ext, cf_tile)."""
+    rx, ry, z_ok = _ref_geometry(n, ox, oy, p, ctu, sub=sub,
+                                 bl=extbl is not None)
     eh, ew = ext.shape[1], ext.shape[2]
-    exti = (np.clip(ry + 1, 0, eh - 1) * ew +
-            np.clip(rx + 1, 0, ew - 1)).astype(np.int32)
+    base = eh * ew
+    exti = np.where(
+        (rx == -1) & (ry >= ctu),
+        base + np.clip(ry - ctu, 0, ctu - 1),
+        np.clip(ry + 1, 0, eh - 1) * ew + np.clip(rx + 1, 0, ew - 1)
+    ).astype(np.int32)
     b = ext.shape[0]
     flat = ext.reshape(b, -1)
+    if extbl is not None:
+        flat = jnp.concatenate([flat, extbl], axis=1)
+    else:
+        # below-left reads clamp into the halo (masked unavailable)
+        exti = np.minimum(exti, base - 1)
     refs = jnp.take(flat, jnp.asarray(exti), axis=1)
     gx = x0s[:, None] + jnp.asarray(rx)[None, :]
     gy = y0s[:, None] + jnp.asarray(ry)[None, :]
     avail = jnp.asarray(z_ok)[None, :] & (gx >= 0) & (gy >= 0) & \
         (gx < w) & (gy < h)
+    if tr_ok is not None:
+        tr_region = jnp.asarray((ry < 0) & (rx >= ctu))
+        avail = avail & (tr_ok[:, None] | ~tr_region[None, :])
+    if extbl is not None:
+        bl_region = jnp.asarray((rx == -1) & (ry >= ctu))
+        blm = bl_ok[:, None] if bl_ok is not None else False
+        avail = avail & (blm | ~bl_region[None, :])
     refs = _substitute(refs, avail, bit_depth)
 
     preds = intra_pred_all_modes(refs, n, is_luma=is_luma,
@@ -230,6 +258,18 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, ct, nt, m4t,
     x0c = jnp.concatenate([x0s, x0s]) // 2
     y0c = jnp.concatenate([y0s, y0s]) // 2
     cw, chh = w // 2, h // 2
+    tr = idx.get("tr_ok")
+    tr = None if tr is None else (tr != 0)
+    tr2 = None if tr is None else jnp.concatenate([tr, tr])
+    bl = idx.get("bl_ok")
+    use_bl = bl is not None and "belowleft_y" in idx
+    if use_bl:
+        bl = bl != 0
+        bl2 = jnp.concatenate([bl, bl])
+        extbl_y = jnp.take(rec_y, idx["belowleft_y"], axis=0)[:, :, -1]
+        extbl_c = jnp.take(rec_c, idx["belowleft_c"], axis=0)[:, :, -1]
+    else:
+        bl = bl2 = extbl_y = extbl_c = None
     for p in range(16):
         ox, oy = _zpos(p)
         d = dt[:, oy >> 3, ox >> 3]
@@ -247,12 +287,14 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, ct, nt, m4t,
         for n, cox, coy, act, cact in plans:
             ext_y, cfy_t = _process_cu(
                 ext_y, cfy_t, oy_t, x0s, y0s, m, act, n, cox, coy, p,
-                qp, bit_depth, w, h, True, ctu, sign_hiding)
+                qp, bit_depth, w, h, True, ctu, sign_hiding,
+                tr_ok=tr, bl_ok=bl, extbl=extbl_y)
             cact2 = jnp.concatenate([cact, cact])
             ext_c, cfc_t = _process_cu(
                 ext_c, cfc_t, oc_t, x0c, y0c, cm2, cact2, n >> 1,
                 cox >> 1, coy >> 1, p, qpc, bit_depth, cw, chh, False,
-                ctu // 2, sign_hiding)
+                ctu // 2, sign_hiding, tr_ok=tr2, bl_ok=bl2,
+                extbl=extbl_c)
         if intra_nxn:
             # PART_NxN: four 4x4 luma PU/TUs in z order, each predicting
             # from the previous sub-TUs' in-tile reconstruction
@@ -264,7 +306,8 @@ def _diag_step(rec_y, rec_c, cf_y, cf_c, idx, dt, mt, ct, nt, m4t,
                 ext_y, cfy_t = _process_cu(
                     ext_y, cfy_t, oy_t, x0s, y0s, m4, act4, 4, ox + sx,
                     oy + sy, p, qp, bit_depth, w, h, True, ctu,
-                    sign_hiding, sub=s)
+                    sign_hiding, sub=s, tr_ok=tr, bl_ok=bl,
+                    extbl=extbl_y)
 
     # whole-tile writes (axis-0 scatter; masked batch lanes target the
     # slot-0 dummy, which is never read as real data)
@@ -351,16 +394,56 @@ def _finalize(rec_y, rec_c, cf_y, cf_c, *, nf: int, ncy: int, ncx: int,
 
 
 @lru_cache(maxsize=None)
-def _wavefront_schedule(ncx: int, ncy: int, ctu: int):
-    """Static wavefront: per diagonal, the (cx, cy) cells on it."""
-    ndiag = (ncx - 1) + 2 * (ncy - 1) + 1
-    diags = []
-    bmax = 0
-    for d in range(ndiag):
-        cells = [(d - 2 * cy, cy) for cy in range(ncy)
-                 if 0 <= d - 2 * cy < ncx]
-        diags.append(cells)
-        bmax = max(bmax, len(cells))
+def _wavefront_schedule(ncx: int, ncy: int, ctu: int,
+                        ctu_cfg: int | None = None):
+    """Static wavefront: per step, the (cx, cy) cells on it.
+
+    Raster order: anti-diagonals d = cx + 2*cy (the WPP slope). CTU-64
+    z-order adds one dependency — a top-left quadrant needs the left
+    CTU's bottom-right quadrant (its below-left tile) — so the
+    schedule is the longest-path levelization of that DAG (~1.7x the
+    steps of the raster wavefront)."""
+    if ctu_cfg != 64:
+        ndiag = (ncx - 1) + 2 * (ncy - 1) + 1
+        diags = []
+        bmax = 0
+        for d in range(ndiag):
+            cells = [(d - 2 * cy, cy) for cy in range(ncy)
+                     if 0 <= d - 2 * cy < ncx]
+            diags.append(cells)
+            bmax = max(bmax, len(cells))
+        return ndiag, bmax, diags
+
+    def deps_of(cx, cy):
+        q = (cy % 2) * 2 + (cx % 2)
+        out = []
+        for dx, dy in ((-1, 0), (0, -1), (-1, -1), (1, -1)):
+            if q == 3 and (dx, dy) == (1, -1):
+                continue          # BR quadrant: no above-right dep
+            nx, ny = cx + dx, cy + dy
+            if 0 <= nx < ncx and 0 <= ny < ncy:
+                out.append((nx, ny))
+        if q == 0:                # TL: below-left (left CTU's BR)
+            nx, ny = cx - 1, cy + 1
+            if 0 <= nx < ncx and 0 <= ny < ncy:
+                out.append((nx, ny))
+        return out
+
+    tiles = [(cx, cy) for cy in range(ncy) for cx in range(ncx)]
+    lev = {t: 0 for t in tiles}
+    changed = True
+    while changed:
+        changed = False
+        for t in tiles:
+            v = 1 + max([lev[d] for d in deps_of(*t)], default=-1)
+            if v != lev[t]:
+                lev[t] = v
+                changed = True
+    ndiag = max(lev.values()) + 1
+    diags = [[] for _ in range(ndiag)]
+    for t in tiles:
+        diags[lev[t]].append(t)
+    bmax = max(len(c) for c in diags)
     return ndiag, bmax, diags
 
 
@@ -378,9 +461,14 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     Returns (syns, recons) — plus, when return_device, the device
     recon planes ((F*Hp, Wp) luma, (2F*Hp/2, Wp/2) chroma) so callers
     can keep the reference pictures device-resident."""
-    assert cfg.ctu_size == 32, "device wavefront currently tuned for CTU32"
+    assert cfg.ctu_size in (32, 64), "device wavefront: CTU 32/64"
     nf, h, w = orig_y.shape
-    ctu = cfg.ctu_size
+    # the wavefront tile is 32 px regardless of SPS CTU size; for CTU
+    # 64 the tiles are the z-scan quadrants (intra CUs cap at 32 — the
+    # analysis never emits depth 0 at CTU 64 — so only availability
+    # differs: tr_ok masks the bottom-right quadrant's above-right)
+    ctu = 32
+    ctu64 = cfg.ctu_size == 64
     half = ctu // 2
     ncx = (w + ctu - 1) // ctu
     ncy = (h + ctu - 1) // ctu
@@ -425,7 +513,10 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     dpad = np.full((nf, ncy * n8, ncx * n8), 2, np.uint8)
     mpad = np.ones((nf, ncy * n8, ncx * n8), np.uint8)
     cpad2 = np.ones((nf, ncy * n8, ncx * n8), np.uint8)
-    dpad[:, :n8y, :n8x] = depth8
+    # tile-relative depth: at CTU 64 the SPS-relative depth is one
+    # deeper than the 32-tile depth (forced split at 64)
+    dpad[:, :n8y, :n8x] = np.maximum(depth8.astype(np.int32) - 1, 0) \
+        if ctu64 else depth8
     mpad[:, :n8y, :n8x] = mode8
     cpad2[:, :n8y, :n8x] = mode8 if cmode8 is None else cmode8
 
@@ -444,8 +535,10 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     nt_all = tile_dec(npad, n8)
     m4_all = tile_dec(m4pad, n4)
 
-    ndiag, bmax, diags = _wavefront_schedule(ncx, ncy, ctu)
-    sched = _gop_schedule(ncx, ncy, ctu, nf, n8)
+    ndiag, bmax, diags = _wavefront_schedule(
+        ncx, ncy, ctu, cfg.ctu_size if ctu64 else None)
+    sched = _gop_schedule(ncx, ncy, ctu, nf, n8,
+                          ctu_cfg=cfg.ctu_size if ctu64 else None)
     idxs, dta_sel, mta_sel = sched
     dta = dt_all.reshape(nf * nct, n8, n8)[dta_sel]
     mta = mt_all.reshape(nf * nct, n8, n8)[mta_sel]
@@ -526,10 +619,17 @@ def reconstruct_intra_gop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
 
 
 @lru_cache(maxsize=None)
-def _gop_schedule(ncx: int, ncy: int, ctu: int, nf: int, n8: int):
-    """Static per-diagonal index arrays for the tiled wavefront."""
+def _gop_schedule(ncx: int, ncy: int, ctu: int, nf: int, n8: int,
+                  ctu_cfg: int | None = None):
+    """Static per-diagonal index arrays for the tiled wavefront.
+
+    ctu_cfg: the SPS CTU size when it exceeds the 32-tile (CTU 64):
+    tiles are the four z-scan quadrants of each 64-CTU, and the
+    bottom-right quadrant's above-right neighbour is NOT yet decoded
+    in bitstream order — tr_ok masks it (z-scan deps are a subset of
+    the raster wavefront deps, so the schedule itself is unchanged)."""
     nct = ncy * ncx
-    ndiag, bmax, diags = _wavefront_schedule(ncx, ncy, ctu)
+    ndiag, bmax, diags = _wavefront_schedule(ncx, ncy, ctu, ctu_cfg)
     B = nf * bmax
     far = 1 << 20
 
@@ -539,10 +639,11 @@ def _gop_schedule(ncx: int, ncy: int, ctu: int, nf: int, n8: int):
         return 1 + f * nct + cy * ncx + cx
 
     names = ["x0", "y0", "self_y", "top_y", "topright_y", "topleft_y",
-             "left_y", "self_o"]
+             "left_y", "belowleft_y", "self_o", "tr_ok", "bl_ok"]
     idxs = {k: np.zeros((ndiag, B), np.int32) for k in names}
     idxs["x0"][:] = far
     idxs["y0"][:] = far
+    idxs["tr_ok"][:] = 1
     dsel = np.zeros((ndiag, B), np.int64)
     for d, cells in enumerate(diags):
         for f in range(nf):
@@ -556,17 +657,32 @@ def _gop_schedule(ncx: int, ncy: int, ctu: int, nf: int, n8: int):
                 idxs["topleft_y"][d, bi] = tid(f, cy - 1, cx - 1)
                 idxs["left_y"][d, bi] = tid(f, cy, cx - 1)
                 idxs["self_o"][d, bi] = f * nct + cy * ncx + cx
+                if ctu_cfg == 64 and (cx & 1) and (cy & 1):
+                    idxs["tr_ok"][d, bi] = 0
+                if ctu_cfg == 64 and not (cx & 1) and not (cy & 1):
+                    # TL quadrant: left CTU's BR (below-left tile) is
+                    # decoded in z order and supplies the below-left
+                    # reference column
+                    idxs["belowleft_y"][d, bi] = tid(f, cy + 1, cx - 1)
+                    idxs["bl_ok"][d, bi] = \
+                        1 if tid(f, cy + 1, cx - 1) else 0
                 dsel[d, bi] = f * nct + cy * ncx + cx
     for key_src, key_dst in (("self_y", "self_c"), ("top_y", "top_c"),
                              ("topright_y", "topright_c"),
                              ("topleft_y", "topleft_c"),
-                             ("left_y", "left_c")):
+                             ("left_y", "left_c"),
+                             ("belowleft_y", "belowleft_c")):
         base = idxs[key_src]
         cb_idx = np.where(base > 0, base, 0)
         cr_idx = np.where(base > 0, base + nf * nct, 0)
         idxs[key_dst] = np.concatenate([cb_idx, cr_idx], axis=1)
     oc = idxs["self_o"]
     idxs["self_oc"] = np.concatenate([oc, oc + nf * nct], axis=1)
+    if ctu_cfg != 64:
+        # the quadrant-availability machinery exists only for CTU 64;
+        # dropping the keys keeps the CTU-32 program unchanged
+        for k in ("tr_ok", "bl_ok", "belowleft_y", "belowleft_c"):
+            idxs.pop(k, None)
     return idxs, dsel, dsel.copy()
 
 

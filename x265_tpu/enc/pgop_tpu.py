@@ -302,8 +302,9 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
     hdr_bits = float(hdr_bits)
     split_bits = float(split_bits)
     big = jnp.float32(1e18)
+    has64 = 64 in sse
     cost = {}
-    for n in SIZES:
+    for n in (SIZES + ((64,) if has64 else ())):
         by, bx = h // n, w // n
         c = sse[n].astype(jnp.float32) + \
             lam2 * (bits[n].astype(jnp.float32) + hdr_bits)
@@ -326,7 +327,9 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
     rep = lambda a, k: jnp.repeat(jnp.repeat(a, k, 0), k, 1)
     k32 = rep(keep32, 4)[:n8y, :n8x]
     k16 = rep(keep16, 2)[:n8y, :n8x]
-    depth8 = jnp.where(k32, 0, jnp.where(k16, 1, 2)).astype(jnp.int32)
+    base = 1 if has64 else 0
+    depth8 = base + jnp.where(k32, 0, jnp.where(k16, 1, 2)) \
+        .astype(jnp.int32)
 
     def up_mv(n, k):
         by, bx = h // n, w // n
@@ -343,6 +346,23 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
 
         ref8 = jnp.where(k32, up_ref(32, 4),
                          jnp.where(k16, up_ref(16, 2), up_ref(8, 1)))
+    if has64:
+        # depth-0 64x64 CUs (x265 maxCUSize 64, param.cpp:155): one CU
+        # header + one MVD where the four 32-blocks agree; the content
+        # (four 32x32 TUs — the forced transform split, 7.4.9.8) is
+        # the 32-level planes verbatim, so the candidate costs nothing
+        # on device beyond this comparison.
+        agg32 = jnp.where(keep32, cost[32], ch32)
+        agg32 = jnp.where(agg32 >= big, 0.0, agg32)
+        by64, bx64 = h // 64, w // 64
+        ch64 = agg32.reshape(by64, 2, bx64, 2).sum(axis=(1, 3)) + \
+            lam2 * split_bits
+        keep64 = cost[64] <= ch64
+        k64 = rep(keep64, 8)[:n8y, :n8x]
+        depth8 = jnp.where(k64, 0, depth8)
+        mv8 = jnp.where(k64[..., None], up_mv(64, 8), mv8)
+        if refs is not None and 64 in refs:
+            ref8 = jnp.where(k64, up_ref(64, 8), ref8)
     return depth8, mv8.astype(jnp.int32), ref8.astype(jnp.int32)
 
 
@@ -567,10 +587,53 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
             psy_n = de.reshape(by, k, bx, k).sum(axis=(1, 3))
             sse[n] = sse[n] + jnp.float32(psy_rd) * lam * psy_n
 
+    mvs_d = dict(mvs)
+    refs_d = None if refs_grid is None else dict(refs_grid)
+    if ctu == 64:
+        # 64x64 depth-0 candidate from the 32-level content: eligible
+        # where the four 32-blocks share (mv, ref) and none chose a TU
+        # split (a 64 CU's TUs are exactly the four 32s, 7.4.9.8)
+        by64, bx64 = h // 64, w // 64
+        by32g, bx32g = h // 32, w // 32
+        mv32g = mvs[32].reshape(by32g, bx32g, 2)
+
+        def q4(a):
+            return a.reshape(by64, 2, bx64, 2).sum(axis=(1, 3))
+
+        mv_tl = mv32g[0::2, 0::2]
+        elig = jnp.ones((by64, bx64), bool)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                elig &= (mv32g[dy::2, dx::2] == mv_tl).all(-1)
+        r_tl = None
+        if refs_d is not None:
+            r32g = refs_d[32]
+            r_tl = r32g[0::2, 0::2]
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    elig &= r32g[dy::2, dx::2] == r_tl
+        if 32 in tusplit:
+            elig &= ~(tusplit[32].reshape(by64, 2, bx64, 2)
+                      .any(axis=(1, 3)))
+        sse[64] = q4(sse[32]) + \
+            jnp.where(elig, 0.0, jnp.float32(1e18))
+        coeff32 = bits[32] - float(calib[5]) * _mvd_bits_est(mv32g)
+        if refs_d is not None and nrefs > 1:
+            coeff32 = coeff32 - jnp.minimum(
+                r32g + 1, nrefs - 1).astype(jnp.float32)
+        bits64 = q4(coeff32) + \
+            float(calib[5]) * _mvd_bits_est(mv_tl)
+        if refs_d is not None and nrefs > 1:
+            bits64 = bits64 + jnp.minimum(
+                r_tl + 1, nrefs - 1).astype(jnp.float32)
+        bits[64] = bits64
+        mvs_d[64] = mv_tl
+        if refs_d is not None:
+            refs_d[64] = r_tl
     depth8, mv8, ref8 = _rd_depth_decision(
-        sse, bits, mvs, lam2, real_h, real_w, h, w,
+        sse, bits, mvs_d, lam2, real_h, real_w, h, w,
         hdr_bits=float(calib[3]), split_bits=float(calib[4]),
-        refs=refs_grid)
+        refs=refs_d)
 
     n8y_, n8x_ = h // 8, w // 8
 
@@ -578,12 +641,16 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         return jnp.repeat(jnp.repeat(a, k, 0), k, 1)[:n8y_, :n8x_]
 
     zb = jnp.zeros((n8y_, n8x_), bool)
+    dof = 1 if ctu == 64 else 0      # depth of the 32-level
     tusplit8 = jnp.where(
-        depth8 == 0, rep8(tusplit[32], 4) if 32 in tusplit else zb,
-        jnp.where(depth8 == 1,
+        depth8 == dof, rep8(tusplit[32], 4) if 32 in tusplit else zb,
+        jnp.where(depth8 == dof + 1,
                   rep8(tusplit[16], 2) if 16 in tusplit else zb, False))
 
-    size_of_depth = {0: 32, 1: 16, 2: 8}
+    # depth -> content planes: depth-0 64 CUs reuse the 32 planes
+    # (same predictions, four 32 TUs)
+    size_of_depth = {0: 32, 1: 16, 2: 8} if ctu == 32 else \
+        {0: 32, 1: 32, 2: 16, 3: 8}
     out = [jnp.zeros_like(p) for p in planes[8]]
     for d, n in size_of_depth.items():
         m8 = depth8 == d
@@ -632,30 +699,28 @@ def _strided_refs8(rec: jnp.ndarray, n: int):
     return refs.astype(jnp.int32)
 
 
-def _zok_table(n: int, ctu: int) -> np.ndarray:
-    """(16, 4n+1) static decode-order availability per z-position class
-    (cell (bx%4, by%4) of its CTU)."""
-    from .intra_recon_tpu import _ref_geometry, _zindex
-    cell = ctu // 4
-    tab = np.zeros((16, 4 * n + 1), dtype=bool)
-    for cy in range(4):
-        for cx in range(4):
-            p = _zindex(cx, cy)
-            _, _, z_ok = _ref_geometry(n, cx * cell, cy * cell, p, ctu)
-            tab[p] = z_ok
-    return tab
+def _z_of(x: np.ndarray, y: np.ndarray, log2_ctu: int,
+          cell_shift: int = 3) -> np.ndarray:
+    """Vectorized z-scan index of the min-cell containing (x, y)
+    within its CTU (the mv_derive._z8 twin, any CTU size).
+    cell_shift: log2 min-cell — 3 on luma planes, 2 on 4:2:0 chroma
+    planes (whose CTU/cell sizes are halved)."""
+    bx = (x & ((1 << log2_ctu) - 1)) >> cell_shift
+    by = (y & ((1 << log2_ctu) - 1)) >> cell_shift
+    z = np.zeros(np.broadcast_shapes(np.shape(bx), np.shape(by)),
+                 np.int64)
+    for b in range(log2_ctu - cell_shift):
+        z = z | (((bx >> b) & 1) << (2 * b))
+        z = z | (((by >> b) & 1) << (2 * b + 1))
+    return z
 
 
 def _avail_refs(n: int, ctu: int, by: int, bx: int, real_h: int,
-                real_w: int) -> np.ndarray:
-    """(B, 4n+1) static availability: z-order class + picture border."""
-    from .intra_recon_tpu import _zindex
-    cell = ctu // n if False else None  # noqa (documentation aid)
-    tab = _zok_table(n, ctu)
-    cls = np.array([[_zindex(x % 4, y % 4) for x in range(bx)]
-                    for y in range(by)], np.int32)
-    zok = tab[cls]                              # (by, bx, 4n+1)
-    # border: ref i coords relative to block origin
+                real_w: int, cell_shift: int = 3) -> np.ndarray:
+    """(B, 4n+1) static decode-order availability (clause 6.4.1
+    z-scan, generic over CTU size) + picture-border mask for every
+    aligned n-block of the plane. cell_shift: 3 luma, 2 chroma."""
+    log2_ctu = ctu.bit_length() - 1
     k = 4 * n + 1
     rx = np.zeros(k, np.int32)
     ry = np.zeros(k, np.int32)
@@ -666,9 +731,21 @@ def _avail_refs(n: int, ctu: int, by: int, bx: int, real_h: int,
             rx[i], ry[i] = -1, -1
         else:
             rx[i], ry[i] = i - 2 * n - 1, -1
-    gx = (np.arange(bx) * n)[None, :, None] + rx[None, None, :]
-    gy = (np.arange(by) * n)[:, None, None] + ry[None, None, :]
+    x0 = (np.arange(bx) * n)[None, :, None]
+    y0 = (np.arange(by) * n)[:, None, None]
+    gx = x0 + rx[None, None, :]
+    gy = y0 + ry[None, None, :]
     border = (gx >= 0) & (gy >= 0) & (gx < real_w) & (gy < real_h)
+    tr = gy >> log2_ctu
+    tc = np.maximum(gx, 0) >> log2_ctu
+    cr = y0 >> log2_ctu
+    cc = x0 >> log2_ctu
+    earlier = (tr < cr) | ((tr == cr) & (tc < cc))
+    same = (tr == cr) & (tc == cc)
+    zref = _z_of(np.maximum(gx, 0), np.maximum(gy, 0), log2_ctu,
+                 cell_shift)
+    zblk = _z_of(x0 + 0 * gx, y0 + 0 * gy, log2_ctu, cell_shift)
+    zok = earlier | (same & (zref < zblk))
     return (zok & border).reshape(by * bx, k)
 
 
@@ -747,7 +824,8 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
     pred = (preds * moh[:, :, None, None]).sum(1)
 
     # acceptance: beats inter AND cell is an 8x8 CU already
-    accept0 = (icost < inter_cost8) & (depth8.reshape(-1) == 2)
+    mind = ctu.bit_length() - 4      # depth of 8x8 CUs (2 @32, 3 @64)
+    accept0 = (icost < inter_cost8) & (depth8.reshape(-1) == mind)
     # 4-phase parity independent set (8-neighbourhood exclusion)
     yy = np.arange(by)[:, None] % 2
     xx = np.arange(bx)[None, :] % 2
@@ -783,7 +861,8 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
     crefs_b = _strided_refs8(rec_cb, 4)
     crefs_r = _strided_refs8(rec_cr, 4)
     cavail = jnp.asarray(_avail_refs(4, ctu // 2, by, bx,
-                                     real_h // 2, real_w // 2))
+                                     real_h // 2, real_w // 2,
+                                     cell_shift=2))
     ocb_b = ocb.reshape(by, 4, bx, 4).transpose(0, 2, 1, 3) \
         .reshape(b, 4, 4).astype(jnp.int32)
     ocr_b = ocr.reshape(by, 4, bx, 4).transpose(0, 2, 1, 3) \
@@ -836,11 +915,12 @@ def _inter_bs_maps_t(depth8, mv8, cf_y, ctu: int, intra8=None,
     size = (ctu >> depth8).astype(jnp.int32)
     if tusplit8 is None:
         tusplit8 = jnp.zeros((n8y, n8x), jnp.int32)
-    tdepth = depth8 + (tusplit8 > 0)
+    # effective TU size: CU size halved by an RQT split, capped at the
+    # 32 max TB (64 CUs carry four 32 TUs via the inferred split)
+    tsize = jnp.clip(size >> (tusplit8 > 0), 8, 32)
     # per-cell TU-has-coefficients, pooled at the effective TU size
-    cbf8 = jnp.where(tdepth == 0, orpool(nz8, 4),
-                     jnp.where(tdepth == 1, orpool(nz8, 2), nz8))
-    tsize = jnp.maximum(size >> (tusplit8 > 0), 8)
+    cbf8 = jnp.where(tsize == 32, orpool(nz8, 4),
+                     jnp.where(tsize == 16, orpool(nz8, 2), nz8))
 
     xs = (jnp.arange(n8x) * 8)[None, :]
     ys = (jnp.arange(n8y) * 8)[:, None]
@@ -1482,8 +1562,9 @@ def submit_pgop_tpu(orig_y: np.ndarray, orig_cb: np.ndarray,
     device-resident DeviceRef (no H2D). qp_maps: optional (F, ncty,
     nctx) per-CTU QP from AQ/cuTree (cu_qp_delta per CTU)."""
     f, h, w = orig_y.shape
-    hp = (h + 31) // 32 * 32
-    wp = (w + 31) // 32 * 32
+    m = max(32, cfg.ctu_size)        # scan grids need CTU multiples
+    hp = (h + m - 1) // m * m
+    wp = (w + m - 1) // m * m
     qp = cfg.qp if qp is None else qp
     # static-arg hygiene: `False or 0` is int 0, and Static(0) !=
     # Static(False) in the pjit cache key — a silent full recompile

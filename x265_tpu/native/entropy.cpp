@@ -13,6 +13,7 @@
 // below must match the group order there (asserted at load time by
 // entropy_native.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -81,8 +82,18 @@ struct Cabac {
     int bits_left = -12;
     uint32_t buffered_byte = 0xFF;
     int num_buffered = 0;
+    uint64_t nbits = 0;     // renormalization bits pushed so far
     std::vector<uint8_t> out;
     uint8_t* ctx;
+
+    // exact fractional coder position in 1/256-bit units: emitted
+    // bits plus the entropy still held in the range register — the
+    // bit-counting mode of x265's RDO entropy (entropy.cpp:2217)
+    // realized as position deltas on the REAL coder
+    int64_t pos256() const {
+        double f = 9.0 - std::log2((double)range);
+        return (int64_t)(nbits << 8) + (int64_t)(f * 256.0 + 0.5);
+    }
 
     explicit Cabac(uint8_t* states) : ctx(states) { out.reserve(1 << 16); }
 
@@ -126,6 +137,7 @@ struct Cabac {
         low <<= nbits;
         range <<= nbits;
         bits_left += nbits;
+        this->nbits += nbits;
         if (bits_left >= 0) write_out();
     }
 
@@ -133,6 +145,7 @@ struct Cabac {
         low <<= 1;
         if (bin) low += range;
         bits_left += 1;
+        nbits += 1;
         if (bits_left >= 0) write_out();
     }
 
@@ -143,10 +156,12 @@ struct Cabac {
             low = (low << 8) + (uint64_t)range * pattern;
             value -= pattern << nbins;
             bits_left += 8;
+            nbits += 8;
             if (bits_left >= 0) write_out();
         }
         low = (low << nbins) + (uint64_t)range * value;
         bits_left += nbins;
+        nbits += nbins;
         if (bits_left >= 0) write_out();
     }
 
@@ -157,12 +172,14 @@ struct Cabac {
             low <<= 7;
             range = 2 << 7;
             bits_left += 7;
+            nbits += 7;
         } else if (range >= 256) {
             return;
         } else {
             low <<= 1;
             range <<= 1;
             bits_left += 1;
+            nbits += 1;
         }
         if (bits_left >= 0) write_out();
     }
@@ -270,6 +287,9 @@ struct SliceEnc {
     const int32_t* ref_pocs = nullptr; // (num_ref,)
     // temporal MVP (clause 8.5.3.2.8): collocated picture fields
     int tmvp = 0;
+    // bit-counting harvest: per-min-cell ACTUAL CU bits (x16 fixed
+    // point), written at each leaf CU's origin cell
+    int32_t* cu_bits = nullptr;
     const int32_t* col_mv = nullptr;   // (n8, 2)
     const uint8_t* col_ref8 = nullptr;
     const uint8_t* col_inter8 = nullptr;
@@ -963,7 +983,9 @@ struct SliceEnc {
         int size = 1 << l2;
         int cstride = w >> 1;
         int split = 0;
-        if (rqt_inter && l2 > 2 && l2 <= 5) {
+        if (l2 == 6) {
+            split = 1;   // 64 > max TB 32: split inferred (7.4.9.8)
+        } else if (rqt_inter && l2 > 2 && l2 <= 5) {
             split = tusplit8 ? tusplit8[(y0 >> 3) * n8x + (x0 >> 3)] : 0;
             cab.encode_bin(OFF_SPLIT_TRANSFORM_FLAG + 5 - l2, split);
         }
@@ -1098,10 +1120,14 @@ struct SliceEnc {
                 if (sx < w && sy < h) cu_tree(sx, sy, l2 - 1);
             }
         } else {
+            int64_t p0 = cu_bits ? cab.pos256() : 0;
             if (lossless) cab.encode_bin(OFF_CU_TRANSQUANT_BYPASS, 1);
             if (slice_type == 1) code_cu_p(x0, y0, l2);
             else if (slice_type == 0) code_cu_b(x0, y0, l2);
             else code_cu(x0, y0, l2);
+            if (cu_bits)
+                cu_bits[(y0 >> 3) * n8x + (x0 >> 3)] =
+                    (int32_t)((cab.pos256() - p0) >> 4);
         }
     }
 
@@ -1409,6 +1435,7 @@ struct PExtC {
     int32_t col_poc;
     const int32_t* col_ref_pocs;
     int32_t n_col_refs;
+    int32_t* cu_bits_out;         // optional (n8,) harvest buffer
 };
 
 static void apply_pext(SliceEnc& enc, const PExtC* px) {
@@ -1423,6 +1450,7 @@ static void apply_pext(SliceEnc& enc, const PExtC* px) {
     enc.col_poc = px->col_poc;
     enc.col_ref_pocs = px->col_ref_pocs;
     enc.n_col_refs = px->n_col_refs > 0 ? px->n_col_refs : 1;
+    enc.cu_bits = px->cu_bits_out;
 }
 
 // Generic slice-data encoder: slice_type 2 = I (mode8 used), 1 = P

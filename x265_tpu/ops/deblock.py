@@ -61,11 +61,12 @@ def inter_bs_maps(depth8: np.ndarray, mv8: np.ndarray, coeff_y: np.ndarray,
         p[:q.shape[0], :q.shape[1]] = q
         return np.repeat(np.repeat(p, k, 0), k, 1)[:a.shape[0], :a.shape[1]]
 
-    tdepth = depth8 + (tusplit8 > 0)
-    cbf8 = np.where(tdepth == 0, orpool(nz8, 4),
-                    np.where(tdepth == 1, orpool(nz8, 2), nz8))
     size = (ctu >> depth8).astype(np.int32)
-    tsize = np.maximum(size >> (tusplit8 > 0), 8)
+    # effective TU size: CU size halved by an RQT split, capped at the
+    # 32 max TB (64 CUs carry four 32 TUs via the inferred split)
+    tsize = np.clip(size >> (tusplit8 > 0), 8, 32)
+    cbf8 = np.where(tsize == 32, orpool(nz8, 4),
+                    np.where(tsize == 16, orpool(nz8, 2), nz8))
     xs = (np.arange(n8x) * 8)[None, :]
     ys = (np.arange(n8y) * 8)[:, None]
     vmask = (xs % tsize) == 0

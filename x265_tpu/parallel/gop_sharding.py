@@ -136,8 +136,9 @@ def encode_chains(chains, cfg: EncoderConfig, qp: int | None = None,
         mesh = make_gop_mesh(c)
     f = len(chains[0][0])
     h, w = cfg.height_padded, cfg.width_padded
-    hp = (h + 31) // 32 * 32
-    wp = (w + 31) // 32 * 32
+    m = max(32, cfg.ctu_size)
+    hp = (h + m - 1) // m * m
+    wp = (w + m - 1) // m * m
     src_dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
 
     def padp(p, ph, pw):
