@@ -172,6 +172,11 @@ def bench_ippp() -> None:
                      use_device_recon=True, need_recon=False)
     stage_dt["intra"] = time.perf_counter() - t1
     stage_dt.pop("run_chunk")()
+    if os.environ.get("BENCH_DEBUG"):
+        print(f"[stage] intra {stage_dt['intra']:.2f}s "
+              f"chunk {stage_dt['chunk']:.2f}s "
+              f"t={time.perf_counter() - _T_START:.0f}s",
+              file=sys.stderr, flush=True)
 
     # deadline watchdog: the axon compile service sometimes degrades
     # ~50x (a trivial jit taking >1 min); if the measured passes can't

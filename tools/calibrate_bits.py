@@ -244,10 +244,14 @@ def main():
         coef = _nnls(Xd, y)
         a, bcoef = coef[0] - coef[1], coef[1]
         A, B, C, H, M = a, bcoef, coef[2], coef[3], coef[4]
+        # split-flag cost with an intercept absorbing the per-frame
+        # overhead the CU harvest doesn't cover (slice header, CTU
+        # terminators, intra-in-inter CUs)
         sn_a = np.array(sn, np.float64)
         sy_a = np.array(sy, np.float64)
-        S = max(float((sn_a * sy_a).sum() /
-                      np.maximum((sn_a * sn_a).sum(), 1e-9)), 0.0)
+        Xs = np.stack([sn_a, np.ones_like(sn_a)], axis=1)
+        sol, *_ = np.linalg.lstsq(Xs, sy_a, rcond=None)
+        S = max(float(sol[0]), 0.0)
         out = np.array([A, B, C, H, S, M, 0.0])
         pred = X @ np.array([A, B, C, H, M])
         err = np.abs(pred - y) / np.maximum(y, 1)

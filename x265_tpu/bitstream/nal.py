@@ -110,6 +110,43 @@ def annexb_stream(nals: list[tuple]) -> bytes:
     return bytes(out)
 
 
+def length_prefixed_stream(nals: list[tuple]) -> bytes:
+    """Serialize NAL units with 4-byte big-endian length prefixes
+    instead of start codes (the x265 --no-annexb / mp4-track form,
+    nal.cpp serialize with bAnnexB=false). Payloads are still
+    emulation-prevented, matching the reference's behavior."""
+    out = bytearray()
+    for item in nals:
+        t, rbsp = item[0], item[1]
+        pre = item[2] if len(item) > 2 else b""
+        body = nal_header(t) + emulation_prevention(rbsp) + pre
+        out += len(body).to_bytes(4, "big") + body
+    return bytes(out)
+
+
+def split_length_prefixed(stream: bytes) -> list[tuple[int, bytes, bytes]]:
+    """Inverse of length_prefixed_stream: (type, rbsp, raw) units."""
+    out = []
+    pos = 0
+    while pos + 4 <= len(stream):
+        ln = int.from_bytes(stream[pos:pos + 4], "big")
+        body = stream[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        t = (body[0] >> 1) & 0x3F
+        out.append((t, remove_emulation_prevention(body[2:]), body[2:]))
+    return out
+
+
+def annexb_to_length_prefixed(stream: bytes) -> bytes:
+    """Convert an Annex-B AU to 4-byte length-prefixed units (keeps
+    the already-escaped payload bytes verbatim)."""
+    out = bytearray()
+    for t, _rbsp, raw in split_annexb(stream):
+        body = nal_header(t) + raw
+        out += len(body).to_bytes(4, "big") + body
+    return bytes(out)
+
+
 def split_annexb(stream: bytes) -> list[tuple[int, bytes, bytes]]:
     """Parse an Annex-B stream into (nal_type, rbsp, raw_payload)
     units (validation decoder). raw_payload is the emulation-prevented

@@ -138,8 +138,32 @@ def parse_args(argv=None):
                    help="zone QP overrides: 'start,end,qp=N[/...]' "
                         "(x265 --zones q= form)")
     p.add_argument("--csv-log-level", type=int, default=0,
-                   choices=(0, 1), help="1 adds CU distribution + "
-                   "frame latency columns")
+                   choices=(0, 1, 2), help="1 adds CU distribution + "
+                   "frame latency columns; 2 adds intra/merge stats "
+                   "and average QP (x265 csv-log-level analog)")
+    p.add_argument("--no-annexb", dest="annexb", action="store_false",
+                   default=True,
+                   help="length-prefixed NAL units instead of Annex-B "
+                        "start codes (mp4-track form)")
+    p.add_argument("--recon-y4m-exec", metavar="CMD", default=None,
+                   help="pipe the reconstruction as Y4M into CMD's "
+                        "stdin during the encode (x265 reconplay, "
+                        "output/reconplay.cpp)")
+    p.add_argument("--frame-dup", action="store_true",
+                   help="detect duplicate source frames and code them "
+                        "as all-skip pictures (encoder.cpp:172 CFR "
+                        "duplication analog)")
+    p.add_argument("--dup-threshold", type=float, default=55.0,
+                   help="PSNR above which a frame counts as a "
+                        "duplicate (x265 --dup-threshold)")
+    p.add_argument("--hist-scenecut", action="store_true",
+                   help="luma-histogram SAD scene-cut detection "
+                        "(encoder.cpp:1361 computeHistograms analog)")
+    p.add_argument("--no-progress", dest="progress",
+                   action="store_false", default=True,
+                   help="disable the console progress meter")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-frame log lines instead of the meter")
     return p.parse_args(argv)
 
 
@@ -293,11 +317,25 @@ def main(argv=None) -> int:
     recon_w = None
     if args.recon:
         recon_w = Y4MWriter(args.recon, w, h, fps_num, fps_den, depth)
+    recon_play = None
+    if args.recon_y4m_exec:
+        # reconplay: feed the recon into a player's stdin as Y4M
+        # (x265 output/reconplay.cpp pipes into e.g. ffplay)
+        import shlex
+        import subprocess
+        recon_play = subprocess.Popen(
+            shlex.split(args.recon_y4m_exec), stdin=subprocess.PIPE)
+        c = "420mpeg2" if depth == 8 else f"420p{depth}"
+        recon_play.stdin.write(
+            f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A0:0 "
+            f"C{c}\n".encode("ascii"))
     csv = open(args.csv, "w") if args.csv else None
     if csv:
         cols = "poc,type,qp,bits,psnr_y"
         if args.csv_log_level >= 1:
             cols += ",cu_pct_d0,cu_pct_d1,cu_pct_d2,wall_s"
+        if args.csv_log_level >= 2:
+            cols += ",intra_pct,merge_zero_pct,avg_qp"
         csv.write(cols + "\n")
 
     total_bits = 0
@@ -368,8 +406,14 @@ def main(argv=None) -> int:
                 dhdr10_last = payload
         if pre:
             from .bitstream.nal import annexb_stream
-            out.write(annexb_stream(pre))
-        out.write(res.bitstream)
+            au_pre = annexb_stream(pre)
+        else:
+            au_pre = b""
+        if args.annexb:
+            out.write(au_pre + res.bitstream)
+        else:
+            from .bitstream.nal import annexb_to_length_prefixed
+            out.write(annexb_to_length_prefixed(au_pre + res.bitstream))
         total_bits += res.bits
         py = psnr(res.recon.y[:h, :w], np.asarray(orig[0]), maxv)
         psnr_acc += py
@@ -384,15 +428,45 @@ def main(argv=None) -> int:
             recon_w.write_frame(res.recon.y[:h, :w],
                                 res.recon.cb[:h // 2, :w // 2],
                                 res.recon.cr[:h // 2, :w // 2])
+        if recon_play is not None and recon_play.poll() is None:
+            try:
+                recon_play.stdin.write(b"FRAME\n")
+                for pl in (res.recon.y[:h, :w],
+                           res.recon.cb[:h // 2, :w // 2],
+                           res.recon.cr[:h // 2, :w // 2]):
+                    dt8 = np.uint8 if depth == 8 else np.uint16
+                    recon_play.stdin.write(
+                        np.asarray(pl).astype(dt8).tobytes())
+            except BrokenPipeError:
+                pass
         if csv:
             row = f"{n},{ftype},{fqp},{res.bits},{py:.4f}"
             if args.csv_log_level >= 1 and enc.stats.frames:
                 fs = enc.stats.frames[-1]
                 d = fs.cu_pct_by_depth or (0, 0, 0)
                 row += f",{d[0]},{d[1]},{d[2]},{fs.wall_time:.3f}"
+            if args.csv_log_level >= 2:
+                syn = res.syntax
+                i8 = getattr(syn, "intra8", None)
+                ipct = float(i8.mean()) * 100 if i8 is not None else \
+                    (100.0 if ftype == "I" else 0.0)
+                mv = getattr(syn, "mv8", None)
+                zpct = float((np.asarray(mv) == 0).all(-1).mean()) \
+                    * 100 if mv is not None and ftype != "I" else 0.0
+                row += f",{ipct:.2f},{zpct:.2f},{fqp}"
             csv.write(row + "\n")
-        print(f"frame {n:5d} {ftype} qp {fqp} bits {res.bits:8d} "
-              f"Y-PSNR {py:6.3f}{ssim_txt}", file=sys.stderr)
+        if args.verbose:
+            print(f"frame {n:5d} {ftype} qp {fqp} bits {res.bits:8d} "
+                  f"Y-PSNR {py:6.3f}{ssim_txt}", file=sys.stderr)
+        elif args.progress and (n % 5 == 4 or n == 0):
+            # console progress meter (x265cli.cpp printStatus analog)
+            el = max(time.perf_counter() - t0, 1e-6)
+            fps_now = (n + 1) / el
+            kbps_now = total_bits * (fps_num / fps_den) \
+                / max(n + 1, 1) / 1000
+            end = "\r" if sys.stderr.isatty() else "\n"
+            print(f"[{n + 1} frames, {fps_now:.2f} fps, "
+                  f"{kbps_now:.1f} kb/s]", file=sys.stderr, end=end)
         n += 1
 
     def flush_minigop(fqp, count=None):
@@ -434,9 +508,24 @@ def main(argv=None) -> int:
             cplx = 0.0
         else:
             is_intra = la.decide(y) == "I"
+            if args.hist_scenecut and prev_y is not None \
+                    and not is_intra:
+                from .enc.lookahead import hist_scenecut
+                is_intra = hist_scenecut(prev_y, y)
             cplx = rc.frame_complexity(np.asarray(y),
                                        None if is_intra else prev_y)
             fqp = rc.frame_qp(is_intra, cplx)
+        if args.frame_dup and prev_y is not None and not is_intra \
+                and cfg.bframes == 0 and enc.ref is not None:
+            dpy = psnr(np.asarray(y), prev_y, maxv)
+            if dpy >= args.dup_threshold:
+                # duplicate source frame: all-skip picture copies the
+                # reference exactly (encoder.cpp:172 CFR dup analog)
+                res = enc.encode_dup_frame(qp=fqp)
+                rc.frame_done(res.bits, fqp, 0.0, False)
+                emit(res, (y, cb, cr), "P", fqp)
+                prev_y = np.asarray(y)
+                continue
         fidx = n + len(gop_buf)
         if fidx in qpfile_map:          # qpfile overrides type + QP
             ft_o, qp_o = qpfile_map[fidx]
@@ -513,6 +602,12 @@ def main(argv=None) -> int:
     out.close()
     if recon_w:
         recon_w.close()
+    if recon_play is not None:
+        try:
+            recon_play.stdin.close()
+        except Exception:
+            pass
+        recon_play.wait()
     if csv:
         csv.close()
     if pass1_log is not None:

@@ -964,6 +964,35 @@ class IntraEncoder:
                                        poc=self.poc, ftype="P"))
         return results
 
+    def encode_dup_frame(self, qp: int | None = None) -> FrameResult:
+        """Encode a DUPLICATE frame as an all-skip P picture (the CFR
+        frame-duplication analog, encoder.cpp:172-217): every CTU is a
+        zero-MV skip CU, so the reconstruction equals the reference
+        exactly at a few dozen bytes. Requires max_merge >= 2 (the
+        zero merge candidate is always reachable then)."""
+        from ..bitstream.syntax import FramePSyntax
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        assert self.ref is not None, "no reference to duplicate"
+        w, h = cfg.width_padded, cfg.height_padded
+        n8y, n8x = h // 8, w // 8
+        syn = FramePSyntax(
+            depth8=np.zeros((n8y, n8x), np.uint8),
+            mv8=np.zeros((n8y, n8x, 2), np.int32),
+            coeff_y=np.zeros((h, w), np.int32),
+            coeff_cb=np.zeros((h // 2, w // 2), np.int32),
+            coeff_cr=np.zeros((h // 2, w // 2), np.int32))
+        from .intra_recon import DeviceRef
+        recon = self.ref.to_recon() if isinstance(self.ref, DeviceRef) \
+            else self.ref
+        rs = self._emit_p_frames([syn], [recon], qp)
+        # the duplicate occupies the newest DPB slot with the SAME
+        # pixels; restart the multi-ref chain from it so the device
+        # carry matches the decoder's reference list
+        self.ref = recon
+        self.ref_avail = 1
+        return rs[0]
+
     def encode_pgop_pipelined(self, frames, qp: int | None = None,
                               chunk: int = 8, need_recon: bool = False,
                               qp_maps: np.ndarray | None = None,

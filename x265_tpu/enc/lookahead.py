@@ -149,3 +149,24 @@ class Lookahead:
             return "I"
         self.since_idr += 1
         return "P"
+
+
+def hist_scenecut(prev_y: np.ndarray, y: np.ndarray,
+                  threshold: float = 0.12) -> bool:
+    """Luma-histogram SAD scene-cut (the encoder.cpp:1361
+    computeHistograms / x265 --hist-scenecut analog): normalized SAD
+    of 64-bin luma histograms plus a Sobel edge-density delta; either
+    signal past its threshold marks a cut."""
+    a = np.asarray(prev_y).astype(np.int32)
+    b = np.asarray(y).astype(np.int32)
+    ha = np.bincount((a >> 2).reshape(-1), minlength=64)[:64]
+    hb = np.bincount((b >> 2).reshape(-1), minlength=64)[:64]
+    n = max(a.size, 1)
+    sad = float(np.abs(ha - hb).sum()) / (2.0 * n)
+
+    def edges(p):
+        gx = np.abs(p[1:-1, 2:] - p[1:-1, :-2])
+        gy = np.abs(p[2:, 1:-1] - p[:-2, 1:-1])
+        return float(((gx + gy) > 48).mean())
+
+    return sad > threshold or abs(edges(a) - edges(b)) > 0.08
