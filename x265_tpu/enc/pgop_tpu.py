@@ -59,10 +59,12 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
     (dy, dx) with strict <)."""
     h, w = cur4.shape
     hh, ww = h // blk * blk, w // blk * blk
-    cur = cur4[:hh, :ww].astype(jnp.int32)
+    # int16 abs-diff path: quarter-res samples <= 12 bit and 4x4 SADs
+    # <= 16*4095 fit comfortably — double VPU lane occupancy
+    cur = cur4[:hh, :ww].astype(jnp.int16)
     by, bx = hh // blk, ww // blk
     side = 2 * radius + 1
-    pad = jnp.pad(ref4.astype(jnp.int32),
+    pad = jnp.pad(ref4.astype(jnp.int16),
                   ((radius, radius), (radius, radius)), mode="edge")
 
     def body(iy, state):
@@ -72,7 +74,8 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
             [jax.lax.slice_in_dim(rows, dx, dx + w, axis=1)[:hh, :ww]
              for dx in range(side)])             # (side, hh, ww)
         ad = jnp.abs(cur[None] - cands)
-        sad = ad.reshape(side, by, blk, bx, blk).sum(axis=(2, 4))
+        sad = ad.reshape(side, by, blk, bx, blk) \
+            .sum(axis=(2, 4), dtype=jnp.int32)
         mvpen = (jnp.abs(jnp.arange(side) - radius) +
                  jnp.abs(iy - radius))[:, None, None]
         cost = sad + mvpen                       # (side, by, bx)

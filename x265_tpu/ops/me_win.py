@@ -318,6 +318,11 @@ def int_search_vec(win_t: jnp.ndarray, cur_t: jnp.ndarray,
     i = dy * side + dx."""
     b = cur_t.shape[-1]
 
+    # the abs-diff runs at int16 (samples <= 12 bit, diffs fit) —
+    # double VPU lane occupancy on the dominant elementwise tensor;
+    # the reduction accumulates in int32
+    cur16 = cur_t.astype(jnp.int16)
+
     def body(dy, state):
         best_cost, best_i = state
         row = jax.lax.dynamic_slice(
@@ -326,8 +331,8 @@ def int_search_vec(win_t: jnp.ndarray, cur_t: jnp.ndarray,
         cands = jnp.stack(
             [jax.lax.slice_in_dim(row, lead + dx, lead + dx + n, axis=1)
              for dx in range(side)])             # (side, n, n, B)
-        sad = jnp.sum(jnp.abs(cur_t[None] - cands.astype(jnp.int32)),
-                      axis=(1, 2))               # (side, B)
+        ad = jnp.abs(cur16[None] - cands.astype(jnp.int16))
+        sad = jnp.sum(ad, axis=(1, 2), dtype=jnp.int32)   # (side, B)
         cost = sad + penx + \
             jax.lax.dynamic_slice(peny, (dy, 0), (1, b))
         mi = jnp.argmin(cost, axis=0).astype(jnp.int32)
@@ -458,15 +463,20 @@ def select_window_lanes(win_t: jnp.ndarray, offy: jnp.ndarray,
     vmap(dynamic_slice) on TPU — gathers serialize, shifts are dense).
     offy/offx: (B,) in [0, nshift)."""
     s, _, b = win_t.shape
-    rows = jnp.zeros((out, s, b), jnp.int32)
+    # int16 accumulators: window samples are <= 12-bit pixels and the
+    # one-hot masking adds exactly one term — double lane occupancy on
+    # these wide masked sums (callers upcast for arithmetic)
+    acc_dt = jnp.int16 if win_t.dtype.itemsize <= 2 else jnp.int32
+    rows = jnp.zeros((out, s, b), acc_dt)
     for d in range(nshift):
         m = (offy == d)[None, None, :]
-        rows = rows + jnp.where(m, win_t[d:d + out, :, :], 0)
-    cols = jnp.zeros((out, out, b), jnp.int32)
+        rows = rows + jnp.where(m, win_t[d:d + out, :, :].astype(acc_dt),
+                                acc_dt(0))
+    cols = jnp.zeros((out, out, b), acc_dt)
     for d in range(nshift):
         m = (offx == d)[None, None, :]
-        cols = cols + jnp.where(m, rows[:, d:d + out, :], 0)
-    return cols
+        cols = cols + jnp.where(m, rows[:, d:d + out, :], acc_dt(0))
+    return cols.astype(jnp.int32)
 
 
 # =============================================================================
