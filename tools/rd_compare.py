@@ -83,26 +83,38 @@ def make_family(family: str, nf: int, h: int, w: int, seed: int = 0):
         c = cbase[i:i + h // 2, i:i + w // 2]
         return np.clip(c, 0, 255).astype(np.uint8)
 
+    def crc(i_y, i_x, off=0):
+        """Chroma crop at HALF the luma displacement — 4:2:0 chroma
+        rides the same motion field as luma."""
+        c = cbase[i_y:i_y + h // 2, i_x + off:i_x + off + w // 2]
+        return np.clip(c, 0, 255).astype(np.uint8)
+
     frames = []
     for i in range(nf):
         if family == "pan":
             y = crop(0, 2 * i)
-            cb, cr = cr2(i), cr2(i + 2)
+            cb, cr = crc(0, i), crc(0, i, 3)
         elif family == "fastpan":
-            y = crop(3 * i, 4 * i)
-            cb, cr = cr2(2 * i), cr2(2 * i + 2)
+            y = crop(4 * i, 6 * i)
+            cb, cr = crc(2 * i, 3 * i), crc(2 * i, 3 * i, 3)
         elif family == "fade":
             y = np.clip(crop(0, 2 * i).astype(np.float64)
                         * (1.0 - 0.04 * i) + 3 * i, 0, 255) \
                 .astype(np.uint8)
-            cb, cr = cr2(i), cr2(i + 2)
+            cb, cr = crc(0, i), crc(0, i, 3)
         elif family == "zoom":
             sc = 1.0 + 0.008 * i
             sy = (yy - h / 2) / sc + h / 2 + mar // 2
             sx = (xx - w / 2) / sc + w / 2 + mar // 2
             y = np.clip(_bilinear(base + tex, sy, sx), 0, 255) \
                 .astype(np.uint8)
-            cb, cr = cr2(i // 2), cr2(i // 2 + 2)
+            cyy, cxx = np.mgrid[0:h // 2, 0:w // 2]
+            csy = (cyy - h / 4) / sc + h / 4 + mar // 2
+            csx = (cxx - w / 4) / sc + w / 4 + mar // 2
+            cbp = np.clip(_bilinear(cbase, csy, csx), 0, 255) \
+                .astype(np.uint8)
+            cb, cr = cbp, np.clip(cbp.astype(np.int32) + 6, 0,
+                                  255).astype(np.uint8)
         elif family == "occlusion":
             y = crop(0, 2 * i).copy()
             oy0 = h // 4 + 3 * i
@@ -110,14 +122,14 @@ def make_family(family: str, nf: int, h: int, w: int, seed: int = 0):
             y[oy0:oy0 + h // 4, ox0:ox0 + w // 4] = \
                 (40 + 10 * ((xx[:h // 4, :w // 4] >> 3) & 1)) \
                 .astype(np.uint8)
-            cb, cr = cr2(i), cr2(i + 2)
+            cb, cr = crc(0, i), crc(0, i, 3)
         elif family == "grain":
             g = np.random.default_rng(100 + i).integers(-18, 18, (h, w))
             y = np.clip(base[:h, :w] + g, 0, 255).astype(np.uint8)
-            cb, cr = cr2(0), cr2(2)
+            cb, cr = crc(0, 0), crc(0, 0, 3)
         else:                                  # texture (slow pan)
-            y = crop(i, i)
-            cb, cr = cr2(i), cr2(i + 1)
+            y = crop(2 * i, 2 * i)
+            cb, cr = crc(i, i), crc(i, i, 3)
         frames.append((y, cb, cr))
     return frames
 

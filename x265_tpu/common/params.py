@@ -214,12 +214,43 @@ class EncoderConfig:
             raise ValueError("frame size must be positive")
         if self.ctu_size not in (16, 32, 64):
             raise ValueError("ctu_size must be 16/32/64")
-        if self.bit_depth not in (8, 10, 12):
-            raise ValueError("bit_depth must be 8/10/12")
+        if self.ctu_size == 16 and (self.bframes or self.keyint != 1):
+            # the fused inter scans evaluate CU sizes up to 32; CTU 16
+            # is an all-intra configuration (decoder handles 16/32/64)
+            raise NotImplementedError(
+                "ctu_size 16 supports all-intra only (keyint 1)")
+        if self.bit_depth not in (8, 10):
+            # Main12 (RExt) profile signalling is not implemented —
+            # reject rather than emit a mislabelled stream
+            raise ValueError("bit_depth must be 8 or 10 (Main/Main10)")
         if self.chroma_format != CHROMA_420:
             raise NotImplementedError("only 4:2:0 implemented so far")
         if not 0 <= self.qp <= 51:
             raise ValueError("qp out of range")
+        if self.num_refs < 1 or self.num_refs > 8:
+            raise ValueError("num_refs must be 1..8")
+        if not 1 <= self.max_merge <= 5:
+            raise ValueError("max_merge must be 1..5")
+
+    # fields reconfigurable mid-stream: they change neither the SPS/
+    # PPS nor any compiled program shape (x265_encoder_reconfig
+    # contract, encoder.cpp:2284 — latched at the next frame)
+    RECONFIGURABLE = frozenset((
+        "qp", "crf", "bitrate", "me_range", "me_iters", "psy_rd",
+        "aq_strength", "nr_inter", "keyint", "vbv_maxrate",
+        "vbv_bufsize", "intra_in_inter"))
+
+    def reconfigure(self, **updates) -> None:
+        """Apply a mid-stream parameter update (the
+        x265_encoder_reconfig analog): only fields that do not change
+        stream headers or compiled shapes may move; anything else
+        raises (x265 returns failure for those too)."""
+        for k, v in updates.items():
+            if k not in self.RECONFIGURABLE:
+                raise ValueError(
+                    f"{k!r} is not reconfigurable mid-stream")
+            setattr(self, k, v)
+        self.validate()
 
     # --- derived geometry ---------------------------------------------------
 

@@ -168,6 +168,16 @@ class IntraEncoder:
         self.poc = 0
         self.stats = EncoderStats()
 
+    def reconfigure(self, **updates) -> int:
+        """x265_encoder_reconfig analog: latch safe parameter changes
+        for the NEXT frame; returns 0 on success, -1 if any update is
+        not reconfigurable (nothing is applied then)."""
+        try:
+            self.cfg.reconfigure(**updates)
+            return 0
+        except (ValueError, NotImplementedError):
+            return -1
+
     def get_stats(self) -> dict:
         """Encode-session summary (x265_encoder_get_stats analog)."""
         fps = self.cfg.fps_num / max(self.cfg.fps_den, 1)

@@ -52,11 +52,18 @@ SIZES = (8, 16, 32)
 # =============================================================================
 
 def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
-                          radius: int = 8, blk: int = 4):
+                          radius: int = 8, blk: int = 4,
+                          lam_pen: int = 2):
     """Full search on 1/4-res planes: one fori step per dy row,
     evaluating all 2r+1 dx shifts densely (17x fewer sequential device
     steps than candidate-rolling; selection order-identical — raster
-    (dy, dx) with strict <)."""
+    (dy, dx) with strict <).
+
+    lam_pen scales the |mv| penalty: on self-similar content (fine
+    texture, grain) the quarter-res SAD landscape is nearly flat and
+    unpenalized far seeds win by noise margins — the full-res window
+    then cannot reach the true motion (x265's lowres ME prices
+    lambda*mvbits for the same reason, slicetype.cpp:3216)."""
     h, w = cur4.shape
     hh, ww = h // blk * blk, w // blk * blk
     # int16 abs-diff path: quarter-res samples <= 12 bit and 4x4 SADs
@@ -76,8 +83,8 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
         ad = jnp.abs(cur[None] - cands)
         sad = ad.reshape(side, by, blk, bx, blk) \
             .sum(axis=(2, 4), dtype=jnp.int32)
-        mvpen = (jnp.abs(jnp.arange(side) - radius) +
-                 jnp.abs(iy - radius))[:, None, None]
+        mvpen = lam_pen * (jnp.abs(jnp.arange(side) - radius) +
+                           jnp.abs(iy - radius))[:, None, None]
         cost = sad + mvpen                       # (side, by, bx)
         mi = jnp.argmin(cost, axis=0).astype(jnp.int32)
         mc = jnp.min(cost, axis=0)
@@ -92,6 +99,18 @@ def _coarse_search_rolled(cur4: jnp.ndarray, ref4: jnp.ndarray,
     mv = jnp.stack([best_i % side - radius, best_i // side - radius],
                    axis=-1).astype(jnp.int32)
     return mv, cost
+
+
+def _median3_mv(mv: jnp.ndarray) -> jnp.ndarray:
+    """3x3 per-component median of a (by, bx, 2) MV field: kills the
+    isolated spurious seeds the quarter-res search produces on
+    self-similar content while keeping true motion boundaries (the
+    classical vector-median regularizer; x265 reaches the same effect
+    through MVP-predicted lowres search costs)."""
+    p = jnp.pad(mv, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    stk = jnp.stack([p[dy:dy + mv.shape[0], dx:dx + mv.shape[1]]
+                     for dy in range(3) for dx in range(3)])
+    return jnp.sort(stk, axis=0)[4]
 
 
 # =============================================================================
@@ -1121,6 +1140,9 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
         # --- dense hierarchical ME: one shared window gather per
         # 16-region (serves n=8 and n=16) + one per 32-block
         lam_i = jnp.int32(round(lam))
+        # quarter-res seed penalty per |mv| unit: lambda/4 (quarter-res
+        # SADs are ~1/16 the full-res energy; empirically 2-4 at QP32)
+        coarse_pen = max(int(round(lam)) >> 2, 1)
         pad_y = 2 * me_range + 8
         pad_c = me_range + 8
         # windows are gathered from a NARROW copy of the reference:
@@ -1143,11 +1165,12 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
             cmv16 = seed16_f
         elif not multiref:
             cmv, _ = _coarse_search_rolled(_downsample4(oy_s),
-                                           _downsample4(ry))
+                                           _downsample4(ry),
+                                           lam_pen=coarse_pen)
             # the coarse grid (4x4 blocks at quarter res) IS the
             # 16-region grid at full res; scale quarter-res pels to
             # full-res full-pel
-            cmv16 = cmv * 4
+            cmv16 = _median3_mv(cmv) * 4
         else:
             # --- multi-reference selection (x265 --ref N recast,
             # search.cpp:2354): run the 1/4-res coarse search against
@@ -1161,10 +1184,11 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
             mv_list, cost_list = [], []
             for rr in range(nrefs):
                 mv_r, cost_r = _coarse_search_rolled(
-                    ds_cur, _downsample4(ry_s[rr]))
+                    ds_cur, _downsample4(ry_s[rr]),
+                    lam_pen=coarse_pen)
                 bits_r = min(rr + 1, nrefs - 1)
                 cost_list.append(cost_r + lam_i * bits_r)
-                mv_list.append(mv_r)
+                mv_list.append(_median3_mv(mv_r))
             costs = jnp.stack(cost_list)       # (R, by16, bx16)
             mvsr = jnp.stack(mv_list)
             ref16_g = jnp.argmin(costs, axis=0).astype(jnp.int32)
