@@ -69,7 +69,7 @@ def make_family(family: str, nf: int, h: int, w: int, seed: int = 0):
     fast diagonal pan, fade, zoom, occlusion, grain, texture pan."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
-    mar = 4 * nf + 8
+    mar = 8 * nf + 8      # covers the largest per-frame displacement
     base = _texture(h + mar, w + mar, seed + 1)
     cbase = _texture(h // 2 + mar, w // 2 + mar, seed + 2)
     tex = rng.integers(-8, 8, (h + mar, w + mar))

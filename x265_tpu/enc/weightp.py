@@ -52,14 +52,21 @@ class WeightParams:
 
 def _fit_plane(cur: np.ndarray, ref: np.ndarray, bit_depth: int,
                denom: int) -> tuple[int, int]:
-    """Least-squares (w, o) with w at 2^denom scale and o in 8-bit
-    units; clamped to the syntax ranges of clause 7.4.7.3."""
+    """Moment-matched (w, o): w = sqrt(var_cur/var_ref), o from the
+    means (the guessScaleFactor discipline of weightAnalyse,
+    weightPrediction.cpp:106). A regression slope is WRONG here: on
+    moving texture the co-located planes decorrelate, the slope
+    collapses toward zero and the "weighted" predictor degenerates to
+    a flat plane that beats the co-located SAD gate while destroying
+    the motion-compensated prediction. Variance ratios are invariant
+    to motion. Clamped to the syntax ranges of clause 7.4.7.3."""
     c = cur[::2, ::2].astype(np.float64)
     r = ref[::2, ::2].astype(np.float64)
     mc, mr = c.mean(), r.mean()
     vr = ((r - mr) ** 2).mean()
+    vc = ((c - mc) ** 2).mean()
     one = 1 << denom
-    w = 1.0 if vr < 1.0 else float(((r - mr) * (c - mc)).mean() / vr)
+    w = 1.0 if vr < 1.0 else float(np.sqrt(vc / vr))
     wi = int(round(w * one))
     # delta_luma_weight in [-128, 127]
     wi = max(one - 128, min(one + 127, max(wi, 1)))
