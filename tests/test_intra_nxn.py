@@ -27,30 +27,63 @@ def detail_frame(w, h, seed=3):
     return (y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8))
 
 
-def test_analysis_picks_some_nxn():
-    y, _, _ = detail_frame(64, 64)
+def test_analysis_nxn_only_when_rd_better():
+    """The full-RD analysis (r05) picks NxN only where four 4x4 DST
+    TUs genuinely beat one 8x8 CU in recon-SSE + lambda2*bits. On this
+    clip that is nowhere — forcing all-NxN measures ~50% more bits at
+    LOWER PSNR (the old SATD-sum comparison was biased pro-NxN by the
+    Hadamard gain mismatch between 4x4 and 8x8 SATD). Assert the
+    decision stays consistent with measured e2e RD."""
+    y, cb, cr = detail_frame(64, 64)
     d8, m8, nxn8, mode4 = analyze_intra_frame(y, 27, 32, 8,
                                               intra_nxn=True)
-    assert nxn8.any(), "detail content should trigger PART_NxN"
-    # the four PU modes of an NxN CU should not be all identical
-    ys, xs = np.nonzero(nxn8)
-    diverse = False
-    for yy_, xx_ in zip(ys, xs):
-        blk = mode4[yy_ * 2:yy_ * 2 + 2, xx_ * 2:xx_ * 2 + 2]
-        if len(np.unique(blk)) > 1:
-            diverse = True
-            break
-    assert diverse
+    cfg = EncoderConfig(width=64, height=64, qp=27, intra_nxn=True)
+    r = IntraEncoder(cfg).encode_frame(y, cb, cr,
+                                       use_native_cabac=False)
+
+    # forced all-NxN encode must not beat the RD decision
+    cfg2 = EncoderConfig(width=64, height=64, qp=27, intra_nxn=True)
+    enc2 = IntraEncoder(cfg2)
+    d8f = np.full_like(d8, 2)
+    nxn8f = np.ones_like(nxn8)
+    from x265_tpu.enc.intra_recon import reconstruct_intra_frame as rif
+    syn_f, rec_f = rif(pad_plane(y, cfg2.height_padded,
+                                 cfg2.width_padded),
+                       pad_plane(cb, cfg2.height_padded // 2,
+                                 cfg2.width_padded // 2),
+                       pad_plane(cr, cfg2.height_padded // 2,
+                                 cfg2.width_padded // 2),
+                       d8f, m8, cfg2, nxn8=nxn8f, mode4=mode4)
+    mse_rd = np.mean((np.asarray(r.recon.y).astype(np.int64) - y) ** 2)
+    mse_f = np.mean((np.asarray(rec_f.y)[:64, :64]
+                     .astype(np.int64) - y) ** 2)
+    # RD decision dominates: not worse on BOTH axes (it measures
+    # 7280b/35.63dB vs 11016b/35.35dB forced)
+    assert mse_rd <= mse_f * 1.05
 
 
 @pytest.mark.parametrize("use_native", [False, True])
-def test_nxn_e2e_roundtrip(use_native):
+def test_nxn_e2e_roundtrip(use_native, monkeypatch):
     """Stream with NxN CUs decodes bit-exact to the encoder recon,
-    through both CABAC implementations."""
+    through both CABAC implementations. The RD analysis rarely prefers
+    NxN, so force a mixed map to guarantee the syntax path is
+    exercised."""
+    import x265_tpu.enc.encoder as em
     w, h = 64, 64
     cfg = EncoderConfig(width=w, height=h, qp=27, intra_nxn=True)
     enc = IntraEncoder(cfg)
     y, cb, cr = detail_frame(w, h)
+
+    real = em.analyze_intra_frame
+
+    def forced(*a, **k):
+        d8, m8, nxn8, m4 = real(*a, **k)
+        d8 = np.full_like(d8, 2)   # all-8x8 (quadtree-consistent)
+        nxn8 = nxn8.copy()
+        nxn8[::2, 1::2] = True     # checkerboard NxN
+        return d8, m8, nxn8, m4
+
+    monkeypatch.setattr(em, "analyze_intra_frame", forced)
     r = enc.encode_frame(y, cb, cr, use_native_cabac=use_native)
     assert r.syntax.nxn8 is not None and r.syntax.nxn8.any()
     d = decode_annexb(r.bitstream)[0]
@@ -72,6 +105,10 @@ def test_nxn_device_recon_matches_host():
     d8, m8, nxn8, mode4 = analyze_intra_frame(yp, qp, cfg.ctu_size,
                                               cfg.bit_depth,
                                               intra_nxn=True)
+    # force a mixed NxN map (the RD analysis rarely prefers NxN)
+    d8 = np.full_like(d8, 2)       # all-8x8 (quadtree-consistent)
+    nxn8 = nxn8.copy()
+    nxn8[1::2, ::2] = True
     assert nxn8.any()
     syn_h, rec_h = reconstruct_intra_frame(yp, cbp, crp, d8, m8, cfg,
                                            nxn8=nxn8, mode4=mode4)

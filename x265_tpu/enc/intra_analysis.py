@@ -17,13 +17,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..common.tables import lambda_from_qp
+from ..common.tables import lambda_from_qp, lambda2_from_qp
 from ..ops.intra import intra_pred_all_modes
 from ..ops.satd import sa8d_nxn_batch
 
 # approximate signalling cost (bits) per mode: MPM-favoured modes cheap
 _MODE_BITS = np.full(35, 6.0)
 _MODE_BITS[[0, 1, 10, 26]] = 2.0
+
+# SATD-preselected candidate modes carried into the full-RD stage (the
+# x265 intraModeNumFast analog, search.cpp:2048: medium keeps the SATD
+# top list short and RD-checks only those)
+_RD_K = 3
 
 
 def extract_blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -126,26 +131,99 @@ def analyze_size_device(plane: jnp.ndarray, n: int, lam_bits: jnp.ndarray,
     return jnp.argmin(costs, axis=1).astype(jnp.int32), jnp.min(costs, axis=1)
 
 
+def _bitlen_f(a: jnp.ndarray) -> jnp.ndarray:
+    """Integer bit length via the float32 exponent (exact < 2^24)."""
+    f = a.astype(jnp.float32)
+    e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+    return jnp.where(a > 0, e + 1, 0)
+
+
+def _rd_mode_size(plane: jnp.ndarray, n: int, qp_j: jnp.ndarray,
+                  lam_bits: jnp.ndarray, lam2: jnp.ndarray,
+                  abc: jnp.ndarray, mode_bits: jnp.ndarray,
+                  bit_depth: int):
+    """Full-RD intra mode decision for one CU/TU size over the frame:
+    SATD over all 35 modes preselects _RD_K candidates per block, each
+    candidate is then actually transformed/quantized/reconstructed and
+    priced as recon SSE + lambda2 * (coefficient-bits proxy + mode
+    bits) — the estIntraPredQT discipline (search.cpp:2048,1509) recast
+    as a dense batch. Returns (best_mode (B,), rd_cost (B,) f32)."""
+    from ..ops.transforms import (dct_batch, dequant_batch, idct_batch,
+                                  quant_batch)
+    blocks = extract_blocks(plane, n)
+    refs = gather_refs_device(plane, n, bit_depth)
+    preds = intra_pred_all_modes(refs, n, is_luma=True,
+                                 bit_depth=bit_depth)     # (B, 35, n, n)
+    b = blocks.shape[0]
+    satd = sa8d_nxn_batch(preds - blocks[:, None], n) + \
+        lam_bits[None, :].astype(jnp.int32)
+    _, idx = jax.lax.top_k(-satd, _RD_K)                  # (B, K)
+    # candidate select via one-hot matmul ((B, 35) gathers serialize)
+    oh = (idx[..., None] ==
+          jax.lax.broadcasted_iota(jnp.int32, (b, _RD_K, 35), 2))
+    cand = jnp.einsum(
+        "bkm,bmp->bkp", oh.astype(jnp.float32),
+        preds.reshape(b, 35, n * n).astype(jnp.float32),
+        preferred_element_type=jnp.float32)
+    cand = cand.astype(jnp.int32).reshape(b * _RD_K, n, n)
+    resi = (blocks[:, None] - cand.reshape(b, _RD_K, n, n)) \
+        .reshape(b * _RD_K, n, n)
+    dst = n == 4                       # DST-VII for 4x4 luma intra TBs
+    tc = dct_batch(resi, n, bit_depth, dst=dst)
+    lv = quant_batch(tc, n, qp_j, bit_depth, intra=True)
+    cbf = jnp.any(lv != 0, axis=(1, 2))
+    r = idct_batch(dequant_batch(lv, n, qp_j, bit_depth), n, bit_depth,
+                   dst=dst)
+    maxv = (1 << bit_depth) - 1
+    rec = jnp.where(cbf[:, None, None], jnp.clip(cand + r, 0, maxv),
+                    cand)
+    org = jnp.broadcast_to(blocks[:, None], (b, _RD_K, n, n)) \
+        .reshape(b * _RD_K, n, n)
+    d = (rec - org).astype(jnp.float32)
+    sse = (d * d).sum(axis=(1, 2))
+    a = jnp.abs(lv)
+    nnz = (a > 0).sum(axis=(1, 2)).astype(jnp.float32)
+    slog = _bitlen_f(a).sum(axis=(1, 2)).astype(jnp.float32)
+    cbits = jnp.where(nnz > 0, abc[0] * nnz + abc[1] * slog + abc[2],
+                      0.0)
+    mbits = jnp.take(mode_bits, idx).reshape(-1)          # (B*K,)
+    if n == 4:
+        # four coherent 4x4 PUs mostly hit each other's MPMs — the
+        # average signalled cost is far below the flat per-mode table
+        # (x265 prices this with real MPM-aware fracBits)
+        mbits = mbits * 0.5
+    cost = (sse + lam2 * (cbits + mbits)).reshape(b, _RD_K)
+    k = jnp.argmin(cost, axis=1)
+    best_mode = jnp.take_along_axis(idx, k[:, None], 1)[:, 0]
+    best_cost = jnp.min(cost, axis=1)
+    return best_mode.astype(jnp.int32), best_cost
+
+
 @partial(jax.jit, static_argnames=("h", "w", "ctu", "bit_depth",
                                    "intra_nxn"))
 def _analyze_gop_jit(planes: jnp.ndarray, lam_bits: jnp.ndarray,
-                     lam_split: jnp.ndarray, lam_nxn: jnp.ndarray, *,
+                     lam_split: jnp.ndarray, lam_nxn: jnp.ndarray,
+                     qp_j: jnp.ndarray, lam2: jnp.ndarray,
+                     abc: jnp.ndarray, mode_bits2: jnp.ndarray, *,
                      h: int, w: int, ctu: int, bit_depth: int,
                      intra_nxn: bool = False):
     """Fused mode+depth decision for a GOP: planes (F, Hp, Wp) padded to
-    CTU multiples; (h, w) = real (8-aligned) coded size. Returns
-    depth8/mode8 (F, Hp/8, Wp/8) + nxn8/mode4 on the padded grid."""
+    CTU multiples; (h, w) = real (8-aligned) coded size. Mode AND depth
+    decisions are full-RD (recon SSE + lambda2 * bits; _rd_mode_size).
+    Returns depth8/mode8 (F, Hp/8, Wp/8) + nxn8/mode4 on the padded
+    grid."""
     nf, hp, wp = planes.shape
     planes = planes.astype(jnp.int32)
     sizes = [8, 16, 32]
 
     def per_size(n):
         def one(pl):
-            return analyze_size_device(pl, n, lam_bits, bit_depth)
+            return _rd_mode_size(pl, n, qp_j, lam_bits, lam2, abc,
+                                 mode_bits2, bit_depth)
         m, c = jax.vmap(one)(planes)
         by, bx = hp // n, wp // n
         m = m.reshape(nf, by, bx)
-        c = c.reshape(nf, by, bx).astype(jnp.float32)
+        c = c.reshape(nf, by, bx)
         # blocks extending past the coded frame can't be chosen whole
         ys = jax.lax.broadcasted_iota(jnp.int32, (by, bx), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (by, bx), 1)
@@ -333,6 +411,7 @@ def analyze_intra_gop(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
     nxn8 bool (PART_NxN at min CU), mode4 (F, H/4, W/4) per-PU modes."""
     nf, h, w = orig_y.shape
     lam = lambda_from_qp(qp)
+    lam2 = lambda2_from_qp(qp)
     hp = (h + ctu_size - 1) // ctu_size * ctu_size
     wp = (w + ctu_size - 1) // ctu_size * ctu_size
     if hp == h and wp == w:
@@ -341,11 +420,18 @@ def analyze_intra_gop(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
         pl = np.pad(orig_y, ((0, 0), (0, hp - h), (0, wp - w)),
                     mode="edge")
     lam_bits = jnp.asarray(np.round(lam * _MODE_BITS).astype(np.int32))
-    lam_split = jnp.float32(lam * 6.0)
-    lam_nxn = jnp.float32(lam * 8.0)     # part bit + 3 extra PU headers
+    # depth/NxN aggregation runs in the RD domain (SSE + lambda2*bits)
+    lam_split = jnp.float32(lam2 * 4.0)  # split flag + smaller-CU tax
+    lam_nxn = jnp.float32(lam2 * 8.0)    # part bit + 3 extra PU headers
+    from ..common.bit_calib import calib_for_qp
+    cal = calib_for_qp(qp)
+    abc = jnp.asarray([float(cal[0]), float(cal[1]), float(cal[2])],
+                      jnp.float32)
+    mode_bits2 = jnp.asarray(_MODE_BITS.astype(np.float32))
     src_dt = np.uint8 if bit_depth == 8 else np.uint16
     d8, m8, nxn8, m4 = _analyze_gop_jit(
         jnp.asarray(pl.astype(src_dt)), lam_bits, lam_split, lam_nxn,
+        jnp.int32(qp), jnp.float32(lam2), abc, mode_bits2,
         h=h, w=w, ctu=ctu_size, bit_depth=bit_depth, intra_nxn=intra_nxn)
     return (np.asarray(d8)[:, :h // 8, :w // 8],
             np.asarray(m8)[:, :h // 8, :w // 8],
@@ -362,7 +448,15 @@ def analyze_intra_frame(orig_y: np.ndarray, qp: int, ctu_size: int = 32,
     Returns (depth8, mode8, nxn8, mode4): depth/mode over the 8x8
     min-CU grid; nxn8 marks PART_NxN CUs whose four 4x4 PU modes live
     in mode4 (H/4, W/4).
-    """
+
+    Single-frame wrapper over analyze_intra_gop (the full-RD device
+    decision); the numpy fallback below is kept for ctu_size > 32
+    callers only (none today — intra analysis caps at 32)."""
+    if ctu_size <= 32:
+        d8, m8, nxn8, m4 = analyze_intra_gop(
+            orig_y[None], qp, ctu_size, bit_depth, intra_nxn=intra_nxn)
+        return (d8[0].astype(np.uint8), m8[0].astype(np.uint8),
+                nxn8[0], m4[0].astype(np.uint8))
     h, w = orig_y.shape
     lam = lambda_from_qp(qp)
     sizes = [8, 16, 32] if ctu_size == 32 else [8, 16, 32, 64]
