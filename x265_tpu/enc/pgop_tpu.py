@@ -312,24 +312,31 @@ def _coeff_bits_est(cf: jnp.ndarray, by: int, bx: int, k: int,
 def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
                        real_h: int, real_w: int, h: int, w: int,
                        hdr_bits: float = 5.0, split_bits: float = 3.0,
-                       refs: dict | None = None):
+                       refs: dict | None = None, alt8_cost=None):
     """Bottom-up split-vs-keep argmin over true RD costs. Returns
-    depth8 (n8y, n8x) i32, mv8 (n8y, n8x, 2) i32 and ref8 (n8y, n8x)
-    i32 on the padded grid. Static over-the-edge masking forces
-    splits at ragged borders (partial CUs can't be chosen whole).
-    hdr_bits (per leaf: merge/pred/part/cbf flags for 2Nx2N inter)
-    and split_bits (per coded split flag) come from the CABAC-fit
-    calibration. refs: per-size (by, bx) L0 refIdx grids (multi-ref);
-    None composes a zero field."""
+    depth8 (n8y, n8x) i32, mv8 (n8y, n8x, 2) i32, ref8 (n8y, n8x)
+    i32 and intra_pref (n8y, n8x) bool on the padded grid. Static
+    over-the-edge masking forces splits at ragged borders (partial CUs
+    can't be chosen whole). hdr_bits (per leaf: merge/pred/part/cbf
+    flags for 2Nx2N inter) and split_bits (per coded split flag) come
+    from the CABAC-fit calibration. refs: per-size (by, bx) L0 refIdx
+    grids (multi-ref); None composes a zero field. alt8_cost: full RD
+    cost of the 8x8 INTRA candidate per min-cell (_intra8_est) — where
+    it beats the inter leaf it replaces the 8-level cost, so intra
+    competes in the split argmin (search.cpp:1291)."""
     hdr_bits = float(hdr_bits)
     split_bits = float(split_bits)
     big = jnp.float32(1e18)
     has64 = 64 in sse
     cost = {}
+    intra_pref = None
     for n in (SIZES + ((64,) if has64 else ())):
         by, bx = h // n, w // n
         c = sse[n].astype(jnp.float32) + \
             lam2 * (bits[n].astype(jnp.float32) + hdr_bits)
+        if n == 8 and alt8_cost is not None:
+            intra_pref = alt8_cost < c
+            c = jnp.minimum(c, alt8_cost)
         ys, xs = np.mgrid[0:by, 0:bx]
         over = ((ys + 1) * n > real_h) | ((xs + 1) * n > real_w)
         cost[n] = jnp.where(jnp.asarray(over), big, c)
@@ -385,7 +392,12 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
         mv8 = jnp.where(k64[..., None], up_mv(64, 8), mv8)
         if refs is not None and 64 in refs:
             ref8 = jnp.where(k64, up_ref(64, 8), ref8)
-    return depth8, mv8.astype(jnp.int32), ref8.astype(jnp.int32)
+    if intra_pref is None:
+        intra_pref = jnp.zeros((n8y, n8x), bool)
+    else:
+        intra_pref = intra_pref[:n8y, :n8x]
+    return depth8, mv8.astype(jnp.int32), ref8.astype(jnp.int32), \
+        intra_pref
 
 
 # =============================================================================
@@ -428,7 +440,7 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                   sign_hiding, real_h, real_w, preds, cpreds,
                   qp_ctu=None, ctu=32, rdoq=False, psy_rd=0.0,
                   rqt=False, lowpass=False, nr_offsets=None,
-                  refs_grid=None, nrefs: int = 1):
+                  refs_grid=None, nrefs: int = 1, alt8_cost=None):
     """Dense MC + residual coding at EVERY CU size with that size's
     own MV field, leaf-RDO depth decision from the true recon SSE +
     estimated bits, then device compose. preds carries the luma
@@ -652,10 +664,10 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         mvs_d[64] = mv_tl
         if refs_d is not None:
             refs_d[64] = r_tl
-    depth8, mv8, ref8 = _rd_depth_decision(
+    depth8, mv8, ref8, intra_pref = _rd_depth_decision(
         sse, bits, mvs_d, lam2, real_h, real_w, h, w,
         hdr_bits=float(calib[3]), split_bits=float(calib[4]),
-        refs=refs_d)
+        refs=refs_d, alt8_cost=alt8_cost)
 
     n8y_, n8x_ = h // 8, w // 8
 
@@ -683,7 +695,7 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                 [(mpx, ps[0]), (mpx, ps[1]), (mpx_c, ps[2]),
                  (mpx_c, ps[3]), (mpx_c, ps[4]), (mpx_c, ps[5])]):
             out[i] = jnp.where(mask, p, out[i])
-    return out + [depth8, mv8, tusplit8, ref8], nr_accum
+    return out + [depth8, mv8, tusplit8, ref8, intra_pref], nr_accum
 
 
 # =============================================================================
@@ -800,59 +812,102 @@ def _intra_tu_batch(orig_blocks, pred, n, qp_vec, bit_depth,
     return rec, coefs
 
 
-def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
-                    cf_cr, depth8, inter_cost8, lam, qp, qpc, qp_ctu,
-                    ctu, real_h, real_w, bit_depth, sign_hiding):
-    """Evaluate an 8x8 intra CU at every min-CU position from the
-    composed inter recon; accept where it beats the inter SA8D cost,
-    restricted to (a) cells the depth decision already coded as 8x8
-    CUs and (b) a 4-phase parity independent set (no accepted block is
-    8-adjacent to another, so every accepted block's references are
-    inter reconstruction a decoder reproduces). Returns updated planes
-    + (intra8, mode8)."""
-    from ..ops.intra import intra_pred_all_modes
-    from ..ops.satd import sa8d_batch, satd4_batch
+def _qp_vec_of(qp, qpc, qp_ctu, nn_by, nn_bx, nn, ctu):
+    """Per-block (luma_qp, chroma_qp) vectors for an nn-block grid."""
+    if qp_ctu is None:
+        return qp, qpc
+    iy = jnp.arange(nn_by, dtype=jnp.int32) * nn // ctu
+    ix = jnp.arange(nn_bx, dtype=jnp.int32) * nn // ctu
+    q = qp_ctu[iy[:, None], ix[None, :]].reshape(-1)
+    qc = jnp.take(jnp.asarray(CHROMA_QP_LUT), jnp.clip(q, 0, 57))
+    return q, qc
+
+
+def _blocks_of(plane, nn):
+    hh, ww = plane.shape
+    bby, bbx = hh // nn, ww // nn
+    return plane.reshape(bby, nn, bbx, nn).transpose(0, 2, 1, 3) \
+        .reshape(bby * bbx, nn, nn).astype(jnp.int32)
+
+
+def _intra8_est(oy, ocb, ocr, lam, lam2, qp, qpc, qp_ctu, ctu, real_h,
+                real_w, bit_depth, sign_hiding, calib):
+    """Orig-reference RD estimate of an 8x8 intra CU at every min-CU
+    cell: SATD over all 35 modes picks the mode, one actual TQ recon
+    (luma 8x8 + chroma 4x4 at DM) prices it as SSE + lambda2 * bits.
+    The estimate feeds the P-frame depth decision so intra competes as
+    a first-class CU candidate (the checkIntraInInter RD discipline,
+    search.cpp:1291) — on new-content regions (entering borders,
+    occlusion reveals) inter prediction has nothing to predict from
+    and intra must be allowed to win the split argmin, not just
+    post-replace cells that happened to code as 8x8.
+
+    Returns (mode (B,) i32, cost8 (by, bx) f32)."""
+    from ..ops.intra import intra_pred_all_modes, intra_pred_single_mode
+    from ..ops.satd import sa8d_batch
     from .intra_analysis import _MODE_BITS
-    h, w = rec_y.shape
+    from .intra_recon_tpu import _substitute
+    h, w = oy.shape
     by, bx = h // 8, w // 8
     b = by * bx
-
-    def qp_vec_of(nn_by, nn_bx, nn):
-        if qp_ctu is None:
-            return qp, qpc
-        iy = jnp.arange(nn_by, dtype=jnp.int32) * nn // ctu
-        ix = jnp.arange(nn_bx, dtype=jnp.int32) * nn // ctu
-        q = qp_ctu[iy[:, None], ix[None, :]].reshape(-1)
-        qc = jnp.take(jnp.asarray(CHROMA_QP_LUT), jnp.clip(q, 0, 57))
-        return q, qc
-
-    # --- luma: all 35 modes for every 8x8 block
-    refs = _strided_refs8(rec_y, 8)
+    refs = _strided_refs8(oy, 8)
     avail = jnp.asarray(_avail_refs(8, ctu, by, bx, real_h, real_w))
-    from .intra_recon_tpu import _substitute
     refs = _substitute(refs, avail, bit_depth)
     preds = intra_pred_all_modes(refs, 8, is_luma=True,
                                  bit_depth=bit_depth)    # (B, 35, 8, 8)
-    ob = oy.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
-        .reshape(b, 8, 8).astype(jnp.int32)
+    ob = _blocks_of(oy, 8)
     lam_bits = jnp.asarray(
         np.round(np.asarray(_MODE_BITS, np.float64)).astype(np.int32))
     costs = sa8d_batch(ob[:, None] - preds) + lam * lam_bits[None, :]
     mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
-    icost = jnp.min(costs, axis=1) + lam * 6   # pred_mode/part/cbf bits
     # one-hot mode select ((B, 35) gathers serialize on TPU)
     moh = (jnp.arange(preds.shape[1], dtype=jnp.int32)[None, :]
            == mode[:, None]).astype(preds.dtype)
     pred = (preds * moh[:, :, None, None]).sum(1)
 
-    # acceptance: beats inter AND cell is an 8x8 CU already
-    mind = ctu.bit_length() - 4      # depth of 8x8 CUs (2 @32, 3 @64)
-    accept0 = (icost < inter_cost8) & (depth8.reshape(-1) == mind)
-    # 4-phase parity independent set (8-neighbourhood exclusion)
+    qv, qcv = _qp_vec_of(qp, qpc, qp_ctu, by, bx, 8, ctu)
+    rec8, cf8 = _intra_tu_batch(ob, pred, 8, qv, bit_depth,
+                                sign_hiding, mode)
+    d = (rec8 - ob).astype(jnp.float32)
+    sse = (d * d).sum(axis=(1, 2))
+    a_, b_, c_ = float(calib[0]), float(calib[1]), float(calib[2])
+
+    def cbits_of(cf):
+        a = jnp.abs(cf)
+        nnz = (a > 0).sum(axis=(1, 2)).astype(jnp.float32)
+        slog = _bitlen(a).sum(axis=(1, 2)).astype(jnp.float32)
+        return jnp.where(nnz > 0, a_ * nnz + b_ * slog + c_, 0.0)
+
+    bits = cbits_of(cf8) + jnp.take(
+        jnp.asarray(_MODE_BITS.astype(np.float32)), mode) + 4.0
+
+    # chroma 4x4 at DM from orig refs
+    cavail = jnp.asarray(_avail_refs(4, ctu // 2, by, bx,
+                                     real_h // 2, real_w // 2,
+                                     cell_shift=2))
+    for opl in (ocb, ocr):
+        cr = _substitute(_strided_refs8(opl, 4), cavail, bit_depth)
+        cpred = intra_pred_single_mode(cr, mode, 4, is_luma=False,
+                                       bit_depth=bit_depth)
+        ocx = _blocks_of(opl, 4)
+        crec, ccf = _intra_tu_batch(ocx, cpred, 4, qcv, bit_depth,
+                                    sign_hiding, mode)
+        dc = (crec - ocx).astype(jnp.float32)
+        sse = sse + (dc * dc).sum(axis=(1, 2))
+        bits = bits + cbits_of(ccf)
+
+    return mode, (sse + lam2 * bits).reshape(by, bx)
+
+
+def _parity_accept(a0: jnp.ndarray) -> jnp.ndarray:
+    """Greedy 4-phase parity independent set over candidate map a0
+    (by, bx): no two accepted cells are 8-adjacent, so every accepted
+    intra block's references are reconstruction that is final before
+    this round codes (decoder-reproducible)."""
+    by, bx = a0.shape
     yy = np.arange(by)[:, None] % 2
     xx = np.arange(bx)[None, :] % 2
     acc = jnp.zeros((by, bx), bool)
-    a0 = accept0.reshape(by, bx)
     for py in (0, 1):
         for px in (0, 1):
             par = jnp.asarray((yy == py) & (xx == px))
@@ -861,12 +916,35 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
                    accp[1:-1, :-2] | accp[1:-1, 2:] |
                    accp[2:, :-2] | accp[2:, 1:-1] | accp[2:, 2:])
             acc = acc | (a0 & par & ~nbr)
-    intra8 = acc
-    sel = intra8.reshape(-1)
+    return acc
 
-    qv, qcv = qp_vec_of(by, bx, 8)
-    rec8, cf8 = _intra_tu_batch(ob, pred, 8, qv, bit_depth,
-                                sign_hiding, mode)
+
+def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
+                    cf_cr, depth8, accept_pref, mode_est, qp, qpc,
+                    qp_ctu, ctu, real_h, real_w, bit_depth,
+                    sign_hiding, rounds: int = 2):
+    """Code 8x8 intra CUs at the cells the RD depth decision chose for
+    intra (accept_pref, from _intra8_est), in `rounds` parity-
+    independent waves: each wave's blocks predict from reconstruction
+    that is final (inter content or earlier waves), so a contiguous
+    new-content strip converges to mostly-intra in 2 rounds while the
+    device still codes every wave as one dense batch. Modes come from
+    the orig-ref estimate; predictions are re-derived from the decoded
+    neighbours (conformant). Returns updated planes + (intra8, mode8)."""
+    from ..ops.intra import intra_pred_single_mode
+    from .intra_recon_tpu import _substitute
+    h, w = rec_y.shape
+    by, bx = h // 8, w // 8
+    mind = ctu.bit_length() - 4      # depth of 8x8 CUs (2 @32, 3 @64)
+    cand = accept_pref & (depth8 == mind)
+    qv, qcv = _qp_vec_of(qp, qpc, qp_ctu, by, bx, 8, ctu)
+    avail = jnp.asarray(_avail_refs(8, ctu, by, bx, real_h, real_w))
+    cavail = jnp.asarray(_avail_refs(4, ctu // 2, by, bx,
+                                     real_h // 2, real_w // 2,
+                                     cell_shift=2))
+    ob = _blocks_of(oy, 8)
+    ocb_b = _blocks_of(ocb, 4)
+    ocr_b = _blocks_of(ocr, 4)
 
     def compose(plane, blocks, nn, mask8):
         hh, ww = plane.shape
@@ -876,37 +954,49 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
         mpx = jnp.repeat(jnp.repeat(mask8, nn, 0), nn, 1)
         return jnp.where(mpx, bp, plane)
 
-    rec_y = compose(rec_y, rec8, 8, intra8)
-    cf_y = compose(cf_y, cf8, 8, intra8)
+    intra8 = jnp.zeros((by, bx), bool)
+    for rnd in range(rounds):
+        c = cand & ~intra8
+        if rnd > 0:
+            # a later acceptance must not sit in the REFERENCE SUPPORT
+            # of an already-coded intra block (its canonical refs touch
+            # the W, SW, NW, N, NE neighbours — equivalently, exclude
+            # candidates with an accepted E/NE/SE/S/SW neighbour).
+            # Accepted W/NW/N neighbours are fine: their refs don't
+            # include this cell, and this cell's refs to them read
+            # reconstruction that is already final.
+            ap = jnp.pad(intra8, 1)
+            bad = (ap[1:-1, 2:] | ap[:-2, 2:] | ap[2:, 2:] |
+                   ap[2:, 1:-1] | ap[2:, :-2])
+            c = c & ~bad
+        acc = _parity_accept(c)
+        # luma: single-mode prediction from current (final) recon refs
+        refs = _substitute(_strided_refs8(rec_y, 8), avail, bit_depth)
+        pred = intra_pred_single_mode(refs, mode_est, 8, is_luma=True,
+                                      bit_depth=bit_depth)
+        rec8, cf8 = _intra_tu_batch(ob, pred, 8, qv, bit_depth,
+                                    sign_hiding, mode_est)
+        rec_y = compose(rec_y, rec8, 8, acc)
+        cf_y = compose(cf_y, cf8, 8, acc)
+        # chroma 4x4 at DM
+        for which, (opl_b, rpl, cfp) in enumerate(
+                ((ocb_b, rec_cb, cf_cb), (ocr_b, rec_cr, cf_cr))):
+            cr = _substitute(_strided_refs8(rpl, 4), cavail, bit_depth)
+            cpred = intra_pred_single_mode(cr, mode_est, 4,
+                                           is_luma=False,
+                                           bit_depth=bit_depth)
+            crec, ccf = _intra_tu_batch(opl_b, cpred, 4, qcv,
+                                        bit_depth, sign_hiding,
+                                        mode_est)
+            if which == 0:
+                rec_cb = compose(rpl, crec, 4, acc)
+                cf_cb = compose(cfp, ccf, 4, acc)
+            else:
+                rec_cr = compose(rpl, crec, 4, acc)
+                cf_cr = compose(cfp, ccf, 4, acc)
+        intra8 = intra8 | acc
 
-    # --- chroma 4x4 TUs at DM mode (same z availability, chroma CTU)
-    crefs_b = _strided_refs8(rec_cb, 4)
-    crefs_r = _strided_refs8(rec_cr, 4)
-    cavail = jnp.asarray(_avail_refs(4, ctu // 2, by, bx,
-                                     real_h // 2, real_w // 2,
-                                     cell_shift=2))
-    ocb_b = ocb.reshape(by, 4, bx, 4).transpose(0, 2, 1, 3) \
-        .reshape(b, 4, 4).astype(jnp.int32)
-    ocr_b = ocr.reshape(by, 4, bx, 4).transpose(0, 2, 1, 3) \
-        .reshape(b, 4, 4).astype(jnp.int32)
-    from .intra_recon_tpu import _substitute as _sub2
-    for crefs, ocx, plane, cfp, which in (
-            (crefs_b, ocb_b, rec_cb, cf_cb, 0),
-            (crefs_r, ocr_b, rec_cr, cf_cr, 1)):
-        cr = _sub2(crefs, cavail, bit_depth)
-        from ..ops.intra import intra_pred_single_mode
-        cpred = intra_pred_single_mode(cr, mode, 4, is_luma=False,
-                                       bit_depth=bit_depth)
-        crec, ccf = _intra_tu_batch(ocx, cpred, 4, qcv, bit_depth,
-                                    sign_hiding, mode)
-        if which == 0:
-            rec_cb = compose(plane, crec, 4, intra8)
-            cf_cb = compose(cfp, ccf, 4, intra8)
-        else:
-            rec_cr = compose(plane, crec, 4, intra8)
-            cf_cr = compose(cfp, ccf, 4, intra8)
-
-    mode8 = jnp.where(intra8, mode.reshape(by, bx), 255) \
+    mode8 = jnp.where(intra8, mode_est.reshape(by, bx), 255) \
         .astype(jnp.uint8)
     return (rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr, intra8, mode8)
 
@@ -1268,10 +1358,21 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                                         cstride=cstride,
                                         zplanes=zplanes_c)
 
+        # --- intra candidate estimate (orig refs) so intra competes in
+        # the depth decision on new-content regions
+        if intra_ii:
+            from ..common.bit_calib import calib_for_qp
+            imode_est, icost8 = _intra8_est(
+                oy, ocb, ocr, lam_i, lam2, qp, qpc,
+                qp_ctu if dqp else None, ctu, real_h, real_w,
+                bit_depth, sign_hiding, calib_for_qp(qp))
+        else:
+            imode_est = icost8 = None
+
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
         ((rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8,
-          tusplit8, ref8), nr_accum) = \
+          tusplit8, ref8, intra_pref), nr_accum) = \
             _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                           sign_hiding, real_h, real_w, preds=preds,
                           cpreds=cpreds,
@@ -1279,14 +1380,16 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                           rdoq=rdoq, psy_rd=psy_rd, rqt=rqt,
                           lowpass=lowpass,
                           nr_offsets=nr_off if nr else None,
-                          refs_grid=refs_grid, nrefs=nrefs)
+                          refs_grid=refs_grid, nrefs=nrefs,
+                          alt8_cost=icost8)
 
-        # --- intra-in-inter: 8x8 intra CUs where intra beats inter
+        # --- intra-in-inter: code the intra-winning 8x8 cells in two
+        # parity-independent waves
         if intra_ii:
             (rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr, intra8,
              imode8) = _intra_in_inter(
                 oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
-                cf_cr, depth8, meres[8][1], lam_i, qp, qpc,
+                cf_cr, depth8, intra_pref, imode_est, qp, qpc,
                 qp_ctu if dqp else None, ctu, real_h, real_w,
                 bit_depth, sign_hiding)
         else:
