@@ -23,16 +23,25 @@ import numpy as np
 
 # qp -> (A, B, C, H, S, M, D), filled by tools/calibrate_bits.py.
 #
-# Round-4 finding: NNLS fits of frame-level sums (A~2-4, B~0.7-1.8,
-# C noisy 0-18 across QP) measured +20.2% BD-rate vs x265 medium —
-# slightly WORSE than the structural constants below (+19.7%). The
-# frame-level experiment cannot identify per-leaf/per-split/MVD costs
-# (collinear with the coefficient features), and per-QP A/B noise
-# perturbs the split decisions more than the calibration helps. The
-# table therefore stays empty until a BLOCK-level calibration (actual
-# per-CU bits from the CABAC's bit-counting mode) replaces it; the
-# fallback keeps the validated r03 behavior.
-BIT_CALIB: dict[int, tuple] = {}
+# Round-4's frame-level fit failed its adoption gate (the features are
+# collinear at frame granularity). Round 5 refit A/B/C/H/M from
+# PER-CU actual bits (the native CABAC's cu_bits_out harvest — the
+# entropy.cpp:2217 bit-counting-mode analog) over the 5-family clip
+# set; adoption gate measured mean BD-rate 13.1% with the table vs
+# 14.8% with the fallback over pan/occlusion/grain x QP 24-36.
+# S (per-split-flag bits) is NOT taken from the fit: the residual
+# regression it came from absorbs slice headers and intra-in-inter
+# CUs and produced wild values (10-200); a split flag is worth a few
+# bits, so the structural 3.0 stays.
+BIT_CALIB: dict[int, tuple] = {
+    20: (3.2526, 0.7297, 10.8199, 5.4069, 3.0, 0.1110, 0.0),
+    24: (3.3518, 0.6532, 10.6183, 3.7344, 3.0, 0.2944, 0.0),
+    28: (3.4658, 0.6262, 7.9475, 2.3317, 3.0, 0.5003, 0.0),
+    32: (3.3259, 0.9548, 6.5160, 1.6649, 3.0, 0.5292, 0.0),
+    36: (4.2747, 0.7163, 3.9354, 2.1217, 3.0, 0.4611, 0.0),
+    40: (6.1148, 0.0000, 2.6767, 1.9962, 3.0, 0.4246, 0.0),
+    44: (6.0930, 0.0000, 0.9829, 1.8206, 3.0, 0.4287, 0.0),
+}
 
 # round-3 constants, kept as the fallback when the table is empty
 _FALLBACK = (1.4, 1.2, 5.0, 5.0, 3.0, 1.0, 0.0)

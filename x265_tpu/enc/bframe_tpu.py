@@ -294,9 +294,8 @@ def _bframe_batch(r0y, r0cb, r0cr, r1y, r1cb, r1cr, oy_b, ocb_b, ocr_b,
                 sse[n] = sse[n] + jnp.float32(psy_rd) * lam_psy * psy_n
 
         mvs_flat = {n: mv_sz[n].reshape(-1, 4) for n in SIZES}
-        depth8, mv8x, _, _ = _rd_depth_decision(sse, bits, mvs_flat,
-                                                lam2, real_h, real_w,
-                                                h, w)
+        depth8, mv8x = _rd_depth_decision(sse, bits, mvs_flat, lam2,
+                                          real_h, real_w, h, w)[:2]
         # mv8x carries the packed (mv0, mv1); expand pf likewise
         n8y, n8x = h // 8, w // 8
         rep = lambda a, k: jnp.repeat(jnp.repeat(a, k, 0), k, 1)

@@ -396,8 +396,10 @@ def _rd_depth_decision(sse: dict, bits: dict, mvs: dict, lam2: float,
         intra_pref = jnp.zeros((n8y, n8x), bool)
     else:
         intra_pref = intra_pref[:n8y, :n8x]
+    inter_c8 = sse[8].astype(jnp.float32) + \
+        lam2 * (bits[8].astype(jnp.float32) + hdr_bits)
     return depth8, mv8.astype(jnp.int32), ref8.astype(jnp.int32), \
-        intra_pref
+        intra_pref, inter_c8
 
 
 # =============================================================================
@@ -664,7 +666,7 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
         mvs_d[64] = mv_tl
         if refs_d is not None:
             refs_d[64] = r_tl
-    depth8, mv8, ref8, intra_pref = _rd_depth_decision(
+    depth8, mv8, ref8, intra_pref, inter_c8 = _rd_depth_decision(
         sse, bits, mvs_d, lam2, real_h, real_w, h, w,
         hdr_bits=float(calib[3]), split_bits=float(calib[4]),
         refs=refs_d, alt8_cost=alt8_cost)
@@ -695,7 +697,8 @@ def _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                 [(mpx, ps[0]), (mpx, ps[1]), (mpx_c, ps[2]),
                  (mpx_c, ps[3]), (mpx_c, ps[4]), (mpx_c, ps[5])]):
             out[i] = jnp.where(mask, p, out[i])
-    return out + [depth8, mv8, tusplit8, ref8, intra_pref], nr_accum
+    return out + [depth8, mv8, tusplit8, ref8, intra_pref,
+                  inter_c8], nr_accum
 
 
 # =============================================================================
@@ -922,7 +925,8 @@ def _parity_accept(a0: jnp.ndarray) -> jnp.ndarray:
 def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
                     cf_cr, depth8, accept_pref, mode_est, qp, qpc,
                     qp_ctu, ctu, real_h, real_w, bit_depth,
-                    sign_hiding, rounds: int = 2):
+                    sign_hiding, rounds: int = 2, lam2=None,
+                    inter_c8=None, calib=(1.4, 1.2, 5.0)):
     """Code 8x8 intra CUs at the cells the RD depth decision chose for
     intra (accept_pref, from _intra8_est), in `rounds` parity-
     independent waves: each wave's blocks predict from reconstruction
@@ -954,6 +958,8 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
         mpx = jnp.repeat(jnp.repeat(mask8, nn, 0), nn, 1)
         return jnp.where(mpx, bp, plane)
 
+    from .intra_analysis import _MODE_BITS
+    mode_bits_f = jnp.asarray(_MODE_BITS.astype(np.float32))
     intra8 = jnp.zeros((by, bx), bool)
     for rnd in range(rounds):
         c = cand & ~intra8
@@ -976,11 +982,9 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
                                       bit_depth=bit_depth)
         rec8, cf8 = _intra_tu_batch(ob, pred, 8, qv, bit_depth,
                                     sign_hiding, mode_est)
-        rec_y = compose(rec_y, rec8, 8, acc)
-        cf_y = compose(cf_y, cf8, 8, acc)
         # chroma 4x4 at DM
-        for which, (opl_b, rpl, cfp) in enumerate(
-                ((ocb_b, rec_cb, cf_cb), (ocr_b, rec_cr, cf_cr))):
+        crecs, ccfs = [], []
+        for opl_b, rpl in ((ocb_b, rec_cb), (ocr_b, rec_cr)):
             cr = _substitute(_strided_refs8(rpl, 4), cavail, bit_depth)
             cpred = intra_pred_single_mode(cr, mode_est, 4,
                                            is_luma=False,
@@ -988,12 +992,41 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
             crec, ccf = _intra_tu_batch(opl_b, cpred, 4, qcv,
                                         bit_depth, sign_hiding,
                                         mode_est)
-            if which == 0:
-                rec_cb = compose(rpl, crec, 4, acc)
-                cf_cb = compose(cfp, ccf, 4, acc)
-            else:
-                rec_cr = compose(rpl, crec, 4, acc)
-                cf_cr = compose(cfp, ccf, 4, acc)
+            crecs.append(crec)
+            ccfs.append(ccf)
+        if inter_c8 is not None:
+            # the estimate proposed; the ACTUAL coded result (recon-ref
+            # prediction) disposes — revert cells where the real intra
+            # RD loses to the inter content it would replace
+            d = (rec8 - ob).astype(jnp.float32)
+            sse_a = (d * d).sum(axis=(1, 2))
+            bits_a = jnp.take(mode_bits_f, mode_est) + 4.0
+
+            ca, cb_, cc = (float(calib[0]), float(calib[1]),
+                           float(calib[2]))
+
+            def cb_of(cf):
+                a = jnp.abs(cf)
+                nnz = (a > 0).sum(axis=(1, 2)).astype(jnp.float32)
+                slog = _bitlen(a).sum(axis=(1, 2)).astype(jnp.float32)
+                return jnp.where(nnz > 0,
+                                 ca * nnz + cb_ * slog + cc, 0.0)
+
+            bits_a = bits_a + cb_of(cf8)
+            for which in (0, 1):
+                dc = (crecs[which] -
+                      (ocb_b if which == 0 else ocr_b)) \
+                    .astype(jnp.float32)
+                sse_a = sse_a + (dc * dc).sum(axis=(1, 2))
+                bits_a = bits_a + cb_of(ccfs[which])
+            cost_a = (sse_a + lam2 * bits_a).reshape(by, bx)
+            acc = acc & (cost_a < inter_c8)
+        rec_y = compose(rec_y, rec8, 8, acc)
+        cf_y = compose(cf_y, cf8, 8, acc)
+        rec_cb = compose(rec_cb, crecs[0], 4, acc)
+        cf_cb = compose(cf_cb, ccfs[0], 4, acc)
+        rec_cr = compose(rec_cr, crecs[1], 4, acc)
+        cf_cr = compose(cf_cr, ccfs[1], 4, acc)
         intra8 = intra8 | acc
 
     mode8 = jnp.where(intra8, mode_est.reshape(by, bx), 255) \
@@ -1366,13 +1399,18 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                 oy, ocb, ocr, lam_i, lam2, qp, qpc,
                 qp_ctu if dqp else None, ctu, real_h, real_w,
                 bit_depth, sign_hiding, calib_for_qp(qp))
+            # the orig-ref estimate is optimistic (real coding predicts
+            # from recon neighbours): a 1.25x margin keeps it from
+            # forcing 8x8 splits where inter 16/32 is genuinely better
+            # (measured: no margin costs ~4 BD points on clean pans)
+            icost8_m = icost8 * jnp.float32(1.25)
         else:
-            imode_est = icost8 = None
+            imode_est = icost8 = icost8_m = None
 
         # --- dense MC + residual coding at every size, leaf-RDO depth
         # decision from true recon SSE + estimated bits, device compose
         ((rec_y, cf_y, rec_cb, cf_cb, rec_cr, cf_cr, depth8, mv8,
-          tusplit8, ref8, intra_pref), nr_accum) = \
+          tusplit8, ref8, intra_pref, inter_c8), nr_accum) = \
             _mc_recon_all(oy, ocb, ocr, mvs, lam2, qp, qpc, bit_depth,
                           sign_hiding, real_h, real_w, preds=preds,
                           cpreds=cpreds,
@@ -1381,17 +1419,18 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                           lowpass=lowpass,
                           nr_offsets=nr_off if nr else None,
                           refs_grid=refs_grid, nrefs=nrefs,
-                          alt8_cost=icost8)
+                          alt8_cost=icost8_m)
 
         # --- intra-in-inter: code the intra-winning 8x8 cells in two
-        # parity-independent waves
+        # parity-independent waves, each re-checked at ACTUAL coded RD
         if intra_ii:
             (rec_y, rec_cb, rec_cr, cf_y, cf_cb, cf_cr, intra8,
              imode8) = _intra_in_inter(
                 oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
                 cf_cr, depth8, intra_pref, imode_est, qp, qpc,
                 qp_ctu if dqp else None, ctu, real_h, real_w,
-                bit_depth, sign_hiding)
+                bit_depth, sign_hiding, lam2=lam2,
+                inter_c8=inter_c8, calib=calib_for_qp(qp))
         else:
             intra8 = jnp.zeros_like(depth8, dtype=bool)
             imode8 = jnp.full(depth8.shape, 255, jnp.uint8)
