@@ -347,6 +347,58 @@ def int_search_vec(win_t: jnp.ndarray, cur_t: jnp.ndarray,
     return jax.lax.fori_loop(0, side, body, init)
 
 
+def int_search_vec_pair(win8_t: jnp.ndarray, cur8_t: jnp.ndarray,
+                        penx8: jnp.ndarray, peny8: jnp.ndarray,
+                        penx16: jnp.ndarray, peny16: jnp.ndarray,
+                        by8: int, bx8: int, side: int, lead: int = 4):
+    """Joint integer search for the 8-blocks AND their parent
+    16-blocks from the 8-windows alone. The four 8-sub-windows of a
+    16-region are cut from ONE parent window at the SAME seed, so the
+    16-block SAD at window offset (dy, dx) is exactly the sum of its
+    four 8-block SADs at (dy, dx) — the 16 search needs no second
+    pass over pixels (selection identical to its own full search:
+    same costs, same raster tie-break). Returns
+    ((cost8, i8), (cost16, i16))."""
+    b8 = cur8_t.shape[-1]
+    by16, bx16 = by8 // 2, bx8 // 2
+    b16 = by16 * bx16
+    cur16 = cur8_t.astype(jnp.int16)
+
+    def body(dy, state):
+        bc8, bi8, bc16, bi16 = state
+        row = jax.lax.dynamic_slice(
+            win8_t, (lead + dy, 0, 0), (8, win8_t.shape[1], b8))
+        cands = jnp.stack(
+            [jax.lax.slice_in_dim(row, lead + dx, lead + dx + 8, axis=1)
+             for dx in range(side)])             # (side, 8, 8, B8)
+        ad = jnp.abs(cur16[None] - cands.astype(jnp.int16))
+        sad8 = jnp.sum(ad, axis=(1, 2), dtype=jnp.int32)   # (side, B8)
+        cost8 = sad8 + penx8 + \
+            jax.lax.dynamic_slice(peny8, (dy, 0), (1, b8))
+        mi = jnp.argmin(cost8, axis=0).astype(jnp.int32)
+        mc = jnp.min(cost8, axis=0)
+        better = mc < bc8
+        bi8 = jnp.where(better, dy * side + mi, bi8)
+        bc8 = jnp.where(better, mc, bc8)
+        sad16 = sad8.reshape(side, by16, 2, bx16, 2).sum(axis=(2, 4)) \
+            .reshape(side, b16)
+        cost16 = sad16 + penx16 + \
+            jax.lax.dynamic_slice(peny16, (dy, 0), (1, b16))
+        mi = jnp.argmin(cost16, axis=0).astype(jnp.int32)
+        mc = jnp.min(cost16, axis=0)
+        better = mc < bc16
+        bi16 = jnp.where(better, dy * side + mi, bi16)
+        bc16 = jnp.where(better, mc, bc16)
+        return bc8, bi8, bc16, bi16
+
+    init = (jnp.full((b8,), 1 << 30, jnp.int32),
+            jnp.zeros((b8,), jnp.int32),
+            jnp.full((b16,), 1 << 30, jnp.int32),
+            jnp.zeros((b16,), jnp.int32))
+    bc8, bi8, bc16, bi16 = jax.lax.fori_loop(0, side, body, init)
+    return (bc8, bi8), (bc16, bi16)
+
+
 def me_size_windowed(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                      seed_mv: jnp.ndarray, lam: jnp.ndarray, n: int,
                      radius: int = 6, bit_depth: int = 8,
@@ -557,8 +609,19 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
 
     out = {}
 
+    def pens_of(seedx, seedy):
+        offs = jnp.arange(side, dtype=jnp.int32) - r
+
+        def comp_bits(v):
+            a = jnp.abs(v)
+            return (2 * jnp.ceil(jnp.log2(a.astype(jnp.float32) + 1.0))
+                    + 1).astype(jnp.int32)
+
+        return (lam * comp_bits((seedx[None, :] + offs[:, None]) * 4),
+                lam * comp_bits((seedy[None, :] + offs[:, None]) * 4))
+
     def run_size(win_t, cur_t, cur_st, seedx, seedy, x0s, y0s, n,
-                 zero_plane=None, wmask=None):
+                 zero_plane=None, wmask=None, int_best=None):
         """win_t: (n+2r+8, n+2r+8, B) windows at seed-(r+4); cur_st is
         the (possibly weight-compensated) search current, cur_t the
         true current for the SATD/pred stages. zero_plane: dense
@@ -570,18 +633,12 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         if weighted and wmask is not None:
             # weight-compensated search current only where weighted
             cur_st = jnp.where(wmask[None, None, :], cur_st, cur_t)
-        offs = jnp.arange(side, dtype=jnp.int32) - r
-
-        def comp_bits(v):
-            a = jnp.abs(v)
-            return (2 * jnp.ceil(jnp.log2(a.astype(jnp.float32) + 1.0))
-                    + 1).astype(jnp.int32)
-
-        penx = lam * comp_bits((seedx[None, :] + offs[:, None]) * 4)
-        peny = lam * comp_bits((seedy[None, :] + offs[:, None]) * 4)
-
-        _, best_i = int_search_vec(win_t, cur_st, penx, peny, n, side,
-                                   lead=4)
+        if int_best is None:
+            penx, peny = pens_of(seedx, seedy)
+            _, best_i = int_search_vec(win_t, cur_st, penx, peny, n,
+                                       side, lead=4)
+        else:
+            _, best_i = int_best
         oy_i = best_i // side          # window offset in [0, 2r]
         ox_i = best_i % side
         mvx_i = seedx + ox_i - r
@@ -726,14 +783,7 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
 
     zp = zero_planes or {}
     wm16 = (ref16 == 0) if (weighted and ref16 is not None) else None
-    if 16 in sizes:
-        cur16 = lanes_of(cur, 16)
-        cur16s = cur16 if cur_search is cur else lanes_of(cur_search, 16)
-        w16_t = jnp.transpose(w16, (1, 2, 0))
-        out[16] = pack(run_size(w16_t, cur16, cur16s, sx16, sy16, x16,
-                                y16, 16, zero_plane=zp.get(16),
-                                wmask=wm16))
-
+    int16_best = int8_best = None
     if 8 in sizes:
         by8, bx8 = h // 8, w // 8
         b8 = by8 * bx8
@@ -764,8 +814,28 @@ def me_all_sizes(cur: jnp.ndarray, ref_pad: jnp.ndarray,
         if wm16 is not None:
             wm8 = jnp.repeat(jnp.repeat(wm16.reshape(by16, bx16), 2, 0),
                              2, 1).reshape(-1)
+        if 16 in sizes:
+            # ONE pass over pixels serves both grids: the 16 SAD at
+            # each offset is the sum of its four 8 SADs (shared
+            # windows + seeds; int_search_vec_pair docstring)
+            cur8se = cur8s if wm8 is None else \
+                jnp.where(wm8[None, None, :], cur8s, cur8)
+            penx8, peny8 = pens_of(sx8, sy8)
+            penx16, peny16 = pens_of(sx16, sy16)
+            int8_best, int16_best = int_search_vec_pair(
+                w8_t, cur8se, penx8, peny8, penx16, peny16, by8, bx8,
+                side, lead=4)
         out[8] = pack(run_size(w8_t, cur8, cur8s, sx8, sy8, x8, y8, 8,
-                               zero_plane=zp.get(16), wmask=wm8))
+                               zero_plane=zp.get(16), wmask=wm8,
+                               int_best=int8_best))
+
+    if 16 in sizes:
+        cur16 = lanes_of(cur, 16)
+        cur16s = cur16 if cur_search is cur else lanes_of(cur_search, 16)
+        w16_t = jnp.transpose(w16, (1, 2, 0))
+        out[16] = pack(run_size(w16_t, cur16, cur16s, sx16, sy16, x16,
+                                y16, 16, zero_plane=zp.get(16),
+                                wmask=wm16, int_best=int16_best))
 
     if 32 in sizes:
         by32, bx32 = h // 32, w // 32
