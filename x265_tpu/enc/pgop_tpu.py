@@ -1309,8 +1309,14 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                 mv_r, cost_r = _coarse_search_rolled(
                     ds_cur, _downsample4(ry_s[rr]),
                     lam_pen=coarse_pen)
+                # switching off ref 0 must clear a REAL margin, not a
+                # quarter-res noise margin: a non-zero ref costs
+                # ref_idx bins on every CU, breaks merges with
+                # ref-0 neighbours, and predicts from a temporally
+                # more distant picture (measured: lam*1 bias lets
+                # fastpan flip refs spuriously for +3.6% bits)
                 bits_r = min(rr + 1, nrefs - 1)
-                cost_list.append(cost_r + lam_i * bits_r)
+                cost_list.append(cost_r + 8 * lam_i * bits_r)
                 mv_list.append(_median3_mv(mv_r))
             costs = jnp.stack(cost_list)       # (R, by16, bx16)
             mvsr = jnp.stack(mv_list)
