@@ -833,8 +833,18 @@ def _blocks_of(plane, nn):
         .reshape(bby * bbx, nn, nn).astype(jnp.int32)
 
 
+def _psy8_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
+    """AC energy (SA8D minus DC) per (B, 8, 8) block — the block form
+    of _psy8_energy."""
+    from ..ops.satd import sa8d_batch
+    sa = sa8d_batch(blocks[:, None])[:, 0]
+    dc = jnp.abs(blocks.sum(axis=(1, 2))) >> 2
+    return (sa - dc).astype(jnp.float32)
+
+
 def _intra8_est(oy, ocb, ocr, lam, lam2, qp, qpc, qp_ctu, ctu, real_h,
-                real_w, bit_depth, sign_hiding, calib):
+                real_w, bit_depth, sign_hiding, calib,
+                psy_rd: float = 0.0):
     """Orig-reference RD estimate of an 8x8 intra CU at every min-CU
     cell: SATD over all 35 modes picks the mode, one actual TQ recon
     (luma 8x8 + chroma 4x4 at DM) prices it as SSE + lambda2 * bits.
@@ -873,6 +883,13 @@ def _intra8_est(oy, ocb, ocr, lam, lam2, qp, qpc, qp_ctu, ctu, real_h,
                                 sign_hiding, mode)
     d = (rec8 - ob).astype(jnp.float32)
     sse = (d * d).sum(axis=(1, 2))
+    if psy_rd > 0:
+        # the inter leaf costs carry lam*psy_rd*|dE| (rdcost.h:30) —
+        # the intra candidate must pay the same energy-preservation
+        # term or it over-wins wherever psy inflates inter
+        lam_f = jnp.sqrt(jnp.float32(lam2))
+        sse = sse + jnp.float32(psy_rd) * lam_f * \
+            jnp.abs(_psy8_blocks(ob) - _psy8_blocks(rec8))
     a_, b_, c_ = float(calib[0]), float(calib[1]), float(calib[2])
 
     def cbits_of(cf):
@@ -926,7 +943,8 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
                     cf_cr, depth8, accept_pref, mode_est, qp, qpc,
                     qp_ctu, ctu, real_h, real_w, bit_depth,
                     sign_hiding, rounds: int = 2, lam2=None,
-                    inter_c8=None, calib=(1.4, 1.2, 5.0)):
+                    inter_c8=None, calib=(1.4, 1.2, 5.0),
+                    psy_rd: float = 0.0):
     """Code 8x8 intra CUs at the cells the RD depth decision chose for
     intra (accept_pref, from _intra8_est), in `rounds` parity-
     independent waves: each wave's blocks predict from reconstruction
@@ -1000,6 +1018,10 @@ def _intra_in_inter(oy, ocb, ocr, rec_y, rec_cb, rec_cr, cf_y, cf_cb,
             # RD loses to the inter content it would replace
             d = (rec8 - ob).astype(jnp.float32)
             sse_a = (d * d).sum(axis=(1, 2))
+            if psy_rd > 0:
+                lam_f = jnp.sqrt(jnp.float32(lam2))
+                sse_a = sse_a + jnp.float32(psy_rd) * lam_f * \
+                    jnp.abs(_psy8_blocks(ob) - _psy8_blocks(rec8))
             bits_a = jnp.take(mode_bits_f, mode_est) + 4.0
 
             ca, cb_, cc = (float(calib[0]), float(calib[1]),
@@ -1404,7 +1426,8 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
             imode_est, icost8 = _intra8_est(
                 oy, ocb, ocr, lam_i, lam2, qp, qpc,
                 qp_ctu if dqp else None, ctu, real_h, real_w,
-                bit_depth, sign_hiding, calib_for_qp(qp))
+                bit_depth, sign_hiding, calib_for_qp(qp),
+                psy_rd=psy_rd)
             # the orig-ref estimate is optimistic (real coding predicts
             # from recon neighbours): a 1.25x margin keeps it from
             # forcing 8x8 splits where inter 16/32 is genuinely better
@@ -1436,7 +1459,8 @@ def _pgop_scan_body(ref_y, ref_cb, ref_cr, orig_y, orig_cb, orig_cr,
                 cf_cr, depth8, intra_pref, imode_est, qp, qpc,
                 qp_ctu if dqp else None, ctu, real_h, real_w,
                 bit_depth, sign_hiding, lam2=lam2,
-                inter_c8=inter_c8, calib=calib_for_qp(qp))
+                inter_c8=inter_c8, calib=calib_for_qp(qp),
+                psy_rd=psy_rd)
         else:
             intra8 = jnp.zeros_like(depth8, dtype=bool)
             imode8 = jnp.full(depth8.shape, 255, jnp.uint8)
